@@ -1,0 +1,84 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "headline_total", "value": <sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query executes fully via a noop sink (no driver collect skew); timings
+are per-query wall clock after a session warm-up. Mirrors the reference's
+bench.py samples/sec harness (webdataset-private/webdataset/bench.py:33-62)
+at whole-query granularity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_region_revenue",
+    "q06_forecast_revenue",
+    "q_topk_per_group",
+    "q_dedup_exact",
+    "q_minhash_lsh_pairs",
+    "q_simhash",
+    "q_ann_bruteforce",
+    "q_lsh_buckets",
+    "q_bin_packing",
+    "q_shard_rolling",
+    "q_chunk_fixed",
+    "q_token_count",
+    "q_quality_score",
+    "q_hash_tokenize",
+    "q_sessionize",
+    "q_window_tumbling",
+    "q_asof_join",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from video_data_pipeline_spark.queries.registry import load_all
+    from video_data_pipeline_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    registry = load_all()
+
+    spark = get_spark("bench")
+
+    def run(name: str) -> float:
+        df = registry[name].spark_fn(spark, sf_dir)
+        t0 = time.time()
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    # warm-up: JVM/codegen/Arrow paths
+    run("q01_pricing_summary")
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        sec = run(name)
+        timings[name] = round(sec, 3)
+        total += sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,178 @@
+"""Unit tests for the operator library (reference-semantics checks).
+
+Modeled on the reference's own operator tests (SURVEY.md §5:
+webdataset-private/webdataset/tests/): trivial sources with exact expected
+outputs, determinism assertions, and round-trips.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.operators.batching import batched, unbatched
+from video_data_pipeline_spark.operators.join import associate
+from video_data_pipeline_spark.operators.maps import map_with_policy
+from video_data_pipeline_spark.operators.packing import greedy_bin_pack, shard_roll
+from video_data_pipeline_spark.operators.projection import extract_keys, rename, to_tuple
+from video_data_pipeline_spark.operators.sampling import detshuffle, rsample, sliced
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema=schema)
+
+
+# ------------------------------------------------------------- projection
+
+
+def test_to_tuple_alternatives(spark):
+    df = _df(spark, [(None, "png0", 1), ("jpg1", None, 2)], "jpg string, png string, cls int")
+    out = df.transform(to_tuple("jpg;png", "cls")).collect()
+    assert [(r["jpg"], r["cls"]) for r in out] == [("png0", 1), ("jpg1", 2)]
+
+
+def test_to_tuple_missing_errors(spark):
+    df = _df(spark, [(1,)], "a int")
+    with pytest.raises(KeyError):
+        df.transform(to_tuple("nope;zilch"))
+
+
+def test_rename_keep(spark):
+    df = _df(spark, [(1, "x")], "cls int, txt string")
+    out = df.transform(rename(keep=True, label="cls"))
+    assert set(out.columns) == {"txt", "label"}
+
+
+def test_extract_keys_glob(spark):
+    df = _df(spark, [(1, 2, "x")], "l_a int, l_b int, other string")
+    assert df.transform(extract_keys("l_*")).columns == ["l_a", "l_b"]
+    with pytest.raises(KeyError):
+        df.transform(extract_keys("zz*"))
+
+
+# -------------------------------------------------------------- sampling
+
+
+def test_rsample_deterministic(spark):
+    df = spark.range(1000)
+    a = df.transform(rsample("id", 0.3, seed="s")).count()
+    b = df.transform(rsample("id", 0.3, seed="s")).count()
+    assert a == b
+    assert 200 < a < 400  # roughly Bernoulli(0.3)
+
+
+def test_detshuffle_epochs(spark):
+    df = spark.range(100)
+    e0 = [r.id for r in df.transform(detshuffle("id", seed="s", epoch=0)).collect()]
+    e0b = [r.id for r in df.transform(detshuffle("id", seed="s", epoch=0)).collect()]
+    e1 = [r.id for r in df.transform(detshuffle("id", seed="s", epoch=1)).collect()]
+    assert e0 == e0b  # same epoch ⇒ same order (reference test_shuffles.py:31-47)
+    assert e0 != e1  # next epoch ⇒ different order
+    assert sorted(e1) == list(range(100))
+
+
+def test_sliced(spark):
+    df = spark.range(100)
+    out = [r.id for r in df.transform(sliced(["id"], limit=10, offset=5)).collect()]
+    assert out == list(range(5, 15))
+
+
+# --------------------------------------------------------------- batching
+
+
+def test_batched_partial_dropped(spark):
+    df = spark.range(10)
+    full = df.transform(batched(["id"], n=4, partial=True))
+    assert full.count() == 10
+    nopartial = df.transform(batched(["id"], n=4, partial=False))
+    assert nopartial.count() == 8  # trailing batch of 2 dropped
+    assert nopartial.agg(F.max("batch_id")).first()[0] == 1
+
+
+def test_unbatched_roundtrip(spark):
+    df = spark.range(20).withColumn("g", F.col("id") % 3)
+    arrays = df.groupBy("g").agg(F.collect_list("id").alias("ids"))
+    back = arrays.transform(unbatched("ids", out_col="id"))
+    assert sorted(r.id for r in back.collect()) == list(range(20))
+
+
+# ------------------------------------------------------------------ join
+
+
+def test_associate_broadcast(spark):
+    facts = _df(spark, [("k1", 1), ("k2", 2), ("k3", 3)], "__key__ string, v int")
+    dim = _df(spark, [("k1", "a"), ("k2", "b")], "__key__ string, extra string")
+    out = facts.transform(associate(dim)).orderBy("__key__").collect()
+    assert [r.extra for r in out] == ["a", "b", None]
+    plan = facts.transform(associate(dim))._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------- packing
+
+
+def _greedy_reference(sizes, budget):
+    """Direct transliteration of tokenize/main.py:186-215 flush semantics."""
+    bins, acc, b = [], 0, 0
+    for s in sizes:
+        if s > budget:
+            bins.append(-1)
+            continue
+        if acc + s > budget:
+            b += 1
+            acc = 0
+        acc += s
+        bins.append(b)
+    # drop trailing partial
+    kept = [x for x in bins if x >= 0]
+    last = max(kept) if kept else None
+    return [x if 0 <= x < last else None if x == last else None for x in bins] if kept else bins
+
+
+def test_greedy_bin_pack_semantics(spark):
+    sizes = [500, 600, 900, 100, 2500, 800, 700, 600, 123]
+    rows = [("g", i, s) for i, s in enumerate(sizes)]
+    df = _df(spark, rows, "g string, pos int, sz int")
+    out = df.transform(
+        greedy_bin_pack(["g"], "pos", "sz", budget=2000, drop_partial=False)
+    )
+    got = {r.pos: r.bin_id for r in out.collect()}
+    # greedy: [500,600](+900 would fit: 500+600+900=2000 ≤ 2000 stays bin0),
+    # 100 overflows? 2000+100>2000 → bin1; 2500 skipped; 800,700 bin1 (=1600);
+    # 600 overflows → bin2; 123 bin2
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 5: 1, 6: 1, 7: 2, 8: 2}
+    dropped = df.transform(greedy_bin_pack(["g"], "pos", "sz", budget=2000))
+    got2 = {r.pos: r.bin_id for r in dropped.collect()}
+    assert got2 == {0: 0, 1: 0, 2: 0, 3: 1, 5: 1, 6: 1}  # trailing bin 2 dropped
+
+
+def test_shard_roll_semantics(spark):
+    rows = [("g", i, 10) for i in range(10)]
+    df = _df(spark, rows, "g string, pos int, sz int")
+    out = df.transform(shard_roll(["g"], "pos", "sz", maxcount=3, maxsize=10**9))
+    got = [r.shard_id for r in out.orderBy("pos").collect()]
+    assert got == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+    out2 = df.transform(shard_roll(["g"], "pos", "sz", maxcount=10**9, maxsize=25))
+    got2 = [r.shard_id for r in out2.orderBy("pos").collect()]
+    # roll when size ≥ 25: after 3 records size=30 ≥ 25 → 4th starts shard 1
+    assert got2 == [0, 0, 0, 1, 1, 1, 2, 2, 2, 3]
+
+
+# -------------------------------------------------------- map error policy
+
+
+def test_map_with_policy_continue(spark):
+    df = _df(spark, [(1,), (0,), (4,)], "x int")
+
+    out = df.transform(
+        map_with_policy(
+            lambda x: 10 // x, ["x"], "y", "int", policy="ignore_and_continue"
+        )
+    )
+    assert sorted((r.x, r.y) for r in out.collect()) == [(1, 10), (4, 2)]
+
+
+def test_map_with_policy_reraise(spark):
+    df = _df(spark, [(1,), (0,)], "x int")
+    with pytest.raises(RuntimeError, match="ZeroDivisionError"):
+        df.transform(map_with_policy(lambda x: 10 // x, ["x"], "y", "int", policy="reraise"))

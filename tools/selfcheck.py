@@ -1,0 +1,135 @@
+"""Self-check harness mirroring the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle on the same
+parquet tables, then compares row count, column names, and order-insensitive
+values (exact equality, floats included — the engine's determinism contract
+is bit-identical arithmetic, so no tolerance is needed or used).
+
+Usage:
+    python tools/selfcheck.py [--sf-dir /root/testdata/sf0.01] [--only q01,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+import traceback
+
+import duckdb
+import pandas as pd
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name and rows by all columns — the driver's
+    order-insensitive compare."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if isinstance(v, (list, dict)) else v)
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns: spark={sc} duck={dc}")
+    if problems:
+        return problems
+    a, b = normalize(spark_pdf), normalize(duck_pdf)
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        try:
+            if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+                av = av.astype("float64")
+                bv = bv.astype("float64")
+                eq = (av == bv) | (av.isna() & bv.isna())
+            else:
+                eq = (av == bv) | (av.isna() & bv.isna())
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"col {c}: compare error {e}")
+            continue
+        n_bad = int((~eq).sum())
+        if n_bad:
+            i = (~eq).idxmax()
+            problems.append(
+                f"col {c}: {n_bad} mismatches; first at row {i}: "
+                f"spark={a[c].iloc[i]!r} duck={b[c].iloc[i]!r}"
+            )
+    return problems
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    from video_data_pipeline_spark.queries.registry import load_all
+    from video_data_pipeline_spark.session import get_spark
+
+    registry = load_all()
+    only = set(args.only.split(",")) if args.only else None
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
+        )
+
+    n_pass = n_fail = n_nooracle = 0
+    for name, q in sorted(registry.items()):
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.spark_fn(spark, args.sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        if q.oracle is None:
+            print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            n_nooracle += 1
+            continue
+        try:
+            ddf = con.execute(q.oracle).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            n_fail += 1
+            continue
+        problems = compare(sdf, ddf)
+        if problems:
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

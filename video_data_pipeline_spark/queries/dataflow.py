@@ -1,0 +1,365 @@
+"""Operator-parity queries: one per reference dataflow operator.
+
+Each query exercises the Spark re-expression of a specific operator from
+``webdataset-private/webdataset`` (citation in each docstring) on the
+standard test tables, with a DuckDB oracle proving identical semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from video_data_pipeline_spark.operators.batching import batched
+from video_data_pipeline_spark.operators.join import associate, combine_keyframes
+from video_data_pipeline_spark.operators.mixing import random_mix
+from video_data_pipeline_spark.operators.projection import extract_keys, rename, to_tuple
+from video_data_pipeline_spark.operators.sampling import (
+    detshuffle,
+    rsample,
+    sliced,
+    uniform_sample_positions,
+)
+from video_data_pipeline_spark.queries.common import DUCK_HASH
+from video_data_pipeline_spark.queries.registry import query, table
+
+
+@query(
+    "q_select",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 30
+""",
+    tags=("filter",),
+)
+def q_select(spark, sf_dir):
+    """``select`` predicate filter (filters.py:248-259) → df.where; both
+    predicates reach the parquet scan as PushedFilters."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.where((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 30)).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+@query(
+    "q_to_tuple",
+    oracle="""
+SELECT p_partkey,
+       COALESCE(NULLIF(p_brand, 'Brand#1'), p_type) AS p_brand,
+       p_retailprice
+FROM part
+""",
+    tags=("projection",),
+)
+def q_to_tuple(spark, sf_dir):
+    """``to_tuple`` first-present-alternative projection (filters.py:386-406,
+    getfirst 105-118): ``"a;b"`` → coalesce(a, b). Nulls are synthesized via
+    NULLIF so the alternative path is actually exercised."""
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.nullif(F.col("p_brand"), F.lit("Brand#1")).alias("p_brand"),
+        "p_type",
+        "p_retailprice",
+    )
+    return p.transform(to_tuple("p_partkey", "p_brand;p_type", "p_retailprice"))
+
+
+@query(
+    "q_rename_keys",
+    oracle="""
+SELECT doc_id AS key, text AS payload, lang AS language FROM documents
+""",
+    tags=("projection",),
+)
+def q_rename_keys(spark, sf_dir):
+    """``rename``/``rename_keys`` (filters.py:325-347, 588-617) → aliased
+    select; pure plan-time metadata, zero execution cost."""
+    d = table(spark, sf_dir, "documents")
+    return d.transform(
+        rename(keep=False, key="doc_id", payload="text", language="lang")
+    )
+
+
+@query(
+    "q_extract_keys",
+    oracle="""
+SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem
+""",
+    tags=("projection",),
+)
+def q_extract_keys(spark, sf_dir):
+    """``extract_keys`` glob projection (filters.py:567-585): globs resolve
+    at plan time → ordinary pruned scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.transform(extract_keys("l_*key", "l_linenumber"))
+
+
+@query(
+    "q_valid_sample",
+    oracle="""
+SELECT doc_id, source FROM documents
+WHERE text IS NOT NULL AND n_chars > 0 AND n_chars = length(text)
+""",
+    tags=("filter",),
+)
+def q_valid_sample(spark, sf_dir):
+    """``valid_sample`` guard (tariterators.py:41-50) + index invariant
+    checks (index/check_pair.py:37-40) as declarative filters."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(
+        F.col("text").isNotNull()
+        & (F.col("n_chars") > 0)
+        & (F.col("n_chars") == F.length("text"))
+    ).select("doc_id", "source")
+
+
+@query(
+    "q_associate",
+    oracle="""
+SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, p.p_brand, p.p_retailprice
+FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+""",
+    tags=("join", "broadcast"),
+)
+def q_associate(spark, sf_dir):
+    """``associate`` key-lookup enrichment (filters.py:350-361) → left outer
+    broadcast hash join; the fact side never shuffles."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_partkey")
+    p = table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand", "p_retailprice"
+    )
+    return li.transform(associate(p, on="l_partkey"))
+
+
+@query(
+    "q_rsample",
+    oracle=f"""
+SELECT doc_id, source FROM documents
+WHERE {DUCK_HASH.format(x="concat('rsample', CAST(doc_id AS VARCHAR))")} / 1152921504606846976.0 < 0.25
+""",
+    tags=("sampling",),
+)
+def q_rsample(spark, sf_dir):
+    """``rsample`` Bernoulli subsample (filters.py:554-562), deterministic:
+    keep iff md5-hash(seed,key)/2^60 < p. Retry-safe and engine-portable,
+    unlike the reference's pid-seeded RNG."""
+    d = table(spark, sf_dir, "documents")
+    return d.transform(rsample("doc_id", 0.25, seed="rsample")).select("doc_id", "source")
+
+
+@query(
+    "q_detshuffle",
+    oracle=f"""
+SELECT doc_id,
+       ROW_NUMBER() OVER (ORDER BY {DUCK_HASH.format(x="concat('ep:7:', CAST(doc_id AS VARCHAR))")}, doc_id)
+         AS shuffle_pos
+FROM documents
+""",
+    tags=("sampling", "shuffle"),
+)
+def q_detshuffle(spark, sf_dir):
+    """``detshuffle(seed+epoch)`` (filters.py:234-245): deterministic global
+    permutation as sort-by-keyed-hash — same epoch ⇒ same order (the
+    reference contract, tests/test_shuffles.py:31-47) without driver RNG
+    state; a distributed range-partitioned sort, not a 1000-row buffer."""
+    from video_data_pipeline_spark.functions.hashing import stable_hash64
+
+    d = table(spark, sf_dir, "documents")
+    shuffled = d.transform(detshuffle("doc_id", seed="ep", epoch=7))
+    w = Window.orderBy(stable_hash64("doc_id", "ep:7:"), F.col("doc_id"))
+    return shuffled.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
+
+
+@query(
+    "q_slice",
+    oracle="SELECT doc_id, n_chars FROM documents ORDER BY doc_id LIMIT 50 OFFSET 100",
+    tags=("limit",),
+)
+def q_slice(spark, sf_dir):
+    """``slice`` = islice(offset, limit) (filters.py:564) under an explicit
+    total order (Spark has no implicit row order to slice by)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.transform(sliced(["doc_id"], limit=50, offset=100))
+
+
+@query(
+    "q_uniform_sample",
+    oracle="""
+WITH pos AS (
+  SELECT user_id, event_id, ts,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+)
+SELECT user_id, event_id, rn FROM pos
+WHERE n <= 8 OR FLOOR(CEIL(rn * 8.0 / n) * n / 8.0) = rn
+""",
+    tags=("sampling",),
+)
+def q_uniform_sample(spark, sf_dir):
+    """``uniform_sample``: ≤k evenly spaced picks per group
+    (pack/tools.py:142-153) as a pure position predicate after a window —
+    no collect, no UDF (selected positions are {floor(i*n/k)})."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = e.select(
+        "user_id",
+        "event_id",
+        (F.row_number().over(w) - 1).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    return pos.where(uniform_sample_positions(F.col("rn"), F.col("n"), 8)).select(
+        "user_id", "event_id", "rn"
+    )
+
+
+@query(
+    "q_mix_concat",
+    oracle="""
+SELECT o_orderkey, o_totalprice, 0 AS src FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice, 1 AS src FROM orders WHERE o_orderkey % 2 = 1
+""",
+    tags=("mixing", "union"),
+)
+def q_mix_concat(spark, sf_dir):
+    """``::`` shard-list concat / RoundRobin drain-all (shardlists.py:74-83,
+    mix.py:16-51) → tagged unionByName, zero shuffle."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    even = o.where(F.col("o_orderkey") % 2 == 0).withColumn("src", F.lit(0))
+    odd = o.where(F.col("o_orderkey") % 2 == 1).withColumn("src", F.lit(1))
+    return even.unionByName(odd)
+
+
+_MIX_P0 = DUCK_HASH.format(x="concat('mix:0', CAST(doc_id AS VARCHAR))")
+_MIX_P1 = DUCK_HASH.format(x="concat('mix:1', CAST(doc_id AS VARCHAR))")
+
+
+@query(
+    "q_random_mix",
+    oracle=f"""
+SELECT doc_id, lang FROM documents WHERE lang = 'en'
+UNION ALL
+SELECT doc_id, lang FROM documents
+WHERE lang <> 'en' AND {_MIX_P1} / 1152921504606846976.0 < 0.5
+""",
+    tags=("mixing", "sampling"),
+)
+def q_random_mix(spark, sf_dir):
+    """``RandomMix`` weighted interleave (mix.py:54-82) → union of
+    deterministic per-source samples with fractions ∝ probabilities
+    (here 1.0 : 0.5)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    en = d.where(F.col("lang") == "en")
+    rest = d.where(F.col("lang") != "en")
+    return random_mix([en, rest], probs=[1.0, 0.5], key="doc_id", seed="mix")
+
+
+@query(
+    "q_batched",
+    oracle="""
+WITH pos AS (
+  SELECT doc_id, n_chars,
+         CAST(FLOOR((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) / 32) AS BIGINT) AS batch_id
+  FROM documents
+)
+SELECT batch_id, COUNT(*) AS batch_size, MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc, SUM(n_chars) AS batch_chars
+FROM pos GROUP BY batch_id
+""",
+    tags=("batching",),
+)
+def q_batched(spark, sf_dir):
+    """``batched(n)`` (filters.py:497-528): fixed-size batch assignment under
+    explicit order, summarized per batch (collation itself is Spark-internal
+    via Arrow — SURVEY.md §1.2)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.transform(batched(["doc_id"], n=32))
+        .groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).alias("batch_size"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+            F.sum("n_chars").alias("batch_chars"),
+        )
+    )
+
+
+@query(
+    "q_unbatched",
+    oracle="""
+SELECT lang, doc_id FROM documents
+""",
+    tags=("batching", "explode"),
+)
+def q_unbatched(spark, sf_dir):
+    """``unbatched`` explode (filters.py:531-551): batch per lang via
+    collect_list, then explode back — identity round-trip proves inverse."""
+    d = table(spark, sf_dir, "documents")
+    batches = d.groupBy("lang").agg(F.collect_list("doc_id").alias("doc_ids"))
+    return batches.select("lang", F.explode("doc_ids").alias("doc_id"))
+
+
+@query(
+    "q_combine_keyframes",
+    oracle="""
+WITH tagged AS (
+  SELECT user_id, event_id, ts, 'I' AS frame_type FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, event_id, ts, 'P' AS frame_type FROM events WHERE event_type = 'view'
+)
+SELECT user_id, event_id, frame_type,
+       ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, frame_type) AS merge_pos
+FROM tagged
+""",
+    tags=("merge", "window"),
+)
+def q_combine_keyframes(spark, sf_dir):
+    """``combineKeyFrames`` ordered two-stream merge with origin tags
+    (pack/tools.py:155-197) → tagged union + per-key ordering window
+    (I-before-P tie-break as in the reference's ``<=`` cursor advance)."""
+    e = table(spark, sf_dir, "events")
+    i = e.where(F.col("event_type") == "click").select("user_id", "event_id", "ts")
+    p = e.where(F.col("event_type") == "view").select("user_id", "event_id", "ts")
+    merged = combine_keyframes(i, p, key_cols=["user_id"], time_col="ts")
+    return merged.select("user_id", "event_id", "frame_type", "merge_pos")
+
+
+@query(
+    "q_group_by_keys",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_members,
+       STRING_AGG(DISTINCT event_type, ',' ORDER BY event_type) AS member_types
+FROM events GROUP BY user_id
+""",
+    tags=("grouping",),
+)
+def q_group_by_keys(spark, sf_dir):
+    """``group_by_keys`` member-grouping (tariterators.py:184-246): members
+    sharing a key collapse into one sample; here the sample summary is the
+    sorted distinct member-type list."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("member_types"),
+    )
+
+
+@query(
+    "q_index_counts",
+    oracle="""
+SELECT source AS url, COUNT(*) AS nsamples FROM documents
+WHERE n_chars = length(text) GROUP BY source
+""",
+    tags=("grouping", "index"),
+)
+def q_index_counts(spark, sf_dir):
+    """The index stage (index/check_pair.py:28-66): per-shard valid-sample
+    counts after invariant assertions → groupBy(url).count()."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.where(F.col("n_chars") == F.length("text"))
+        .groupBy(F.col("source").alias("url"))
+        .agg(F.count(F.lit(1)).alias("nsamples"))
+    )

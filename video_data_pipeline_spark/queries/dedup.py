@@ -1,0 +1,349 @@
+"""Deduplication queries: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Beyond-reference extensions (SURVEY.md §7 Phase 5) that a 100 TB curation
+pipeline needs. Design for scale:
+
+- Exact dedup: hash-groupBy on a content fingerprint — one shuffle keyed by
+  a uniformly-distributed md5, inherently skew-free.
+- MinHash-LSH: ONE md5 pass per shingle, then k cheap universal-hash mixes
+  ``(h·a_j + b_j) mod p`` derive the k minhash functions (the md5 pass is
+  materialized as a column so it is computed once, not once per function).
+  Signatures are per-row column math (no shuffle); the only shuffle is the
+  band-bucket self-join, whose key (band md5) is uniform → skew-free.
+- SimHash: per-row bit math over a single word-hash array; candidate pairs
+  via pigeonhole chunk-join (hamming ≤ 3 ⇒ one of four 4-bit chunks equal).
+- Jaccard: exploded-shingle equi-join, count-intersection / union.
+
+Both dialects are generated from the same parameters so the Spark program
+and DuckDB oracle can't drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.registry import query, table
+
+_N_HASHES = 8
+_BAND_ROWS = 2  # 4 bands × 2 rows
+_P = 2147483647  # 2^31-1, Mersenne prime for universal hashing
+# deterministic (a_j, b_j) universal-hash parameters
+_AB = [(998244353 + 2 * j + 1, 777767777 * (j + 1) % _P) for j in range(_N_HASHES)]
+
+_SPARK_WORDS = "split(trim(text), ' +')"
+_DUCK_WORDS = "string_split_regex(trim(text), ' +')"
+_SPARK_SHINGLES = (
+    f"transform(sequence(0, size({_SPARK_WORDS}) - 3), "
+    f"i -> concat_ws(' ', {_SPARK_WORDS}[i], {_SPARK_WORDS}[i+1], {_SPARK_WORDS}[i+2]))"
+)
+_DUCK_SHINGLES = (
+    f"list_transform(range(len({_DUCK_WORDS}) - 2), "
+    f"i -> {_DUCK_WORDS}[i+1] || ' ' || {_DUCK_WORDS}[i+2] || ' ' || {_DUCK_WORDS}[i+3])"
+)
+
+
+def _spark_hash(x: str) -> str:
+    return f"CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def _duck_hash(x: str) -> str:
+    return f"(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+
+#: one md5 per shingle, reduced mod p — the single expensive pass
+_SPARK_BASE = f"transform({_SPARK_SHINGLES}, s -> {_spark_hash('s')} % {_P})"
+_DUCK_BASE = f"list_transform({_DUCK_SHINGLES}, s -> {_duck_hash('s')} % {_P})"
+
+
+def _minhash_from_base(dialect: str, base_col: str, j: int) -> str:
+    a, b = _AB[j]
+    if dialect == "spark":
+        return f"array_min(transform({base_col}, h -> (h * {a} + {b}) % {_P}))"
+    return f"list_min(list_transform({base_col}, h -> (h * {a} + {b}) % {_P}))"
+
+
+# ------------------------------------------------------------------ queries
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+SELECT md5(lower(trim(text))) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+FROM documents GROUP BY 1
+""",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup: groupBy(content-hash) keeping min doc_id. At 100 TB the
+    md5 key is uniform → skew-free shuffle; survivors via min, not window."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy(F.md5(F.lower(F.trim("text"))).alias("fingerprint")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def _spark_shingle_hashes(spark, sf_dir):
+    """doc_id + shingle-hash array, with each expensive step materialized as
+    a column so nothing re-evaluates inside lambdas (a split() referenced
+    textually inside a higher-order function re-runs per element; an
+    attribute reference is bound once per row)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(F.expr("size(w) >= 3"))
+    shingles = words.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+        ).alias("sh"),
+    )
+    return shingles.select(
+        "doc_id", F.expr(f"transform(sh, s -> {_spark_hash('s')} % {_P})").alias("hs")
+    )
+
+
+def _spark_signatures(spark, sf_dir):
+    """doc_id + mh0..mh{k-1}, computing the md5 shingle pass exactly once."""
+    base = _spark_shingle_hashes(spark, sf_dir)
+    return base.select(
+        "doc_id",
+        *[
+            F.expr(_minhash_from_base("spark", "hs", j)).alias(f"mh{j}")
+            for j in range(_N_HASHES)
+        ],
+    )
+
+
+def _duck_signatures_sql() -> str:
+    mh = ", ".join(
+        f"{_minhash_from_base('duck', 'hs', j)} AS mh{j}" for j in range(_N_HASHES)
+    )
+    return (
+        f"WITH base AS (SELECT doc_id, {_DUCK_BASE} AS hs FROM documents "
+        f"WHERE len({_DUCK_WORDS}) >= 3) SELECT doc_id, {mh} FROM base"
+    )
+
+
+@query("q_minhash_signatures", oracle=_duck_signatures_sql(), tags=("dedup", "minhash"))
+def q_minhash_signatures(spark, sf_dir):
+    """MinHash signatures (k=8): min over universal-hashed shingle hashes.
+    Pure JVM column math — no shuffle, no Python, one md5 pass per doc."""
+    return _spark_signatures(spark, sf_dir)
+
+
+def _duck_lsh_pairs_sql() -> str:
+    sig = _duck_signatures_sql()
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(CAST(mh{_BAND_ROWS * b} AS VARCHAR) || ',' || CAST(mh{_BAND_ROWS * b + 1} AS VARCHAR)) AS band_key "
+        f"FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+    )
+    return f"""
+WITH sig AS ({sig}),
+bands AS ({band_rows})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+"""
+
+
+@query("q_minhash_lsh_pairs", oracle=_duck_lsh_pairs_sql(), tags=("dedup", "minhash", "join"))
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs: band the signature (4 bands × 2 rows),
+    bucket on band md5, emit distinct (a<b) pairs per bucket.
+
+    Single-pass plan: the signature row explodes into its 4 band keys (the
+    md5 shingle pass runs once — no union of per-band branches), buckets
+    form with ONE shuffle (groupBy band key, uniform md5 → skew-free), and
+    pairs are generated inside each bucket with array combinatorics instead
+    of a self-join (which would re-execute the signature subtree)."""
+    sig = _spark_signatures(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{_BAND_ROWS * b + r}").cast("string")
+                        for r in range(_BAND_ROWS)
+                    ],
+                )
+            )
+            for b in range(_N_HASHES // _BAND_ROWS)
+        ]
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, x -> "
+                "transform(filter(ids, y -> y > x), y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def _simhash_from_hashes(dialect: str, col: str) -> str:
+    """16-bit simhash from a word-hash array column: per-bit majority."""
+    if dialect == "spark":
+        bit = (
+            f"IF(aggregate({col}, CAST(0 AS BIGINT), "
+            f"(acc, h) -> acc + IF((shiftright(h, {{b}}) & 1) = 1, 1, -1)) > 0, "
+            f"shiftleft(CAST(1 AS BIGINT), {{b}}), CAST(0 AS BIGINT))"
+        )
+    else:
+        bit = (
+            f"CASE WHEN list_aggregate(list_transform({col}, "
+            f"h -> CASE WHEN ((h >> {{b}}) & 1) = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+            f"THEN (1::BIGINT << {{b}}) ELSE 0::BIGINT END"
+        )
+    return " + ".join(bit.format(b=b) for b in range(16))
+
+
+_SPARK_WORD_HASHES = f"transform(array_distinct({_SPARK_WORDS}), w -> {_spark_hash('w')})"
+_DUCK_WORD_HASHES = f"list_transform(list_distinct({_DUCK_WORDS}), w -> {_duck_hash('w')})"
+
+
+@query(
+    "q_simhash",
+    oracle=f"""
+WITH wh AS (SELECT doc_id, {_DUCK_WORD_HASHES} AS hs FROM documents)
+SELECT doc_id, CAST({_simhash_from_hashes("duck", "hs")} AS BIGINT) AS simhash FROM wh
+""",
+    tags=("dedup", "simhash"),
+)
+def q_simhash(spark, sf_dir):
+    """SimHash document signature (16-bit): per-bit majority vote over word
+    hashes — one md5 pass per distinct word, then integer bit math."""
+    d = table(spark, sf_dir, "documents")
+    wh = d.select("doc_id", F.expr(_SPARK_WORD_HASHES).alias("hs"))
+    return wh.select("doc_id", F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash"))
+
+
+@query(
+    "q_simhash_near_pairs",
+    oracle=f"""
+WITH wh AS (SELECT doc_id, {_DUCK_WORD_HASHES} AS hs FROM documents WHERE doc_id % 5 = 0),
+sh AS (SELECT doc_id, CAST({_simhash_from_hashes("duck", "hs")} AS BIGINT) AS simhash FROM wh),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> (4 * c)) & 15 AS chunk
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    tags=("dedup", "simhash", "join"),
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole: split 16 bits
+    into 4 chunks — any pair within distance 3 must agree on ≥1 chunk, so
+    the join key is (chunk_idx, chunk_value), never all-pairs."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    wh = d.select("doc_id", F.expr(_SPARK_WORD_HASHES).alias("hs"))
+    sh = wh.select(
+        "doc_id", F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash")
+    )
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
+    ).withColumn("chunk", F.expr("shiftright(simhash, 4 * c) & 15"))
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------------ jaccard
+
+
+def _duck_jaccard_sql() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
+  FROM documents WHERE doc_id % 10 = 0 AND len({_DUCK_WORDS}) >= 3
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.05
+"""
+
+
+@query("q_ngram_jaccard_pairs", oracle=_duck_jaccard_sql(), tags=("dedup", "jaccard", "join"))
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard similarity: explode distinct 3-gram shingles,
+    equi-join on shingle, |∩| / |∪| ≥ threshold. (Subset of docs to bound
+    the demo; at scale this runs only on LSH candidate pairs.)"""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(F.expr("size(w) >= 3"))
+    sh = words.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_common").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+    )
+    return (
+        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.05)
+    )

@@ -1,0 +1,124 @@
+"""Video/image sampling arithmetic (reference §2.10) as pure column math.
+
+The reference's signature operators decode video and pick frames
+(``uniformSampler`` pack/samplers.py:102-119; ``keyFrameSampler``
+pack/samplers.py:121-157). The *decode* step is an executor-side UDF
+(plans/pack.py, stubbed in this container — SURVEY.md §2.10), but all the
+index arithmetic — segment midpoints, clamping, relative timestamps, frame
+budgets — is deterministic math the engine runs JVM-side. These queries
+prove that math against the oracle using part rows as synthetic videos.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.registry import query, table
+
+# synthetic video parameters derived from part rows
+_SPARK_TOTAL = "(p_size * 10 + 7)"
+_FPS = "10.0"
+_N_SEG = 16
+
+
+@query(
+    "q_uniform_frame_indices",
+    oracle=f"""
+WITH v AS (
+  SELECT p_partkey, {_SPARK_TOTAL} AS total_frames,
+         {_SPARK_TOTAL} / {_FPS} AS duration
+  FROM part WHERE p_partkey % 20 = 0
+)
+SELECT p_partkey, seg_idx,
+       CAST(LEAST(FLOOR((duration / {_N_SEG} / 2 + duration / {_N_SEG} * seg_idx) * {_FPS}),
+                  total_frames - 1) AS BIGINT) AS frame_idx,
+       CAST(FLOOR(seg_idx * 1000.0 / {_N_SEG - 1}) AS BIGINT) AS rel_ts
+FROM v, (SELECT unnest(range({_N_SEG})) AS seg_idx)
+""",
+    tags=("media", "frames"),
+)
+def q_uniform_frame_indices(spark, sf_dir):
+    """``videoItem.get_index`` uniform segment midpoints
+    (pack/dataset.py:82-100): n midpoint frame indices over [0, duration],
+    sec→frame via fps, clamped to total-1 — plus the relative-timestamp
+    scaling ``int(i/(N-1)*time_scale)`` (pack/dataset.py:114-116,
+    time_scale=1000). Generated with sequence+posexplode: a UDTF-shaped
+    expansion with zero Python."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") % 20 == 0)
+    v = p.select(
+        "p_partkey",
+        F.expr(_SPARK_TOTAL).alias("total_frames"),
+        (F.expr(_SPARK_TOTAL) / F.lit(10.0)).alias("duration"),
+    )
+    seg = F.col("duration") / _N_SEG
+    exploded = v.select(
+        "p_partkey",
+        "total_frames",
+        "duration",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_SEG - 1))).alias("seg_idx"),
+    )
+    frame = F.least(
+        F.floor((seg / 2 + seg * F.col("seg_idx")) * F.lit(10.0)),
+        F.col("total_frames") - 1,
+    ).cast("bigint")
+    rel_ts = F.floor(F.col("seg_idx") * 1000.0 / (_N_SEG - 1)).cast("bigint")
+    return exploded.select(
+        "p_partkey",
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        frame.alias("frame_idx"),
+        rel_ts.alias("rel_ts"),
+    )
+
+
+@query(
+    "q_keyframe_budget",
+    oracle="""
+WITH v AS (
+  SELECT p_partkey, p_size + 2 AS n_iframes, (p_size * 10 + 7) - (p_size + 2) AS n_pframes
+  FROM part WHERE p_partkey % 50 = 0
+)
+SELECT p_partkey, n_iframes, n_pframes,
+       LEAST(n_iframes, 8) AS i_budget,
+       LEAST(n_pframes, 24 - LEAST(n_iframes, 8)) AS p_budget
+FROM v
+""",
+    tags=("media", "frames"),
+)
+def q_keyframe_budget(spark, sf_dir):
+    """``keyFrameSampler`` budget arithmetic (pack/samplers.py:121-157,
+    pack/pack.py:320-321): I-frames capped at --Iframes (8), P-frames fill
+    the remaining --total_frames (24) budget. The ffprobe pict_type scan
+    itself is the executor UDF in plans/pack.py; budget math is columnar."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") % 50 == 0)
+    v = p.select(
+        "p_partkey",
+        (F.col("p_size") + 2).alias("n_iframes"),
+        ((F.col("p_size") * 10 + 7) - (F.col("p_size") + 2)).alias("n_pframes"),
+    )
+    i_budget = F.least(F.col("n_iframes"), F.lit(8))
+    return v.select(
+        "p_partkey",
+        "n_iframes",
+        "n_pframes",
+        i_budget.alias("i_budget"),
+        F.least(F.col("n_pframes"), F.lit(24) - i_budget).alias("p_budget"),
+    )
+
+
+@query(
+    "q_extract_frames_step",
+    oracle="""
+SELECT p_partkey, total, (total - 1) / (24 - 2) AS step
+FROM (SELECT p_partkey, p_size * 10 + 7 AS total FROM part WHERE p_partkey % 50 = 1)
+""",
+    tags=("media", "frames"),
+)
+def q_extract_frames_step(spark, sf_dir):
+    """``extract_frames`` stride math (pack/tools.py:45-91): sequential-read
+    step ``(total-1)/(interval-2)`` with first/last frames forced."""
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") % 50 == 1)
+    return p.select(
+        "p_partkey",
+        (F.col("p_size") * 10 + 7).alias("total"),
+        ((F.col("p_size") * 10 + 7 - 1) / F.lit(24 - 2)).alias("step"),
+    )

@@ -1,0 +1,80 @@
+"""Query registry: every implemented operator exposes a runnable query.
+
+Each entry pairs a Spark DataFrame program with (where expressible) an ANSI-SQL
+oracle that DuckDB runs on the same parquet tables. The driver (and our own
+``tools/selfcheck.py``) executes both and compares row count + schema +
+order-insensitive value hash. Non-SQL-expressible operators (stateful packing
+variants, streaming) register ``oracle=None`` and get a rows-only check.
+
+Determinism contract for every query here:
+- no ``rand()``/time/pid randomness — randomness is ``stable_hash64(key)``
+- float outputs are produced by bit-identical arithmetic in both engines
+  (exact decimal/integer aggregation cast to double; sequential fold for
+  vector math)
+- ties in any top-k are broken by a unique key
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Query:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a (spark_fn, oracle_sql) pair under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(
+            name=name, spark_fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip(), tags=tags
+        )
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every query module (side effect: populate REGISTRY)."""
+    from video_data_pipeline_spark.queries import (  # noqa: F401
+        dataflow,
+        dedup,
+        media,
+        packing,
+        relational,
+        similarity,
+        text,
+        timeseries,
+    )
+
+    return REGISTRY
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # oracle comparisons assume UTC timestamp semantics regardless of the
+    # caller's session defaults (safe runtime conf)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read nanos as long and convert (truncate) to a
+        # microsecond timestamp, matching DuckDB's ns→us comparison path.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")

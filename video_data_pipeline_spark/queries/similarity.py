@@ -1,0 +1,180 @@
+"""Similarity search over the embedding column (``embeddings`` table).
+
+Beyond-reference extension (SURVEY.md §7 Phase 5): approximate-nearest-
+neighbor search over ``array<float>`` embeddings.
+
+- Brute-force cosine top-k — the exactness baseline. Per-row vector math is
+  a strict left-to-right fold (``aggregate``) so results are bit-identical
+  across engines; at scale this is a broadcast of the query vector and a
+  single top-k reduce (no shuffle of the corpus).
+- Random-hyperplane LSH bucketing — the scale path: 8 deterministic
+  hyperplanes (signs derived from md5, not stored matrices) → 256 buckets;
+  search only the query's bucket. Bucketing is per-row column math; the
+  candidate set shrinks ~256×.
+
+All vector arithmetic is done in DOUBLE after exact float→double widening.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.registry import query, table
+
+_DIM = 64
+_N_PLANES = 8
+
+
+def _dot(dialect: str, a: str, b: str) -> str:
+    """Strict sequential dot product — identical fold order in both engines."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_transform(range(len({a})), "
+        f"i -> {a}[i+1]::DOUBLE * {b}[i+1]::DOUBLE), (x, y) -> x + y)"
+    )
+
+
+def _cosine(dialect: str, a: str, b: str) -> str:
+    return f"({_dot(dialect, a, b)} / (sqrt({_dot(dialect, a, a)}) * sqrt({_dot(dialect, b, b)})))"
+
+
+@query(
+    "q_embedding_norms",
+    oracle=f"""
+SELECT vec_id, label, len(embedding) AS dim,
+       sqrt({_dot("duck", "embedding", "embedding")}) AS l2_norm
+FROM embeddings
+""",
+    tags=("similarity",),
+)
+def q_embedding_norms(spark, sf_dir):
+    """Vector plumbing check: dimension + L2 norm per embedding."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.sqrt(F.expr(_dot("spark", "embedding", "embedding"))).alias("l2_norm"),
+    )
+
+
+@query(
+    "q_ann_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, e.label,
+       {_cosine("duck", "e.embedding", "q.qv")} AS cosine
+FROM embeddings e, q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+""",
+    tags=("similarity", "topk"),
+)
+def q_ann_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-10 to a query vector (vec_id=0).
+
+    The query vector broadcasts (1-row crossJoin); the corpus never
+    shuffles; the top-k is a tree-reduced TakeOrdered. This is the oracle
+    baseline every ANN variant is measured against."""
+    e = table(spark, sf_dir, "embeddings")
+    qv = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        e.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            F.expr(_cosine("spark", "embedding", "qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _proj(dialect: str, vec: str, p: int) -> str:
+    """Signed projection onto deterministic hyperplane p: signs from md5 of
+    'pl{p}:{i}' — the plane 'matrix' is derived, not stored/broadcast."""
+    if dialect == "spark":
+        sign = (
+            f"IF((CAST(conv(substr(md5(concat('pl{p}:', CAST(i AS STRING))), 1, 15), 16, 10) "
+            f"AS BIGINT) & 1) = 1, 1.0D, -1.0D)"
+        )
+        return (
+            f"aggregate(sequence(0, {_DIM - 1}), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + CAST(element_at({vec}, i + 1) AS DOUBLE) * {sign})"
+        )
+    sign = (
+        f"CASE WHEN ((('0x' || substr(md5('pl{p}:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) & 1) = 1 "
+        f"THEN 1.0 ELSE -1.0 END"
+    )
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(range({_DIM}), "
+        f"i -> {vec}[i+1]::DOUBLE * {sign})), (x, y) -> x + y)"
+    )
+
+
+def _bucket(dialect: str, vec: str) -> str:
+    if dialect == "spark":
+        bits = " + ".join(
+            f"IF({_proj('spark', vec, p)} > 0, shiftleft(CAST(1 AS BIGINT), {p}), CAST(0 AS BIGINT))"
+            for p in range(_N_PLANES)
+        )
+    else:
+        bits = " + ".join(
+            f"CASE WHEN {_proj('duck', vec, p)} > 0 THEN (1::BIGINT << {p}) ELSE 0::BIGINT END"
+            for p in range(_N_PLANES)
+        )
+    return f"({bits})"
+
+
+@query(
+    "q_lsh_buckets",
+    oracle=f"""
+SELECT {_bucket("duck", "embedding")} AS bucket, COUNT(*) AS n_vectors
+FROM embeddings GROUP BY 1
+""",
+    tags=("similarity", "lsh"),
+)
+def q_lsh_buckets(spark, sf_dir):
+    """Random-hyperplane LSH bucket histogram (8 planes → 256 buckets).
+
+    At 100 TB the bucket id becomes the partition key for ANN: same-bucket
+    vectors co-locate, and queries probe one partition instead of all."""
+    e = table(spark, sf_dir, "embeddings")
+    return e.groupBy(F.expr(_bucket("spark", "embedding")).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_vectors")
+    )
+
+
+@query(
+    "q_ann_lsh_topk",
+    oracle=f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket("duck", "embedding")} AS bucket FROM embeddings),
+q AS (SELECT embedding AS qv, bucket AS qb FROM b WHERE vec_id = 0)
+SELECT e.vec_id, {_cosine("duck", "e.embedding", "q.qv")} AS cosine
+FROM b e, q
+WHERE e.bucket = q.qb AND e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id LIMIT 5
+""",
+    tags=("similarity", "lsh", "topk"),
+)
+def q_ann_lsh_topk(spark, sf_dir):
+    """LSH-restricted ANN: rank by cosine only within the query's bucket —
+    the ~256× cheaper scale path of q_ann_bruteforce."""
+    e = table(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", F.expr(_bucket("spark", "embedding")).alias("bucket"))
+    q = b.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"), F.col("bucket").alias("qb")
+    )
+    return (
+        b.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .where(F.col("bucket") == F.col("qb"))
+        .select("vec_id", F.expr(_cosine("spark", "embedding", "qv")).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(5)
+    )

@@ -1,0 +1,296 @@
+"""Text-analysis queries over the ``documents`` table.
+
+Covers the reference's text/tokenization surface (SURVEY.md §2.11: special
+token splicing, token counting, conversation assembly) plus the
+training-data-pipeline extensions (language-ID, quality scoring, token
+counting, fingerprinting) that a 100 TB curation run needs. Everything is
+built-in column functions — no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.common import SPARK_HASH
+from video_data_pipeline_spark.queries.registry import query, table
+
+# ---------------------------------------------------------------- tokenize
+
+_SPARK_TOKENS = "split(trim(text), ' +')"
+_DUCK_TOKENS = "string_split_regex(trim(text), ' +')"
+
+
+@query(
+    "q_token_count",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len({_DUCK_TOKENS}) END AS n_tokens,
+       n_chars
+FROM documents
+""",
+    tags=("text", "tokenize"),
+)
+def q_token_count(spark, sf_dir):
+    """Whitespace token counting — the unit of the 8k packing budget
+    (tokenize/main.py:186). Pure string expression, codegen'd."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.when(F.length(F.trim("text")) == 0, F.lit(0))
+        .otherwise(F.size(F.expr(_SPARK_TOKENS)))
+        .alias("n_tokens"),
+        "n_chars",
+    )
+
+
+@query(
+    "q_hash_tokenize",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_transform({_DUCK_TOKENS},
+                        w -> (('0x' || substr(md5(w), 1, 15))::BIGINT) % 32000) AS ids
+  FROM documents
+)
+SELECT doc_id, len(ids) AS n_ids,
+       CAST(list_aggregate(ids, 'sum') AS BIGINT) AS ids_sum,
+       ids[1] AS first_id, ids[len(ids)] AS last_id
+FROM toks
+""",
+    tags=("text", "tokenize"),
+)
+def q_hash_tokenize(spark, sf_dir):
+    """Deterministic hash tokenizer: word → stable 60-bit md5 hash mod vocab.
+
+    Stands in for the SentencePiece encode step (tokenize/tokenizer.py:
+    651-673) with an engine-portable id assignment; the real SP model runs
+    as a pandas_udf in plans/tokenize.py. Array built and aggregated fully
+    JVM-side (transform + aggregate)."""
+    d = table(spark, sf_dir, "documents")
+    ids = F.expr(
+        f"transform({_SPARK_TOKENS}, w -> {SPARK_HASH.format(x='w')} % 32000)"
+    )
+    return d.select(
+        "doc_id",
+        F.size(ids).alias("n_ids"),
+        F.expr(
+            f"aggregate(transform({_SPARK_TOKENS}, w -> {SPARK_HASH.format(x='w')} % 32000), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("ids_sum"),
+        F.element_at(ids, 1).alias("first_id"),
+        F.element_at(ids, -1).alias("last_id"),
+    )
+
+
+@query(
+    "q_word_freq",
+    oracle="""
+SELECT word, COUNT(*) AS freq FROM (
+  SELECT unnest(string_split_regex(trim(text), ' +')) AS word FROM documents
+) GROUP BY word ORDER BY freq DESC, word LIMIT 20
+""",
+    tags=("text", "explode", "topk"),
+)
+def q_word_freq(spark, sf_dir):
+    """Corpus word frequency: explode + count + deterministic top-k — the
+    canonical UDTF-shaped flatMap (SURVEY.md §2.4 UDTF surface)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.expr(_SPARK_TOKENS)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), "word")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------- analysis
+
+_STOPWORDS = ("the", "a", "of", "and", "to")
+
+
+def _stop_count_spark() -> str:
+    toks = _SPARK_TOKENS
+    stoplist = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"size(filter({toks}, w -> w IN ({stoplist})))"
+
+
+def _stop_count_duck() -> str:
+    stoplist = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return f"len(list_filter({_DUCK_TOKENS}, w -> w IN ({stoplist})))"
+
+
+@query(
+    "q_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       len({_DUCK_TOKENS}) AS n_words,
+       CAST(n_chars AS DOUBLE) / len({_DUCK_TOKENS}) AS avg_word_len,
+       CAST({_stop_count_duck()} AS DOUBLE) / len({_DUCK_TOKENS}) AS stopword_ratio,
+       CASE WHEN len({_DUCK_TOKENS}) BETWEEN 16 AND 1024
+             AND CAST({_stop_count_duck()} AS DOUBLE) / len({_DUCK_TOKENS}) >= 0.01
+            THEN 1 ELSE 0 END AS keep
+FROM documents
+""",
+    tags=("text", "quality"),
+)
+def q_quality_score(spark, sf_dir):
+    """Document quality scoring: length/word/stopword heuristics (the C4-style
+    filter family) as pure column math; `keep` is the curation verdict."""
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.expr(_SPARK_TOKENS))
+    stop_ratio = F.expr(_stop_count_spark()).cast("double") / n_words
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        (F.col("n_chars").cast("double") / n_words).alias("avg_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        F.when(n_words.between(16, 1024) & (stop_ratio >= 0.01), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("keep"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle="""
+WITH scores AS (
+  SELECT doc_id, lang,
+    (length(text) - length(replace(text, ' the ', ''))) / 5 AS s_en,
+    (length(text) - length(replace(text, ' der ', ''))) / 5 AS s_de,
+    (length(text) - length(replace(text, ' el ', ''))) / 4 AS s_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred_lang
+FROM scores
+""",
+    tags=("text", "langid"),
+)
+def q_lang_id(spark, sf_dir):
+    """Marker-token language ID (n-gram heuristic): substring-count scoring
+    via length arithmetic — the occurrence-count idiom of ``special_count``
+    (tokenize/main.py:87-92) repurposed for language detection."""
+    d = table(spark, sf_dir, "documents")
+
+    def score(marker):
+        return (F.length("text") - F.length(F.replace(F.col("text"), F.lit(marker)))) / len(
+            marker
+        )
+
+    s_en, s_de, s_es = score(" the "), score(" der "), score(" el ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when((s_en >= s_de) & (s_en >= s_es), "en")
+        .when(s_de >= s_es, "de")
+        .otherwise("es")
+        .alias("pred_lang"),
+    )
+
+
+@query(
+    "q_special_count",
+    oracle="""
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT)
+         AS n_special
+FROM documents WHERE text LIKE '%table%'
+""",
+    tags=("text",),
+)
+def q_special_count(spark, sf_dir):
+    """``special_count`` occurrence counting (tokenize/main.py:87-92):
+    count(marker) = (len - len(remove(marker))) / len(marker)."""
+    d = table(spark, sf_dir, "documents")
+    n = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("table")))) / 5
+    ).cast("bigint")
+    return d.where(F.col("text").like("%table%")).select("doc_id", n.alias("n_special"))
+
+
+@query(
+    "q_add_image_token",
+    oracle="""
+SELECT doc_id,
+       md5(replace(text, 'table', '<im_start>' || repeat('<im_patch>', 4) || '<im_end>'))
+         AS expanded_md5,
+       CAST((length(text) - length(replace(text, 'table', ''))) / 5 AS BIGINT) AS n_expanded
+FROM documents
+""",
+    tags=("text",),
+)
+def q_add_image_token(spark, sf_dir):
+    """``add_image_token`` splice (tokenize/main.py:94-112): replace each
+    marker with <im_start> + n·<im_patch> + <im_end>; output fingerprinted
+    to keep rows small."""
+    d = table(spark, sf_dir, "documents")
+    expansion = F.concat(
+        F.lit("<im_start>"), F.repeat(F.lit("<im_patch>"), 4), F.lit("<im_end>")
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.replace(F.col("text"), F.lit("table"), expansion)).alias("expanded_md5"),
+        ((F.length("text") - F.length(F.replace(F.col("text"), F.lit("table")))) / 5)
+        .cast("bigint")
+        .alias("n_expanded"),
+    )
+
+
+@query(
+    "q_conversation_turns",
+    oracle="""
+SELECT doc_id, 0 AS turn_idx, 'human' AS who,
+       'Describe document ' || CAST(doc_id AS VARCHAR) || ' from ' || source AS value
+FROM documents
+UNION ALL
+SELECT doc_id, 1 AS turn_idx, 'gpt' AS who, substr(text, 1, 40) AS value
+FROM documents
+""",
+    tags=("text", "struct", "explode"),
+)
+def q_conversation_turns(spark, sf_dir):
+    """Conversation construction (pack/pack.py:28-57): build
+    array<struct<from,value>> turn pairs, then posexplode back to rows —
+    proving struct assembly and UDTF-style flattening round-trip."""
+    d = table(spark, sf_dir, "documents")
+    conv = F.array(
+        F.struct(
+            F.lit("human").alias("who"),
+            F.concat(
+                F.lit("Describe document "),
+                F.col("doc_id").cast("string"),
+                F.lit(" from "),
+                F.col("source"),
+            ).alias("value"),
+        ),
+        F.struct(F.lit("gpt").alias("who"), F.substring("text", 1, 40).alias("value")),
+    )
+    return d.select("doc_id", F.posexplode(conv).alias("turn_idx", "turn")).select(
+        "doc_id",
+        "turn_idx",
+        F.col("turn.who").alias("who"),
+        F.col("turn.value").alias("value"),
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle="""
+SELECT doc_id, md5(lower(trim(text))) AS fingerprint,
+       length(text) AS n_chars_exact
+FROM documents
+""",
+    tags=("text", "dedup"),
+)
+def q_fingerprint(spark, sf_dir):
+    """Content fingerprinting (normalize → md5) — the exact-dedup key and
+    the analog of the reference's golden-dump checks (index/check_pair.py)."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("fingerprint"),
+        F.length("text").alias("n_chars_exact"),
+    )

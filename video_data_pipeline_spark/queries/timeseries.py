@@ -1,0 +1,205 @@
+"""Event-stream analytics on the ``events`` table.
+
+The reference has no time-series semantics (SURVEY.md §2.9: "no watermarks,
+windows, stateful ops") — but its users' telemetry/curation workloads need
+them, and every operator here is the batch twin of a Structured Streaming
+query in ``streaming/`` (same expressions, readStream source). Window math
+is done on epoch-millis BIGINTs so both engines compute identical integers.
+
+Money-style doubles (``value``) aggregate via exact integer cents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from video_data_pipeline_spark.queries.registry import query, table
+
+_CENTS = "CAST(round(value * 100) AS BIGINT)"
+
+
+@query(
+    "q_window_tumbling",
+    oracle=f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM({_CENTS}) AS DOUBLE) / 100.0 AS total_value
+FROM events GROUP BY 1, 2
+""",
+    tags=("timeseries", "window-agg"),
+)
+def q_window_tumbling(spark, sf_dir):
+    """Tumbling 1-hour aggregation — batch twin of the streaming windowed
+    count (streaming/jobs.py). Partial aggregation is map-side; the shuffle
+    carries (hour × type) groups only."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.sum(F.expr(_CENTS)).cast("double") / 100.0).alias("total_value"),
+    )
+
+
+@query(
+    "q_window_sliding",
+    oracle="""
+WITH ms AS (SELECT epoch_ms(ts) AS t, event_id FROM events),
+slid AS (
+  SELECT event_id,
+         ((t - k * 900000) // 1800000) * 1800000 + k * 900000 AS window_start_ms
+  FROM ms, (SELECT unnest([0, 1]) AS k)
+)
+SELECT window_start_ms, COUNT(*) AS n_events
+FROM slid GROUP BY 1
+""",
+    tags=("timeseries", "window-agg"),
+)
+def q_window_sliding(spark, sf_dir):
+    """Sliding window (30 min, slide 15): each event lands in 2 windows —
+    expressed as an explode over slide offsets + tumbling assignment, the
+    same expansion Spark's ``window()`` performs internally."""
+    e = table(spark, sf_dir, "events")
+    ms = e.select(F.unix_millis("ts").alias("t"), "event_id")
+    slid = ms.select(
+        "event_id", "t", F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+    ).select(
+        "event_id",
+        (
+            F.expr("((t - k * 900000) div 1800000) * 1800000 + k * 900000")
+        ).alias("window_start_ms"),
+    )
+    return slid.groupBy("window_start_ms").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "q_sessionize",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS t,
+         LAG(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_t
+  FROM events
+), flagged AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN prev_t IS NULL OR t - prev_t > 1800000 THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+), sessions AS (
+  SELECT user_id, event_id, t,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       MIN(t) AS session_start_ms, MAX(t) AS session_end_ms
+FROM sessions GROUP BY user_id, session_idx
+""",
+    tags=("timeseries", "session"),
+)
+def q_sessionize(spark, sf_dir):
+    """Sessionization (30-min gap): lag + cumulative-sum windows — the batch
+    twin of streaming ``session_window``. One shuffle keyed by user_id."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = e.select(
+        "user_id", "event_id", F.unix_millis("ts").alias("t")
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.lag("t").over(w).isNull() | (F.col("t") - F.lag("t").over(w) > 1800000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sessions = flagged.withColumn("session_idx", F.sum("new_session").over(cum))
+    return sessions.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("t").alias("session_start_ms"),
+        F.max("t").alias("session_end_ms"),
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle="""
+WITH ordered AS (
+  SELECT user_id, event_id, event_type, epoch_ms(ts) AS t,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_id
+  FROM events
+)
+SELECT event_id AS click_id, user_id, last_view_id
+FROM ordered WHERE event_type = 'click'
+""",
+    tags=("timeseries", "asof"),
+)
+def q_asof_join(spark, sf_dir):
+    """As-of join (each click matched to the most recent prior view of the
+    same user): last-ignore-nulls window over the merged stream — the
+    Spark-native as-of that avoids a range join entirely (one shuffle by
+    user, no per-row probing)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = e.withColumn(
+        "last_view_id",
+        F.last(
+            F.when(F.col("event_type") == "view", F.col("event_id")), ignorenulls=True
+        ).over(w),
+    )
+    return marked.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "last_view_id"
+    )
+
+
+@query(
+    "q_json_props",
+    oracle="""
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""",
+    tags=("timeseries", "json"),
+)
+def q_json_props(spark, sf_dir):
+    """Semi-structured props: JSON path extraction + typed aggregation
+    (reference json decode autodecode.py:154-155 → from_json/get_json_object)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("k_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_event_rates",
+    oracle="""
+SELECT event_type, COUNT(*) AS n,
+       MIN(epoch_ms(ts)) AS first_ms, MAX(epoch_ms(ts)) AS last_ms,
+       CAST(COUNT(*) AS DOUBLE) * 60000.0
+         / (MAX(epoch_ms(ts)) - MIN(epoch_ms(ts))) AS per_minute
+FROM events GROUP BY event_type
+""",
+    tags=("timeseries", "agg"),
+)
+def q_event_rates(spark, sf_dir):
+    """Throughput summary per type — the engine analog of the reference's
+    bench.py samples/sec metric (bench.py:59-61), as a query."""
+    e = table(spark, sf_dir, "events")
+    ms = F.unix_millis("ts")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(ms).alias("first_ms"),
+        F.max(ms).alias("last_ms"),
+        (
+            F.count(F.lit(1)).cast("double")
+            * 60000.0
+            / (F.max(ms) - F.min(ms))
+        ).alias("per_minute"),
+    )
