@@ -1,0 +1,111 @@
+"""End-to-end pipeline tests: pack → tokenize → index on real test tables.
+
+The reference's pipeline lifecycle (SURVEY.md §3) exercised hermetically:
+documents rows stand in for caption metadata; media fetch/decode are the
+deterministic fakes from functions.media.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import tarfile
+
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.plans.index import index_shards
+from video_data_pipeline_spark.plans.pack import pack_dataset
+from video_data_pipeline_spark.plans.tokenize import tokenize_shards
+from video_data_pipeline_spark.sinks.webdataset import write_webdataset
+from video_data_pipeline_spark.sources.webdataset import read_webdataset
+
+
+def _meta(spark, sf_dir, n=60):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(n)
+    return docs.select(
+        F.concat(F.lit("s3://bucket/videos/"), F.col("doc_id").cast("string"), F.lit(".mp4"))
+        .alias("video_path"),
+        F.col("text").alias("value"),
+    )
+
+
+def test_pack_video_text_pair(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "packed")
+    manifest = pack_dataset(
+        _meta(spark, sf_dir).repartition(2), out, samples_per_shard=25
+    ).collect()
+    assert sum(m.nsamples for m in manifest) == 60
+    # re-scan: every sample has json + mp4 members (pack/pack.py:171-179 shape)
+    back = read_webdataset(spark, out)
+    keys = back.select(F.explode(F.map_keys("sample")).alias("k")).distinct().collect()
+    assert {r.k for r in keys} == {"json", "mp4"}
+    one = back.first()
+    payload = json.loads(bytes(one.sample["json"]))
+    assert payload["conversations"][0]["from"] == "human"
+    assert payload["conversations"][1]["from"] == "gpt"
+    assert payload["videos"][0].startswith("s3://bucket/videos/")
+
+
+def test_pack_uniform_frames(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "frames")
+    manifest = pack_dataset(
+        _meta(spark, sf_dir, n=10).repartition(1),
+        out,
+        samples_per_shard=10,
+        sample_type="uniform",
+        n_frames=4,
+    ).collect()
+    assert sum(m.nsamples for m in manifest) == 10
+    with tarfile.open(glob.glob(out + "/*.tar")[0]) as tar:
+        names = tar.getnames()
+    # one json + 4 frame members per sample, keyed "<key>.jpg.<i>"
+    assert sum(n.endswith(".json") for n in names) == 10
+    assert sum(".jpg." in n for n in names) == 40
+
+
+def test_tokenize_and_index_roundtrip(spark, sf_dir, tmp_path):
+    src = str(tmp_path / "src")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(40)
+        .select(
+            F.format_string("%09d", "doc_id").alias("__key__"),
+            F.create_map(F.lit("txt"), F.col("text").cast("binary")).alias("sample"),
+        )
+    )
+    write_webdataset(docs.repartition(2), src, maxcount=10).collect()
+
+    out = str(tmp_path / "tok")
+    manifest = tokenize_shards(spark, src, out, budget=600, samples_per_shard=50).collect()
+    assert sum(m.nsamples for m in manifest) > 0
+
+    back = read_webdataset(spark, out)
+    rec = json.loads(bytes(back.first().sample["json"]))
+    assert len(rec["input_ids"]) == len(rec["loss_mask"])
+    assert len(rec["input_ids"]) <= 600
+    assert rec["input_ids"][0] == 1  # BOS once, non-first BOS dropped
+    assert rec["input_ids"].count(1) == 1
+
+    index, violations, golden = index_shards(spark, out, golden_fraction=0.5)
+    idx_rows = index.collect()
+    assert sum(r.nsamples for r in idx_rows) == back.count()
+    assert violations.count() == 0
+    assert golden.count() >= 0
+
+
+def test_index_catches_violations(spark, tmp_path):
+    bad = str(tmp_path / "bad")
+    rows = [
+        ("000000001", {"json": json.dumps(
+            {"input_ids": [1, 5, 6], "loss_mask": [0, 1], "image": []}
+        ).encode()}),
+        ("000000002", {"json": json.dumps(
+            {"input_ids": [1, 5, 6], "loss_mask": [0, 0, 1], "image": []}
+        ).encode()}),
+    ]
+    df = spark.createDataFrame(rows, "`__key__` string, sample map<string,binary>")
+    write_webdataset(df.repartition(1), bad).collect()
+    index, violations, _ = index_shards(spark, bad)
+    v = violations.collect()
+    assert len(v) == 1 and "len(input_ids)" in v[0].violation
+    assert index.collect()[0].nsamples == 1

@@ -1,0 +1,104 @@
+"""Media UDF library: fetch / decode / frame-sample / resize plumbing.
+
+The reference's media work (pack/tools.py, pack/samplers.py, pack/dataset.py)
+shells out to ffmpeg/ffprobe and uses decord/cv2/PIL on executor-local temp
+files. Those libraries are not in this container, so the *decode kernels*
+are stubbed with deterministic fakes (clearly marked), while everything
+Spark-side — schemas, Arrow batch flow, partitioning, UDF signatures — is
+real and tested. Swapping a stub for the real kernel is a one-function
+change on the executor path.
+
+All UDFs are Arrow-batched (``mapInPandas``/``pandas_udf``), never
+row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+#: real implementations available? (import-gated per environment contract)
+try:  # pragma: no cover - not present in this container
+    import cv2  # type: ignore  # noqa: F401
+
+    HAVE_CV2 = True
+except Exception:  # noqa: BLE001
+    HAVE_CV2 = False
+
+
+def fake_video_meta(data: bytes) -> tuple[int, float]:
+    """Deterministic stand-in for decord ``VideoReader`` metadata
+    (pack/dataset.py:10-122: frame count, avg fps). Derives stable values
+    from the content hash so tests are reproducible."""
+    h = hashlib.md5(data).digest()
+    total_frames = 64 + h[0]  # 64..319
+    fps = 10.0 + (h[1] % 20)  # 10..29
+    return total_frames, fps
+
+
+def fake_decode_frame(data: bytes, frame_idx: int, size: int = 8) -> bytes:
+    """STUB for video frame decode (decord/ffmpeg, pack/tools.py:101-140).
+
+    Returns a deterministic pseudo-JPEG: an 8-byte header + md5 of
+    (content, frame) — structurally a binary payload of the right shape for
+    the sink/tokenize path. Replace with decord/ffmpeg extraction when the
+    libs exist.
+    """
+    tag = struct.pack("<4sI", b"FAKE", frame_idx)
+    return tag + hashlib.md5(data + frame_idx.to_bytes(4, "little")).digest()[:size]
+
+
+def uniform_frame_indices(total_frames: int, fps: float, n: int = 16) -> list[int]:
+    """``videoItem.get_index`` (pack/dataset.py:82-100): n segment-midpoint
+    frame indices over [0, duration], clamped to total-1."""
+    duration = total_frames / fps
+    seg = duration / n
+    return [
+        min(int((seg / 2 + seg * i) * fps), total_frames - 1) for i in range(n)
+    ]
+
+
+def sample_frames_batch(
+    it: Iterator[pd.DataFrame],
+    video_col: str = "video",
+    n_frames: int = 16,
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: video bytes → arrays of (frame_idx, jpg bytes).
+
+    The Spark-side contract of ``uniformSampler`` (pack/samplers.py:102-119):
+    output columns ``frame_indices: array<int>``, ``frames: array<binary>``.
+    """
+    for pdf in it:
+        indices_col, frames_col = [], []
+        for data in pdf[video_col]:
+            data = bytes(data)
+            total, fps = fake_video_meta(data)
+            idx = uniform_frame_indices(total, fps, n_frames)
+            indices_col.append(idx)
+            frames_col.append([fake_decode_frame(data, i) for i in idx])
+        out = pdf.drop(columns=[video_col])
+        out["frame_indices"] = indices_col
+        out["frames"] = frames_col
+        yield out
+
+
+def resize_cap_image(data: bytes, max_side: int = 1280) -> bytes:
+    """STUB for the tokenize-time resize guard (tokenize/main.py:196-200):
+    real impl opens with PIL and resizes any side > max_side to
+    (max_side, max_side). Fake: deterministic passthrough with a marker
+    prefix when 'oversized' (length heuristic stands in for pixel dims)."""
+    if len(data) > max_side:
+        return b"RSZ0" + hashlib.md5(data).digest()
+    return data
+
+
+def fetch_media(path_main: str, path_fallback: str | None) -> bytes:
+    """Deterministic fake of the S3/local media fetch with path fallback
+    (``get_cache_video`` pack/tools.py:224-241; ``load_image``
+    pack/tools.py:21-37): real impl opens the object store; fake derives
+    bytes from the path so the pack plan is testable hermetically."""
+    src = path_main or path_fallback or ""
+    return hashlib.md5(src.encode()).digest() * 4  # 64 deterministic bytes

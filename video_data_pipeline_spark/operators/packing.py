@@ -54,6 +54,9 @@ def greedy_bin_pack(
         return out
 
     def _op(df: DataFrame) -> DataFrame:
+        from video_data_pipeline_spark.session import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
         schema = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )
@@ -95,6 +98,9 @@ def shard_roll(
         return pdf
 
     def _op(df: DataFrame) -> DataFrame:
+        from video_data_pipeline_spark.session import ensure_shipped
+
+        ensure_shipped(df.sparkSession)
         schema = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
         )

@@ -65,6 +65,9 @@ def load_all() -> dict[str, Query]:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from video_data_pipeline_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
     # oracle comparisons assume UTC timestamp semantics regardless of the
     # caller's session defaults (safe runtime conf)
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -52,6 +52,50 @@ def get_spark(
     return spark
 
 
+_SHIPPED: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Closures sent to ``mapInPandas``/``applyInPandas`` reference module
+    functions by name; workers unpickle them by importing the module —
+    which fails whenever the driver's cwd isn't the repo root (cloudpickle
+    pickles importable modules by reference). Zipping the package once per
+    session and ``addPyFile``-ing it makes every UDF path location-
+    independent — the same mechanism that ships the package to a real
+    cluster's executors.
+    """
+    key = id(spark)
+    if key in _SHIPPED:
+        return
+    import hashlib
+    import tempfile
+    import zipfile
+
+    import video_data_pipeline_spark as pkg
+
+    pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+    files = sorted(
+        os.path.join(dp, f)
+        for dp, _, fns in os.walk(pkg_dir)
+        for f in fns
+        if f.endswith(".py")
+    )
+    stamp = hashlib.md5(
+        "".join(f"{p}:{os.path.getmtime(p)}" for p in files).encode()
+    ).hexdigest()[:12]
+    zip_path = os.path.join(tempfile.gettempdir(), f"vdps_pkg_{stamp}.zip")
+    if not os.path.exists(zip_path):
+        tmp = zip_path + ".tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for p in files:
+                zf.write(p, os.path.join("video_data_pipeline_spark", os.path.relpath(p, pkg_dir)))
+        os.replace(tmp, zip_path)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED.add(key)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
     """Register the standard test tables as temp views; return dict of DataFrames."""
     names = names or [

@@ -1,0 +1,271 @@
+"""WebDataset tar shard reader — a Spark 4 Python DataSource.
+
+The reference scans tar shards with generator chains
+(``tariterators.py:97-246``: ``tar_file_iterator`` → ``tar_file_expander``
+→ ``group_by_keys``). Here the same semantics are a first-class Spark
+datasource: ``spark.read.format("webdataset").load(paths)`` yields one row
+per *sample* with schema
+
+    __key__ string, __url__ string, __member_idx__ bigint,
+    sample map<string, binary>
+
+Design for scale:
+- One input partition per shard file → Spark schedules shards across
+  executors exactly like the reference's shard striping
+  (``split_by_node``/``split_by_worker``, shardlists.py:115-142), but
+  elastically and with retry.
+- Streaming tar read (mode ``r|``) — memory is bounded by one member, not
+  one shard, matching the reference's ``stream.members = []`` release
+  (tariterators.py:135).
+- Member-level pushdown: ``select_files``/``rename_files`` predicates run
+  *before* member bytes are materialized (tariterators.py:101-131) — the
+  tar-format analog of parquet column pruning.
+- Dynamic columns ride a ``map<string,binary>`` (samples are ragged —
+  SURVEY.md §7 "What's hard" (1)); :func:`decode_columns` promotes typed
+  columns Catalyst can prune/push, mirroring ``autodecode`` suffix dispatch
+  (autodecode.py:145-192).
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import io
+import re
+import tarfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SAMPLE_SCHEMA = StructType(
+    [
+        StructField("__key__", StringType()),
+        StructField("__url__", StringType()),
+        StructField("__member_idx__", LongType()),
+        StructField("sample", MapType(StringType(), BinaryType())),
+    ]
+)
+
+_META_RE = re.compile(r"^__[a-z0-9_]+__($|/)")
+
+
+def base_plus_ext(path: str) -> tuple[str | None, str | None]:
+    """Split member path into sample key + full (multi-)extension
+    (reference ``base_plus_ext``, tariterators.py:24-38)."""
+    m = re.match(r"^((?:.*/|)[^.]+)[.]([^/]*)$", path)
+    if not m:
+        return None, None
+    return m.group(1), m.group(2)
+
+
+def iter_tar_samples(
+    fileobj,
+    url: str,
+    select_files=None,
+    rename_files=None,
+):
+    """Stream (key, member_idx, {suffix: bytes}) samples from one tar.
+
+    Implements the reference scan semantics (tariterators.py:97-246):
+    skip non-regular members and ``__meta__``-style names; optional
+    per-member ``rename_files`` (before grouping) and ``select_files``
+    (before reading bytes); group *adjacent* members sharing a key prefix;
+    duplicate suffix within a sample is an error.
+    """
+    stream = tarfile.open(fileobj=fileobj, mode="r|*")
+    current_key = None
+    current: dict[str, bytes] = {}
+    idx = 0
+    for member in stream:
+        if not member.isreg():
+            continue
+        fname = member.name
+        if _META_RE.match(fname.split("/")[-1]):
+            continue
+        if rename_files:
+            fname = rename_files(fname)
+        if select_files and not select_files(fname):
+            continue
+        key, suffix = base_plus_ext(fname)
+        if key is None:
+            continue
+        if key != current_key:
+            if current_key is not None and current:
+                yield current_key, idx, current
+                idx += 1
+            current_key, current = key, {}
+        if suffix in current:
+            raise ValueError(f"duplicate suffix {suffix!r} for key {current_key!r} in {url}")
+        data = stream.extractfile(member)
+        current[suffix] = data.read() if data is not None else b""
+        stream.members = []  # release member metadata (bounded memory)
+    if current_key is not None and current:
+        yield current_key, idx, current
+
+
+class _ShardPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _WebDatasetReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.paths = expand_paths(options.get("path", ""))
+        self.select = options.get("select_files")
+        self.rename = options.get("rename_files")
+
+    def partitions(self):
+        return [_ShardPartition(p) for p in self.paths]
+
+    def read(self, partition: _ShardPartition | None):
+        if partition is None:
+            # Spark substitutes a single None partition when partitions()
+            # returns [] (empty shard list) — a legal empty dataset.
+            return
+        select_files = None
+        rename_files = None
+        if self.select:
+            globs = self.select.split(";")
+            select_files = lambda f: any(fnmatch.fnmatch(f, g) for g in globs)  # noqa: E731
+        if self.rename:
+            pairs = [p.split("=", 1) for p in self.rename.split(";")]
+
+            def rename_files(f: str) -> str:
+                for new, old in pairs:
+                    if f.endswith("." + old):
+                        return f[: -len(old)] + new
+                return f
+
+        with open(partition.path, "rb") as fh:
+            for key, idx, sample in iter_tar_samples(
+                fh, partition.path, select_files, rename_files
+            ):
+                yield (key, partition.path, idx, sample)
+
+
+class WebDatasetDataSource(DataSource):
+    """``spark.read.format("webdataset")`` — one row per tar sample.
+
+    Options: ``select_files`` (``;``-separated globs kept, scan pushdown),
+    ``rename_files`` (``new=old`` suffix rewrites, e.g. ``txt=cls``).
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "webdataset"
+
+    def schema(self) -> StructType:
+        return SAMPLE_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return _WebDatasetReader(self.options)
+
+
+def expand_paths(path_spec: str) -> list[str]:
+    """Expand a path option (supports ``::``/braces via shardlists, plus
+    filesystem globs and directories)."""
+    import glob as globmod
+    import os
+
+    from video_data_pipeline_spark.sources.shardlists import expand_urls
+
+    out: list[str] = []
+    for p in expand_urls(path_spec.split(",")):
+        if os.path.isdir(p):
+            out.extend(sorted(globmod.glob(os.path.join(p, "*.tar"))))
+        elif any(ch in p for ch in "*?["):
+            out.extend(sorted(globmod.glob(p)))
+        else:
+            out.append(p)
+    return out
+
+
+_REGISTERED: set[int] = set()
+
+
+def register(spark: SparkSession) -> None:
+    from video_data_pipeline_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(WebDatasetDataSource)
+        _REGISTERED.add(key)
+
+
+def read_webdataset(
+    spark: SparkSession,
+    paths: str | list[str],
+    select_files: str | None = None,
+    rename_files: str | None = None,
+) -> DataFrame:
+    """Scan tar shards into a sample DataFrame (see module docstring)."""
+    register(spark)
+    if isinstance(paths, list):
+        paths = ",".join(paths)
+    reader = spark.read.format("webdataset").option("path", paths)
+    if select_files:
+        reader = reader.option("select_files", select_files)
+    if rename_files:
+        reader = reader.option("rename_files", rename_files)
+    return reader.load()
+
+
+#: suffix → Spark cast for :func:`decode_columns` (reference basichandlers,
+#: autodecode.py:145-192; media suffixes stay binary + UDF)
+_BASIC_DECODERS = {
+    "txt": "string",
+    "text": "string",
+    "transcript": "string",
+    "cls": "int",
+    "cls2": "int",
+    "index": "int",
+    "inx": "int",
+    "id": "int",
+}
+
+
+def decode_columns(
+    df: DataFrame,
+    json_schema: str | None = None,
+    extra: dict[str, str] | None = None,
+    keep_sample: bool = False,
+) -> DataFrame:
+    """Promote map entries to typed top-level columns (the ``decode`` stage,
+    filters.py:283-302 + autodecode).
+
+    Text/int suffixes cast per the basic-handler table; ``json`` parses via
+    ``from_json`` when ``json_schema`` is given (else stays a JSON string);
+    unknown suffixes in ``extra`` use the given cast; media suffixes should
+    stay in the map as binary for UDF decoding.
+    """
+    present = {
+        k for row in df.select(F.explode(F.map_keys("sample")).alias("k")).distinct().collect()
+        for k in [row.k]
+    }
+    cols = [F.col("__key__"), F.col("__url__"), F.col("__member_idx__")]
+    decoders = dict(_BASIC_DECODERS)
+    decoders.update(extra or {})
+    for suffix in sorted(present):
+        raw = F.col("sample")[suffix]
+        name = suffix.replace(".", "_")
+        if suffix in ("json", "jsn"):
+            s = raw.cast("string")
+            cols.append(
+                F.from_json(s, json_schema).alias(name) if json_schema else s.alias(name)
+            )
+        elif suffix in decoders:
+            cols.append(raw.cast("string").cast(decoders[suffix]).alias(name))
+        else:
+            cols.append(raw.alias(name))
+    if keep_sample:
+        cols.append(F.col("sample"))
+    return df.select(*cols)

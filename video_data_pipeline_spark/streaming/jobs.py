@@ -1,0 +1,118 @@
+"""Structured Streaming twins of the batch event queries.
+
+The reference has no true streams (SURVEY.md §2.9) — but every operator in
+this engine is incremental-friendly, so the streaming surface comes almost
+for free: same expressions, ``readStream`` source, watermarks for late
+data. These jobs are the canonical shapes a 100 TB ingestion pipeline
+runs continuously; tests drive them to completion with
+``trigger(availableNow)`` over the parquet test tables.
+
+Stateful beyond windows: ``stream_sessionize`` uses ``session_window`` —
+the built-in state store operator — rather than hand-rolled
+``applyInPandasWithState`` (built-ins get RocksDB state + exactly-once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # nanos (see sources note on NANOS parquet)
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``readStream`` over the events parquet table (in production:
+    kafka/kinesis source with the same downstream plan).
+
+    The file streaming source requires a *directory* to monitor; the test
+    layout is one file per table, so we stage a symlink directory (no data
+    copy) — production layouts already are directories of arriving files.
+    """
+    import hashlib
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        watch_dir = src
+    else:
+        tag = hashlib.md5(src.encode()).hexdigest()[:12]
+        watch_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
+        os.makedirs(watch_dir, exist_ok=True)
+        link = os.path.join(watch_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(watch_dir)
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of q_window_tumbling: watermarked tumbling counts."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.expr("CAST(round(value * 100) AS BIGINT)")).cast("double") / 100.0)
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_sessionize(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming twin of q_sessionize via the built-in session_window
+    state-store operator (gap-based, watermark-evicted)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_to_completion(df: DataFrame, name: str, checkpoint: str) -> DataFrame:
+    """Drive a streaming query over all available input and return the
+    result table (availableNow → terminates when the backlog drains)."""
+    q = (
+        df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
