@@ -56,6 +56,7 @@ def load_all() -> dict[str, Query]:
         media,
         packing,
         relational,
+        relational2,
         similarity,
         text,
         timeseries,

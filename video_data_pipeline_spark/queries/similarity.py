@@ -178,3 +178,44 @@ def q_ann_lsh_topk(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(5)
     )
+
+
+_N_CENTROIDS = 8
+
+
+@query(
+    "q_ivf_assign",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id < {_N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         {_cosine("duck", "e.embedding", "c.cv")} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cosine("duck", "e.embedding", "c.cv")} DESC, c.cid)
+           AS rk
+  FROM embeddings e, cents c
+)
+SELECT vec_id, cid AS centroid_id, cos AS cosine FROM scored WHERE rk = 1
+""",
+    tags=("similarity", "ivf"),
+)
+def q_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: assign every vector to its nearest of 8
+    seed centroids (argmax cosine via window). At scale the centroid id is
+    the ANN partition key (the inverted-file list); centroids broadcast."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    from pyspark.sql.window import Window
+
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.expr(_cosine("spark", "embedding", "cv")).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", F.col("cid").alias("centroid_id"), F.col("cos").alias("cosine"))
+    )

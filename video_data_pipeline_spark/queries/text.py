@@ -294,3 +294,95 @@ def q_fingerprint(spark, sf_dir):
         F.md5(F.lower(F.trim("text"))).alias("fingerprint"),
         F.length("text").alias("n_chars_exact"),
     )
+
+
+@query(
+    "q_blacklist_filter",
+    oracle="""
+SELECT doc_id, source FROM documents
+WHERE NOT regexp_matches(lower(text), 'foobarbaz|\\.jpg|image unavailable')
+""",
+    tags=("text", "filter"),
+)
+def q_blacklist_filter(spark, sf_dir):
+    """``black_words`` caption blacklist (pack/pack.py:19-22): drop junk
+    captions by substring/regex match — a pushed-down NOT rlike filter."""
+    d = table(spark, sf_dir, "documents")
+    return d.where(
+        ~F.lower(F.col("text")).rlike("foobarbaz|\\.jpg|image unavailable")
+    ).select("doc_id", "source")
+
+
+@query(
+    "q_regex_markers",
+    oracle="""
+WITH marked AS (
+  SELECT doc_id,
+         '<image>#' || CAST(doc_id * 7 AS VARCHAR) || '# ' || substr(text, 1, 20) AS m
+  FROM documents
+)
+SELECT doc_id, regexp_extract(m, '#([0-9]+)#', 1) AS marker,
+       regexp_replace(m, '<image>#[0-9]+# ', '') AS stripped
+FROM marked
+""",
+    tags=("text", "regex"),
+)
+def q_regex_markers(spark, sf_dir):
+    """``merlin_s_qa_process`` marker parsing (pack/tools.py:339-378):
+    regexp-extract the ``#t#`` timestamp markers and strip the question
+    prefix — the reference's interleaved-QA regex surface."""
+    d = table(spark, sf_dir, "documents")
+    marked = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<image>#"),
+            (F.col("doc_id") * 7).cast("string"),
+            F.lit("# "),
+            F.substring("text", 1, 20),
+        ).alias("m"),
+    )
+    return marked.select(
+        "doc_id",
+        F.regexp_extract("m", "#([0-9]+)#", 1).alias("marker"),
+        F.regexp_replace("m", "<image>#[0-9]+# ", "").alias("stripped"),
+    )
+
+
+@query(
+    "q_qa_zip_turns",
+    oracle="""
+WITH qa AS (
+  SELECT doc_id,
+         ['Q about ' || source, 'Q2 about ' || lang] AS questions,
+         [substr(text, 1, 10), substr(text, 11, 10)] AS answers
+  FROM documents
+)
+SELECT doc_id, i AS pair_idx, questions[i + 1] AS question, answers[i + 1] AS answer
+FROM qa, (SELECT unnest(range(2)) AS i)
+""",
+    tags=("text", "zip"),
+)
+def q_qa_zip_turns(spark, sf_dir):
+    """QA zip (pack/pack.py:136-148, pack/tools.py:368-378): zip parallel
+    question/answer arrays into alternating turn rows via arrays_zip +
+    posexplode."""
+    d = table(spark, sf_dir, "documents")
+    qa = d.select(
+        "doc_id",
+        F.array(
+            F.concat(F.lit("Q about "), F.col("source")),
+            F.concat(F.lit("Q2 about "), F.col("lang")),
+        ).alias("questions"),
+        F.array(
+            F.substring("text", 1, 10), F.substring("text", 11, 10)
+        ).alias("answers"),
+    )
+    zipped = qa.select(
+        "doc_id", F.posexplode(F.arrays_zip("questions", "answers")).alias("pair_idx", "z")
+    )
+    return zipped.select(
+        "doc_id",
+        F.col("pair_idx").cast("bigint").alias("pair_idx"),
+        F.col("z.questions").alias("question"),
+        F.col("z.answers").alias("answer"),
+    )

@@ -203,3 +203,59 @@ def q_event_rates(spark, sf_dir):
             / (F.max(ms) - F.min(ms))
         ).alias("per_minute"),
     )
+
+
+@query(
+    "q_cumulative_value",
+    oracle=f"""
+SELECT user_id, event_id,
+       CAST(SUM({_CENTS}) OVER (PARTITION BY user_id
+                                ORDER BY epoch_ms(ts), event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DOUBLE) / 100.0 AS running_value
+FROM events
+""",
+    tags=("timeseries", "window", "running"),
+)
+def q_cumulative_value(spark, sf_dir):
+    """Per-user running value (cumulative window over exact cents)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_millis("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.sum(F.expr(_CENTS)).over(w).cast("double") / 100.0).alias("running_value"),
+    )
+
+
+@query(
+    "q_daily_type_matrix",
+    oracle="""
+SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS clicks,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS views,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS errors,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signups
+FROM events GROUP BY 1
+""",
+    tags=("timeseries", "pivot"),
+)
+def q_daily_type_matrix(spark, sf_dir):
+    """Daily event-type matrix (pivot-shaped conditional counts)."""
+    e = table(spark, sf_dir, "events")
+
+    def cnt(t):
+        return F.count(F.when(F.col("event_type") == t, 1))
+
+    return e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day")).agg(
+        cnt("click").alias("clicks"),
+        cnt("view").alias("views"),
+        cnt("purchase").alias("purchases"),
+        cnt("error").alias("errors"),
+        cnt("signup").alias("signups"),
+    )
