@@ -1,0 +1,73 @@
+"""Plan-quality regression gates: the physical plans we designed for.
+
+Correctness tests prove results; these prove the *plan shape* survives
+code changes — broadcasts stay broadcasts, pushdowns stay pushed, scans
+stay pruned. This is the 100 TB insurance: a silently-regressed plan
+passes value checks at sf0.01 and falls over at scale.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from video_data_pipeline_spark.queries.registry import load_all
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, sf_dir, name):
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def formatted_plan_of(spark, sf_dir, name):
+    """Full (untruncated) formatted explain, as .explain('formatted') prints."""
+    import contextlib
+    import io
+
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize("name", ["q03_top_orders", "q05_region_revenue", "q_associate"])
+def test_dim_joins_broadcast(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan, f"{name}: dimension join lost its broadcast"
+
+
+def test_q01_scan_pruned_and_pushed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q01_pricing_summary")
+    m = re.search(r"FileScan parquet \[([^\]]*)\]", plan)
+    assert m, "no FileScan in plan"
+    cols = [c.split("#")[0] for c in m.group(1).split(",")]
+    assert len(cols) <= 7, f"q01 scan reads too many columns: {cols}"
+    assert "l_orderkey" not in cols  # pruned
+    assert re.search(r"PushedFilters: \[[^\]]*LessThanOrEqual\(l_shipdate", plan)
+
+
+def test_q06_all_predicates_pushed(spark, sf_dir):
+    plan = formatted_plan_of(spark, sf_dir, "q06_forecast_revenue")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    for token in ("l_shipdate", "l_discount", "l_quantity"):
+        assert token in pushed, f"q06: predicate on {token} not pushed to scan"
+
+
+def test_q_select_pushdown(spark, sf_dir):
+    plan = formatted_plan_of(spark, sf_dir, "q_select")
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan).group(1)
+    assert "EqualTo(l_returnflag,R)" in pushed
+    assert "GreaterThanOrEqual(l_quantity,30" in pushed
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """Cross joins are only ever the deliberate 1-row / dim-size broadcasts
+    (ANN query vector, LSH centroids)."""
+    for name, q in REGISTRY.items():
+        df = q.spark_fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian product"
