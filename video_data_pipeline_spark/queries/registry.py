@@ -57,6 +57,7 @@ def load_all() -> dict[str, Query]:
         packing,
         relational,
         relational2,
+        relational3,
         similarity,
         text,
         timeseries,

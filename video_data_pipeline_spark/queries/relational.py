@@ -280,14 +280,18 @@ def q_distinct_suppliers(spark, sf_dir):
     "q_customers_without_orders",
     oracle="""
 SELECT c_custkey, c_name FROM customer c
-WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01')
 """,
     tags=("join", "anti"),
 )
 def q_customers_without_orders(spark, sf_dir):
-    """Left-anti join (NOT EXISTS)."""
+    """Left-anti join (NOT EXISTS): customers with no early orders."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

@@ -1,0 +1,216 @@
+"""Relational coverage, part 3: more TPC-H-shaped analytics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from video_data_pipeline_spark.queries.common import dec, one
+from video_data_pipeline_spark.queries.registry import query, table
+
+
+@query(
+    "q10_returned_revenue",
+    oracle="""
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+         AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+    tags=("join", "topk", "tpch"),
+)
+def q10_returned_revenue(spark, sf_dir):
+    """TPC-H Q10-style: top customers by returned-item revenue."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = table(spark, sf_dir, "nation")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(dec("l_extendedprice") * (one() - dec("l_discount"))).alias("_rev"))
+        .select("c_custkey", "c_name", "n_name", F.col("_rev").cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q14_promo_ratio",
+    oracle="""
+SELECT CAST(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+              THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                   * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+       / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+       AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01' AND l.l_shipdate < TIMESTAMP '1997-04-01'
+""",
+    tags=("join", "agg", "tpch"),
+)
+def q14_promo_ratio(spark, sf_dir):
+    """TPC-H Q14-style: promo revenue share (conditional ratio, exact
+    decimal numerator/denominator, one double division)."""
+    l = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    zero = F.lit(0).cast("decimal(12,2)")
+    rev = dec("l_extendedprice") * (one() - dec("l_discount"))
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("_promo"),
+        F.sum(rev).alias("_all"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0)
+            * F.col("_promo").cast("double")
+            / F.col("_all").cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q18_large_orders",
+    oracle="""
+SELECT c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 150
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+""",
+    tags=("join", "having", "tpch"),
+)
+def q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-style: large-volume orders (HAVING on grouped sum)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).alias("_qty"))
+        .where(F.col("_qty") > 150)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("_qty").cast("double").alias("total_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+    )
+
+
+@query(
+    "q04_priority_count",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1997-01-01' AND o.o_orderdate < TIMESTAMP '1997-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    tags=("semi", "agg", "tpch"),
+)
+def q04_priority_count(spark, sf_dir):
+    """TPC-H Q4-style: orders with any late-shipping line (correlated
+    EXISTS → left-semi join with a non-equi condition)."""
+    o = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (o.o_orderkey == l.l_orderkey) & (l.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@query(
+    "q22_idle_rich_customers",
+    oracle="""
+WITH threshold AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c.c_custkey, c.c_acctbal
+FROM customer c, threshold t
+WHERE c.c_acctbal > t.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderdate < TIMESTAMP '1996-01-01')
+""",
+    tags=("anti", "scalar-subquery", "tpch"),
+)
+def q22_idle_rich_customers(spark, sf_dir):
+    """TPC-H Q22-style: above-average-balance customers with no early
+    orders (scalar aggregate broadcast + anti join)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    thr = (
+        c.where(F.col("c_acctbal") > 0.0)
+        .agg(
+            (
+                F.sum(dec("c_acctbal")).cast("double") / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_acctbal")
+    )
+
+
+@query(
+    "q_yearly_growth",
+    oracle="""
+WITH yearly AS (
+  SELECT CAST(date_part('year', o_orderdate) AS BIGINT) AS yr,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+  FROM orders GROUP BY 1
+)
+SELECT yr, revenue,
+       revenue - LAG(revenue) OVER (ORDER BY yr) AS yoy_delta
+FROM yearly
+""",
+    tags=("window", "datetime"),
+)
+def q_yearly_growth(spark, sf_dir):
+    """Year-over-year revenue delta (agg → ordered window lag)."""
+    o = table(spark, sf_dir, "orders")
+    yearly = o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("yr")
+    ).agg(F.sum(dec("o_totalprice")).cast("double").alias("revenue"))
+    w = Window.orderBy("yr")
+    return yearly.select(
+        "yr", "revenue", (F.col("revenue") - F.lag("revenue").over(w)).alias("yoy_delta")
+    )
