@@ -95,25 +95,34 @@ def q_ann_bruteforce(spark, sf_dir):
     )
 
 
+def _plane_signs(p: int) -> list[float]:
+    """Deterministic hyperplane p: sign_i = ±1 from bit 0 of the stable
+    60-bit md5 hash of 'pl{p}:{i}' — the same derivation both engines used
+    inline, hoisted to plan-build time (signs are row-independent; leaving
+    them in the expression cost 512 md5 calls per row)."""
+    import hashlib
+
+    out = []
+    for i in range(_DIM):
+        h = int(hashlib.md5(f"pl{p}:{i}".encode()).hexdigest()[:15], 16)
+        out.append(1.0 if (h & 1) == 1 else -1.0)
+    return out
+
+
 def _proj(dialect: str, vec: str, p: int) -> str:
-    """Signed projection onto deterministic hyperplane p: signs from md5 of
-    'pl{p}:{i}' — the plane 'matrix' is derived, not stored/broadcast."""
+    """Signed projection onto deterministic hyperplane p (literal sign
+    vector; fold order identical to the other vector ops)."""
+    signs = _plane_signs(p)
     if dialect == "spark":
-        sign = (
-            f"IF((CAST(conv(substr(md5(concat('pl{p}:', CAST(i AS STRING))), 1, 15), 16, 10) "
-            f"AS BIGINT) & 1) = 1, 1.0D, -1.0D)"
-        )
+        lit = "array(" + ", ".join(f"{s}D" for s in signs) + ")"
         return (
-            f"aggregate(sequence(0, {_DIM - 1}), CAST(0.0 AS DOUBLE), "
-            f"(acc, i) -> acc + CAST(element_at({vec}, i + 1) AS DOUBLE) * {sign})"
+            f"aggregate(zip_with({vec}, {lit}, (x, y) -> CAST(x AS DOUBLE) * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-    sign = (
-        f"CASE WHEN ((('0x' || substr(md5('pl{p}:' || CAST(i AS VARCHAR)), 1, 15))::BIGINT) & 1) = 1 "
-        f"THEN 1.0 ELSE -1.0 END"
-    )
+    lit = "[" + ", ".join(str(s) for s in signs) + "]"
     return (
         f"list_reduce(list_prepend(0.0, list_transform(range({_DIM}), "
-        f"i -> {vec}[i+1]::DOUBLE * {sign})), (x, y) -> x + y)"
+        f"i -> {vec}[i+1]::DOUBLE * ({lit})[i+1])), (x, y) -> x + y)"
     )
 
 
@@ -218,4 +227,43 @@ def q_ivf_assign(spark, sf_dir):
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") == 1)
         .select("vec_id", F.col("cid").alias("centroid_id"), F.col("cos").alias("cosine"))
+    )
+
+
+@query(
+    "q_embedding_near_dup",
+    oracle=f"""
+WITH b AS (SELECT vec_id, embedding, {_bucket("duck", "embedding")} AS bucket
+           FROM embeddings WHERE vec_id % 3 = 0)
+SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+       {_cosine("duck", "a.embedding", "c.embedding")} AS cosine
+FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+WHERE {_cosine("duck", "a.embedding", "c.embedding")} >= 0.5
+""",
+    tags=("similarity", "dedup", "lsh"),
+)
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
+    share a hyperplane bucket (never all-pairs), then exact cosine ≥ τ
+    confirms. The scale path for embedding dedup over billions of vectors:
+    bucket id is the shuffle key, quadratic work stays within buckets."""
+    e = table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 3 == 0)
+    b = e.select(
+        "vec_id", "embedding", F.expr(_bucket("spark", "embedding")).alias("bucket")
+    )
+    a = b.alias("a")
+    c = b.alias("c")
+    cos = F.expr(_cosine("spark", "a.embedding", "c.embedding"))
+    return (
+        a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("c.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.5)
     )
