@@ -18,22 +18,37 @@ import sys
 import time
 
 HEADLINE = [
+    # TPC-H-style analytics
     "q01_pricing_summary",
     "q03_top_orders",
     "q05_region_revenue",
     "q06_forecast_revenue",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q04_priority_count",
     "q_topk_per_group",
+    "q_running_revenue",
+    # dedup family
     "q_dedup_exact",
     "q_minhash_lsh_pairs",
     "q_simhash",
+    "q_simhash_near_pairs",
+    # similarity search
     "q_ann_bruteforce",
     "q_lsh_buckets",
+    "q_ann_lsh_topk",
+    "q_embedding_near_dup",
+    # stateful packing / chunking (the reference pipelines' core)
     "q_bin_packing",
     "q_shard_rolling",
     "q_chunk_fixed",
+    "q_pack_merge",
+    # text analysis
     "q_token_count",
     "q_quality_score",
     "q_hash_tokenize",
+    "q_lang_id",
+    # events
     "q_sessionize",
     "q_window_tumbling",
     "q_asof_join",
@@ -67,6 +82,7 @@ def main() -> None:
         timings[name] = round(sec, 3)
         total += sec
 
+    lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     print(
         json.dumps(
             {
@@ -75,6 +91,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "n_queries": len(HEADLINE),
+                "lineitem_rows": lineitem_rows,
+                "rows_per_sec_q01": round(lineitem_rows / timings["q01_pricing_summary"]),
             }
         )
     )

@@ -1,0 +1,155 @@
+"""Property-based tests (hypothesis) for pure-function kernels.
+
+The reference has no randomized testing (SURVEY.md §5); these harden the
+engine's order-sensitive/stateful kernels against edge cases the example
+tests don't reach. No SparkSession needed — fast.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from video_data_pipeline_spark.functions.text import (
+    BOS,
+    check_sample,
+    merge_packed,
+    tokenize_conversation,
+)
+from video_data_pipeline_spark.sources.shardlists import expand_urls
+from video_data_pipeline_spark.sources.webdataset import base_plus_ext
+
+# ---------------------------------------------------------- greedy packing
+
+
+def greedy_reference(sizes: list[int], budget: int) -> list[int]:
+    """Transliteration of tokenize/main.py:186-215 (skip oversize, flush on
+    overflow) — the spec the Spark operator and the recursive-CTE oracle
+    must both match."""
+    bins, acc, b = [], 0, 0
+    for s in sizes:
+        if s > budget:
+            bins.append(-1)
+            continue
+        if acc + s > budget:
+            b += 1
+            acc = 0
+        acc += s
+        bins.append(b)
+    return bins
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=3000), max_size=60),
+    budget=st.integers(min_value=1, max_value=2500),
+)
+@settings(max_examples=200)
+def test_greedy_pack_invariants(sizes, budget):
+    bins = greedy_reference(sizes, budget)
+    # every kept bin's total fits the budget
+    totals: dict[int, int] = {}
+    for s, b in zip(sizes, bins):
+        if b >= 0:
+            totals[b] = totals.get(b, 0) + s
+    assert all(t <= budget for t in totals.values())
+    # bin ids are contiguous non-decreasing over kept rows
+    kept = [b for b in bins if b >= 0]
+    assert kept == sorted(kept)
+    if kept:
+        assert set(kept) == set(range(max(kept) + 1))
+    # oversize rows are exactly the skipped ones
+    assert all((b == -1) == (s > budget) for s, b in zip(sizes, bins))
+
+
+# ---------------------------------------------------------- uniform sample
+
+
+@given(n=st.integers(1, 400), k=st.sampled_from([1, 3, 8, 16]))
+def test_uniform_sample_position_identity(n, k):
+    """The SQL predicate (operators/sampling.py) selects exactly
+    {floor(i*n/k)} when n > k."""
+    expected = {i * n // k for i in range(k)}
+    got = set()
+    for rn in range(n):
+        if n <= k:
+            picked = True
+        else:
+            picked = math.floor(math.ceil(rn * k / n) * n / k) == rn
+        if picked:
+            got.add(rn)
+    if n <= k:
+        assert got == set(range(n))
+    else:
+        assert got == expected
+        assert len(got) == k
+
+
+# ------------------------------------------------------------- tokenization
+
+
+@given(
+    turns=st.lists(
+        st.tuples(st.sampled_from(["human", "gpt"]), st.text(max_size=40)),
+        max_size=6,
+    )
+)
+def test_tokenize_conversation_invariants(turns):
+    ids, mask = tokenize_conversation(turns)
+    assert len(ids) == len(mask)
+    assert ids[0] == BOS
+    # loss mask is 1 only on gpt spans
+    assert set(mask) <= {0, 1}
+    if all(w == "human" for w, _ in turns):
+        assert set(mask) == {0}
+
+
+@given(
+    records=st.lists(
+        st.lists(st.integers(0, 100), min_size=1, max_size=20).map(
+            lambda ids: ([BOS] + ids, [0] * (len(ids) + 1))
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_merge_packed_bos_dedup(records):
+    ids, mask = merge_packed(records)
+    assert len(ids) == len(mask)
+    # exactly one leading BOS survives per non-first record dropped
+    expected_len = sum(len(r[0]) for r in records) - (len(records) - 1)
+    assert len(ids) == expected_len
+    assert ids[0] == BOS
+
+
+def test_check_sample_rules():
+    ok = [BOS, 5, 6]
+    assert check_sample(ok, [0, 0, 1], 0) is None
+    assert check_sample(ok, [0, 0], 0) is not None
+    assert check_sample(list(range(9000)), [0] * 9000, 0) is not None
+
+
+# ------------------------------------------------------------- shard lists
+
+
+@given(
+    lo=st.integers(0, 30),
+    width=st.integers(1, 4),
+    span=st.integers(0, 40),
+)
+def test_expand_urls_brace_count(lo, width, span):
+    hi = lo + span
+    spec = f"s-{{{str(lo).zfill(width)}..{str(hi).zfill(width)}}}.tar"
+    out = expand_urls(spec)
+    assert len(out) == span + 1
+    assert out[0] == f"s-{str(lo).zfill(max(width, len(str(lo))))}.tar"
+    assert len(set(out)) == len(out)
+
+
+@given(st.text(alphabet=st.characters(blacklist_characters="\x00"), max_size=30))
+def test_base_plus_ext_total(path):
+    """Never raises; when it matches, key+'.'+ext reconstructs the path."""
+    key, ext = base_plus_ext(path)
+    if key is not None:
+        assert f"{key}.{ext}" == path
