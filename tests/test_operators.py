@@ -176,3 +176,47 @@ def test_map_with_policy_reraise(spark):
     df = _df(spark, [(1,), (0,)], "x int")
     with pytest.raises(RuntimeError, match="ZeroDivisionError"):
         df.transform(map_with_policy(lambda x: 10 // x, ["x"], "y", "int", policy="reraise"))
+
+
+# ---------------------------------------------------------------- skew
+
+
+def test_salted_agg_matches_direct(spark):
+    from video_data_pipeline_spark.operators.skew import salted_agg
+
+    df = spark.range(10000).select(
+        (F.col("id") % 3).alias("k"),  # 3 hot keys
+        F.col("id").alias("v"),
+    )
+    salted = df.transform(
+        salted_agg(["k"], {"total": ("sum", "v"), "n": ("count", "v"),
+                           "lo": ("min", "v"), "hi": ("max", "v")}, n_salt=8)
+    )
+    direct = df.groupBy("k").agg(
+        F.sum("v").alias("total"), F.count("v").alias("n"),
+        F.min("v").alias("lo"), F.max("v").alias("hi"),
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, direct.collect()))
+    # two exchanges in the plan: salt phase + combine phase
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") >= 2
+
+
+def test_salted_collect_list(spark):
+    from video_data_pipeline_spark.operators.skew import salted_agg
+
+    df = spark.range(1000).select(F.lit("hot").alias("k"), F.col("id").alias("v"))
+    out = df.transform(
+        salted_agg(["k"], {"vals": ("collect_list", "v")}, n_salt=4)
+    ).collect()
+    assert len(out) == 1
+    assert sorted(out[0].vals) == list(range(1000))
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    import pytest as _pytest
+
+    from video_data_pipeline_spark.operators.skew import salted_agg
+
+    with _pytest.raises(ValueError, match="not algebraic"):
+        salted_agg(["k"], {"bad": ("avg", "v")})

@@ -363,3 +363,48 @@ def q_index_counts(spark, sf_dir):
         .groupBy(F.col("source").alias("url"))
         .agg(F.count(F.lit(1)).alias("nsamples"))
     )
+
+
+@query(
+    "q_salted_agg",
+    oracle="""
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+       COUNT(*) AS n,
+       CAST(array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS VARCHAR)
+         AS statuses
+FROM lineitem GROUP BY l_returnflag
+""",
+    tags=("agg", "skew"),
+)
+def q_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py): 3 hot keys
+    spread over 16 salts for the partial, then combined — same results as
+    a direct groupBy, but no single-reducer hot key even when one key owns
+    most of the data. The collected set proves the collect-family path."""
+    from video_data_pipeline_spark.operators.skew import salted_agg
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("decimal(12,2)").alias("qty"),
+        "l_orderkey",
+        "l_linestatus",
+    )
+    out = li.transform(
+        salted_agg(
+            ["l_returnflag"],
+            {
+                "sum_qty_dec": ("sum", "qty"),
+                "n": ("count", "l_orderkey"),
+                "statuses_raw": ("collect_list", "l_linestatus"),
+            },
+            n_salt=16,
+            salt_source="l_orderkey",
+        )
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+        "n",
+        F.array_join(F.array_sort(F.array_distinct("statuses_raw")), ",").alias("statuses"),
+    )
