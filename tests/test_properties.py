@@ -153,3 +153,18 @@ def test_base_plus_ext_total(path):
     key, ext = base_plus_ext(path)
     if key is not None:
         assert f"{key}.{ext}" == path
+
+
+def test_detokenize_and_vocab():
+    from video_data_pipeline_spark.functions.text import (
+        detokenize,
+        vocab_size_with_padding,
+    )
+
+    ids, mask = tokenize_conversation([("human", "hi"), ("gpt", "yo")], n_images=1)
+    text = detokenize(ids)
+    assert text.startswith("<s> <im_start> <im_patch>")
+    assert "</s>" in text
+    assert vocab_size_with_padding(32000, 128, 1) == 32000
+    assert vocab_size_with_padding(32001, 128, 1) == 32128
+    assert vocab_size_with_padding(100, 128, 8) == 1024

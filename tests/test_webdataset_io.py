@@ -138,3 +138,23 @@ def test_expand_urls():
         "/data/a-002.tar",
         "b.tar",
     ]
+
+
+def test_decode_only_restricts(spark, tmp_path):
+    out = str(tmp_path / "only")
+    write_webdataset(_sample_df(spark).repartition(1), out, sample_col=None).collect()
+    back = read_webdataset(spark, out)
+    typed = decode_columns(back, only=["txt"])
+    row = typed.orderBy("__key__").first()
+    assert row.txt == "caption 0"           # decoded
+    assert isinstance(row.cls, (bytes, bytearray))  # left raw binary
+
+
+def test_to_dict_map_filter(spark, tmp_path):
+    from video_data_pipeline_spark.sources.webdataset import to_dict
+
+    out = str(tmp_path / "td")
+    write_webdataset(_sample_df(spark).repartition(1), out, sample_col=None).collect()
+    back = read_webdataset(spark, out).transform(to_dict("t*", "jpg"))
+    keys = back.select(F.explode(F.map_keys("sample")).alias("k")).distinct().collect()
+    assert {r.k for r in keys} == {"txt", "jpg"}

@@ -122,3 +122,35 @@ def check_sample(input_ids: list[int], loss_mask: list[int], n_images: int) -> s
     if input_ids.count(IM_PATCH) != N_PATCHES * n_images:
         return "count(<im_patch>) != 256 * n_images"
     return None
+
+
+_SPECIAL_NAMES = {
+    BOS: "<s>",
+    EOS: "</s>",
+    IM_PATCH: "<im_patch>",
+    IM_START: "<im_start>",
+    IM_END: "<im_end>",
+}
+
+
+def detokenize(ids: list[int]) -> str:
+    """Inverse rendering for inspection (reference ``detokenize``,
+    tokenize/tokenizer.py:675-686, used by the index golden dump).
+
+    The hash tokenizer is one-way, so ordinary ids render as ``⟨id⟩``
+    placeholders while special tokens render by name — enough to audit
+    structure (BOS/EOS placement, image blocks, masking spans), which is
+    what the reference's golden dump checks."""
+    out = []
+    for i in ids:
+        out.append(_SPECIAL_NAMES.get(i, f"⟨{i}⟩"))
+    return " ".join(out)
+
+
+def vocab_size_with_padding(
+    vocab_size: int, divisor: int = 128, tp_size: int = 1
+) -> int:
+    """Round vocab up to a multiple of (divisor × tensor-parallel size)
+    (tokenize/tokenizer.py:11-24)."""
+    multiple = divisor * tp_size
+    return ((vocab_size + multiple - 1) // multiple) * multiple

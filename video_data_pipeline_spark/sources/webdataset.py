@@ -238,6 +238,7 @@ def decode_columns(
     json_schema: str | None = None,
     extra: dict[str, str] | None = None,
     keep_sample: bool = False,
+    only: list[str] | None = None,
 ) -> DataFrame:
     """Promote map entries to typed top-level columns (the ``decode`` stage,
     filters.py:283-302 + autodecode).
@@ -245,7 +246,9 @@ def decode_columns(
     Text/int suffixes cast per the basic-handler table; ``json`` parses via
     ``from_json`` when ``json_schema`` is given (else stays a JSON string);
     unknown suffixes in ``extra`` use the given cast; media suffixes should
-    stay in the map as binary for UDF decoding.
+    stay in the map as binary for UDF decoding. ``only=`` restricts which
+    suffixes are *decoded* — others surface as raw binary (reference
+    ``decode(only=...)``/``Decoder.partial``, autodecode.py:482-547).
     """
     present = {
         k for row in df.select(F.explode(F.map_keys("sample")).alias("k")).distinct().collect()
@@ -257,7 +260,9 @@ def decode_columns(
     for suffix in sorted(present):
         raw = F.col("sample")[suffix]
         name = suffix.replace(".", "_")
-        if suffix in ("json", "jsn"):
+        if only is not None and suffix not in only:
+            cols.append(raw.alias(name))
+        elif suffix in ("json", "jsn"):
             s = raw.cast("string")
             cols.append(
                 F.from_json(s, json_schema).alias(name) if json_schema else s.alias(name)
@@ -269,3 +274,21 @@ def decode_columns(
     if keep_sample:
         cols.append(F.col("sample"))
     return df.select(*cols)
+
+
+def to_dict(*globs: str, sample_col: str = "sample"):
+    """``to_dict`` suffix-pattern projection (filters.py:409-438): keep only
+    map entries whose suffix matches any glob. JVM-side ``map_filter`` —
+    works on *dynamic* per-row keys (unlike plan-time ``extract_keys``).
+    """
+    import fnmatch as _fn
+
+    regex = "|".join(f"({_fn.translate(g)})" for g in globs)
+
+    def _op(df: DataFrame) -> DataFrame:
+        kept = F.map_filter(
+            F.col(sample_col), lambda k, v: k.rlike(f"^(?:{regex})$")
+        )
+        return df.withColumn(sample_col, kept)
+
+    return _op
