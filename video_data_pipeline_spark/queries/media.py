@@ -122,3 +122,45 @@ def q_extract_frames_step(spark, sf_dir):
         (F.col("p_size") * 10 + 7).alias("total"),
         ((F.col("p_size") * 10 + 7 - 1) / F.lit(24 - 2)).alias("step"),
     )
+
+
+@query(
+    "q_track_objects",
+    oracle=None,  # sequential per-video geometry — rows-only check
+    tags=("media", "tracking", "stateful"),
+)
+def q_track_objects(spark, sf_dir):
+    """Object tracking (the capability the reference declares but stubs —
+    pack/tools.py:220-222): SORT-style greedy IoU track assignment per
+    video via applyInPandas (operators/tracking.py). Detections here are
+    deterministic synthetic linear motion derived from part rows; output is
+    one row per detection with its track id, summarized per track."""
+    from video_data_pipeline_spark.operators.tracking import track_objects
+
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") % 100 < 4)
+    # 2 objects per video, 8 frames, linear motion parameterized by part attrs
+    dets = (
+        p.select(
+            (F.col("p_partkey") % 7).cast("string").alias("video_id"),
+            F.col("p_partkey").alias("obj"),
+            F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
+            (F.col("p_size") % 5 + 1).alias("vx"),
+        )
+        .select(
+            "video_id",
+            "frame_idx",
+            (F.col("obj") * 10 + F.col("frame_idx")).alias("det_id"),
+            (F.col("obj") % 13 * 30 + F.col("vx") * F.col("frame_idx"))
+            .cast("double")
+            .alias("x"),
+            (F.col("obj") % 11 * 25).cast("double").alias("y"),
+            F.lit(12.0).alias("w"),
+            F.lit(12.0).alias("h"),
+        )
+    )
+    tracked = dets.transform(track_objects())
+    return tracked.groupBy("video_id", "track_id").agg(
+        F.count(F.lit(1)).alias("n_dets"),
+        F.min("frame_idx").alias("first_frame"),
+        F.max("frame_idx").alias("last_frame"),
+    )

@@ -61,6 +61,7 @@ def write_webdataset(
     mtime: int = 0,
     key_col: str = "__key__",
     sample_col: str | None = "sample",
+    compress: bool = False,
 ) -> DataFrame:
     """Write samples as tar shards; returns the manifest DataFrame.
 
@@ -93,17 +94,28 @@ def write_webdataset(
             if tar is None:
                 return
             tar.close()
-            data = buf.getvalue()
+            raw = buf.getvalue()
+            if compress:
+                # gzip with mtime=0 — tarfile's w:gz stamps wall-clock time
+                # into the gzip header, which would break byte-determinism
+                # (TarWriter .tgz support, writer.py:281 compress=)
+                import gzip
+
+                gz = io.BytesIO()
+                with gzip.GzipFile(fileobj=gz, mode="wb", mtime=0) as zf:
+                    zf.write(raw)
+                raw = gz.getvalue()
             with open(url, "wb") as fh:
-                fh.write(data)
-            manifest.append((url, count, len(data)))
+                fh.write(raw)
+            manifest.append((url, count, len(raw)))
             tar = buf = url = None
             count = size = 0
 
         def ensure_open():
             nonlocal tar, buf, url, seq
             if tar is None:
-                url = os.path.join(path, f"{prefix}-{pid:05d}-{seq:05d}.tar")
+                ext = "tgz" if compress else "tar"
+                url = os.path.join(path, f"{prefix}-{pid:05d}-{seq:05d}.{ext}")
                 seq += 1
                 buf = io.BytesIO()
                 tar = tarfile.open(fileobj=buf, mode="w")

@@ -180,7 +180,10 @@ def expand_paths(path_spec: str) -> list[str]:
     out: list[str] = []
     for p in expand_urls(path_spec.split(",")):
         if os.path.isdir(p):
-            out.extend(sorted(globmod.glob(os.path.join(p, "*.tar"))))
+            hits = []
+            for pat in ("*.tar", "*.tgz", "*.tar.gz"):
+                hits.extend(globmod.glob(os.path.join(p, pat)))
+            out.extend(sorted(hits))
         elif any(ch in p for ch in "*?["):
             out.extend(sorted(globmod.glob(p)))
         else:
