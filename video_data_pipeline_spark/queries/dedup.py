@@ -347,3 +347,34 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.05)
     )
+
+
+def _duck_clusters_sql() -> str:
+    pairs = _duck_lsh_pairs_sql().strip()
+    return f"""
+WITH RECURSIVE lsh AS ({pairs}),
+sym AS (
+  SELECT doc_a AS a, doc_b AS b FROM lsh
+  UNION SELECT doc_b AS a, doc_a AS b FROM lsh
+),
+reach AS (
+  SELECT a AS node, a AS r FROM sym
+  UNION
+  SELECT re.node, s.b AS r FROM reach re JOIN sym s ON s.a = re.r
+)
+SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+"""
+
+
+@query("q_dedup_clusters", oracle=_duck_clusters_sql(), tags=("dedup", "iterative"))
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup cluster formation: connected components over the MinHash-LSH
+    candidate pairs (operators/components.py, iterative min-label
+    propagation with checkpointed rounds) — each doc labeled with the min
+    doc_id of its duplicate cluster; survivors are rows where
+    doc_id = cluster_id. Oracle: recursive-CTE transitive closure."""
+    from video_data_pipeline_spark.operators.components import connected_components
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
