@@ -1,0 +1,53 @@
+"""CLI surface tests: the pack→tokenize→index lifecycle via subprocess."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, cwd=REPO):
+    return subprocess.run(
+        [sys.executable, "-m", "video_data_pipeline_spark", *args],
+        capture_output=True,
+        text=True,
+        cwd=cwd,
+        timeout=240,
+    )
+
+
+def test_cli_lifecycle(tmp_path):
+    meta = tmp_path / "caps.jsonl"
+    with open(meta, "w") as f:
+        for i in range(12):
+            f.write(json.dumps({"video_path": f"v{i}.mp4", "caption": f"caption {i} " * 30}) + "\n")
+
+    r = run_cli("pack", "--meta", str(meta), "--out", str(tmp_path / "shards"),
+                "--samples-per-shard", "4")
+    assert r.returncode == 0, r.stderr[-2000:]
+    pack = json.loads(r.stdout.strip().splitlines()[-1])
+    assert pack["samples"] == 12 and pack["shards"] == 3
+
+    r = run_cli("tokenize", "--in", str(tmp_path / "shards"),
+                "--out", str(tmp_path / "tok"), "--budget", "200")
+    assert r.returncode == 0, r.stderr[-2000:]
+    tok = json.loads(r.stdout.strip().splitlines()[-1])
+    assert tok["packed_samples"] > 0
+
+    r = run_cli("index", "--in", str(tmp_path / "tok"))
+    assert r.returncode == 0, r.stderr[-2000:]
+    idx = json.loads(r.stdout.strip().splitlines()[-1])
+    assert idx["violations"] == 0 and idx["nsamples_total"] == tok["packed_samples"]
+
+
+def test_cli_list_and_bad_query():
+    r = run_cli("list")
+    assert r.returncode == 0
+    assert "q01_pricing_summary" in r.stdout and "[oracle]" in r.stdout
+    r = run_cli("query", "no_such_query")
+    assert r.returncode == 2
+    assert "unknown query" in r.stderr

@@ -1,0 +1,127 @@
+"""CLI entry points — the reference's three pipeline CLIs, Spark-side.
+
+Reference CLIs (SURVEY.md §3): ``pack/pack.py`` (argparse --dataset/--type/
+--machine_id/--total_machine/--workers), ``tokenize/main.py`` (--start/
+--end/--num_jobs/--shard_size), ``index/check_pair.py``. The manual
+machine-striping / job-count flags vanish: Spark partitioning replaces
+them, so the surviving surface is just data locations + semantics knobs.
+
+Usage::
+
+    python -m video_data_pipeline_spark pack --kind jsonl --meta caps.jsonl \
+        --out out/shards --samples-per-shard 500 [--type uniform --frames 16]
+    python -m video_data_pipeline_spark tokenize --in out/shards --out out/tok \
+        --budget 8000 --shard-size 500
+    python -m video_data_pipeline_spark index --in out/tok [--golden 0.01]
+    python -m video_data_pipeline_spark query q01_pricing_summary \
+        [--sf-dir /root/testdata/sf0.01]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="video_data_pipeline_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pack", help="pack a caption table into tar shards")
+    p.add_argument("--kind", default="jsonl", help="metadata loader kind")
+    p.add_argument("--meta", required=True, help="metadata path (json/jsonl/parquet)")
+    p.add_argument("--out", required=True)
+    p.add_argument("--samples-per-shard", type=int, default=500)
+    p.add_argument("--type", dest="sample_type", default="video_text_pair",
+                   choices=["video_text_pair", "uniform"])
+    p.add_argument("--frames", type=int, default=16)
+
+    t = sub.add_parser("tokenize", help="tokenize + 8k-pack tar shards")
+    t.add_argument("--in", dest="inp", required=True)
+    t.add_argument("--out", required=True)
+    t.add_argument("--budget", type=int, default=8000)
+    t.add_argument("--shard-size", type=int, default=500)
+
+    i = sub.add_parser("index", help="validate + index tokenized shards")
+    i.add_argument("--in", dest="inp", required=True)
+    i.add_argument("--golden", type=float, default=0.01)
+    i.add_argument("--out", default=None, help="write index parquet here")
+
+    q = sub.add_parser("query", help="run a registry query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--show", type=int, default=20)
+
+    sub.add_parser("list", help="list registry queries")
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "list":
+        from video_data_pipeline_spark.queries.registry import load_all
+
+        for name, qq in sorted(load_all().items()):
+            kind = "oracle" if qq.oracle else "rows-only"
+            print(f"{name:32s} [{kind}] {qq.doc.splitlines()[0] if qq.doc else ''}")
+        return 0
+
+    from video_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(f"vdps-{args.cmd}")
+
+    if args.cmd == "pack":
+        from video_data_pipeline_spark.plans.pack import pack_dataset
+        from video_data_pipeline_spark.sources.metadata import load_dataset
+
+        meta = load_dataset(spark, args.kind, args.meta)
+        manifest = pack_dataset(
+            meta,
+            args.out,
+            samples_per_shard=args.samples_per_shard,
+            sample_type=args.sample_type,
+            n_frames=args.frames,
+        ).collect()
+        print(json.dumps({
+            "shards": len(manifest),
+            "samples": sum(m.nsamples for m in manifest),
+            "bytes": sum(m.nbytes for m in manifest),
+        }))
+    elif args.cmd == "tokenize":
+        from video_data_pipeline_spark.plans.tokenize import tokenize_shards
+
+        manifest = tokenize_shards(
+            spark, args.inp, args.out, budget=args.budget,
+            samples_per_shard=args.shard_size,
+        ).collect()
+        print(json.dumps({
+            "shards": len(manifest),
+            "packed_samples": sum(m.nsamples for m in manifest),
+        }))
+    elif args.cmd == "index":
+        from video_data_pipeline_spark.plans.index import index_shards
+
+        index, violations, golden = index_shards(spark, args.inp, args.golden)
+        rows = index.collect()
+        n_bad = violations.count()
+        if args.out:
+            index.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({
+            "tars": len(rows),
+            "nsamples_total": sum(r.nsamples for r in rows),
+            "violations": n_bad,
+        }))
+        return 1 if n_bad else 0
+    elif args.cmd == "query":
+        from video_data_pipeline_spark.queries.registry import load_all
+
+        registry = load_all()
+        if args.name not in registry:
+            print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+            return 2
+        df = registry[args.name].spark_fn(spark, args.sf_dir)
+        df.show(args.show, truncate=False)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

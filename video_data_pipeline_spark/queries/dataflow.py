@@ -161,13 +161,17 @@ def q_detshuffle(spark, sf_dir):
     """``detshuffle(seed+epoch)`` (filters.py:234-245): deterministic global
     permutation as sort-by-keyed-hash — same epoch ⇒ same order (the
     reference contract, tests/test_shuffles.py:31-47) without driver RNG
-    state; a distributed range-partitioned sort, not a 1000-row buffer."""
+    state. Position assignment uses the two-phase global index (range sort
+    + offsets), not a single-reducer window."""
     from video_data_pipeline_spark.functions.hashing import stable_hash64
+    from video_data_pipeline_spark.operators.batching import global_index
 
     d = table(spark, sf_dir, "documents")
-    shuffled = d.transform(detshuffle("doc_id", seed="ep", epoch=7))
-    w = Window.orderBy(stable_hash64("doc_id", "ep:7:"), F.col("doc_id"))
-    return shuffled.select("doc_id", F.row_number().over(w).alias("shuffle_pos"))
+    hashed = d.transform(detshuffle("doc_id", seed="ep", epoch=7)).select(
+        "doc_id", stable_hash64("doc_id", "ep:7:").alias("__h__")
+    )
+    indexed = hashed.transform(global_index(["__h__", "doc_id"], idx_col="__idx__"))
+    return indexed.select("doc_id", (F.col("__idx__") + 1).alias("shuffle_pos"))
 
 
 @query(
