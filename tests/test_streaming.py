@@ -36,3 +36,18 @@ def test_stream_sessionize_total(spark, sf_dir, tmp_path):
     # same session structure: equal session count and equal total events
     assert len(out) == len(batch)
     assert out["n_events"].sum() == batch["n_events"].sum()
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, tmp_path):
+    from video_data_pipeline_spark.streaming.jobs import stream_sliding_counts
+
+    events = read_events_stream(spark, sf_dir)
+    out = run_to_completion(
+        stream_sliding_counts(events), "slide_counts", str(tmp_path / "ck3")
+    ).toPandas()
+    batch = REGISTRY["q_window_sliding"].spark_fn(spark, sf_dir).toPandas()
+    a = out.sort_values("window_start_ms").reset_index(drop=True)
+    b = batch.sort_values("window_start_ms").reset_index(drop=True)
+    assert len(a) == len(b)
+    assert (a["window_start_ms"].values == b["window_start_ms"].values).all()
+    assert (a["n_events"].values == b["n_events"].values).all()

@@ -386,3 +386,73 @@ def q_qa_zip_turns(spark, sf_dir):
         F.col("z.questions").alias("question"),
         F.col("z.answers").alias("answer"),
     )
+
+
+@query(
+    "q_scalar_functions",
+    oracle="""
+SELECT doc_id,
+       lpad(CAST(doc_id AS VARCHAR), 9, '0') AS key9,
+       split_part('a/b/' || lang || '/' || source, '/', -1) AS last_seg,
+       concat_ws('_', lang, source, CAST(n_chars AS VARCHAR)) AS joined,
+       substr(upper(lang), 1, 1) || lower(source) AS mixed,
+       greatest(n_chars, 100) AS floor100,
+       least(n_chars, 400) AS cap400,
+       round(n_chars / 7.0, 2) AS septile
+FROM documents
+""",
+    tags=("text", "scalar"),
+)
+def q_scalar_functions(spark, sf_dir):
+    """Scalar-function sampler covering SURVEY §2.12's observed surface:
+    zero-padded key formatting (pack/pack.py:155 f"{idx:09d}" → lpad),
+    path-segment extraction (dataset_loader.py:140 split → substring_index),
+    concat_ws path joins, case functions, min/max clamps (pack/dataset.py:
+    93-94 → greatest/least), scaled rounding."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 9, "0").alias("key9"),
+        F.substring_index(
+            F.concat(F.lit("a/b/"), F.col("lang"), F.lit("/"), F.col("source")), "/", -1
+        ).alias("last_seg"),
+        F.concat_ws("_", "lang", "source", F.col("n_chars").cast("string")).alias("joined"),
+        F.concat(F.substring(F.upper("lang"), 1, 1), F.lower("source")).alias("mixed"),
+        F.greatest(F.col("n_chars"), F.lit(100)).alias("floor100"),
+        F.least(F.col("n_chars"), F.lit(400)).alias("cap400"),
+        F.round(F.col("n_chars") / 7.0, 2).alias("septile"),
+    )
+
+
+@query(
+    "q_get_question",
+    oracle="""
+WITH qa AS (
+  SELECT doc_id,
+         MAP(['q1', 'a', 'q2'],
+             ['What is ' || source || '?', 'ANSWER', 'Why ' || lang || '?']) AS m
+  FROM documents
+)
+SELECT doc_id,
+       array_to_string(
+         list_sort(list_transform(
+           list_filter(map_entries(m), e -> e.key <> 'a'), e -> e.value)), ' ')
+         AS question
+FROM qa
+""",
+    tags=("text", "map"),
+)
+def q_get_question(spark, sf_dir):
+    """``get_question`` (pack/pack.py:40-45): concatenate all non-'a'
+    values of a QA dict — map_filter + map_values + concat, JVM-side."""
+    d = table(spark, sf_dir, "documents")
+    m = F.create_map(
+        F.lit("q1"), F.concat(F.lit("What is "), F.col("source"), F.lit("?")),
+        F.lit("a"), F.lit("ANSWER"),
+        F.lit("q2"), F.concat(F.lit("Why "), F.col("lang"), F.lit("?")),
+    )
+    kept = F.map_filter(m, lambda k, v: k != "a")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.map_values(kept)), " ").alias("question"),
+    )

@@ -116,3 +116,22 @@ def run_to_completion(df: DataFrame, name: str, checkpoint: str) -> DataFrame:
     )
     q.awaitTermination()
     return df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
+def stream_sliding_counts(
+    events: DataFrame,
+    window: str = "30 minutes",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of q_window_sliding: watermarked sliding-window
+    counts via the built-in window(duration, slide) expansion."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "n_events",
+        )
+    )
