@@ -13,8 +13,6 @@ tokenize → per-shard greedy pack (``applyInPandas``, ordered by the scan's
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F

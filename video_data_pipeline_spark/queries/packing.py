@@ -15,8 +15,6 @@ hash partition by group key.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from video_data_pipeline_spark.operators.batching import batched
 from video_data_pipeline_spark.operators.packing import greedy_bin_pack, shard_roll
 from video_data_pipeline_spark.queries.registry import query, table

@@ -10,6 +10,7 @@ built-in column functions — no Python in the hot path.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from video_data_pipeline_spark.queries.common import SPARK_HASH
 from video_data_pipeline_spark.queries.registry import query, table
@@ -455,4 +456,69 @@ def q_get_question(spark, sf_dir):
     return d.select(
         "doc_id",
         F.array_join(F.array_sort(F.map_values(kept)), " ").alias("question"),
+    )
+
+
+@query(
+    "q_tfidf_top_terms",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), ' +')) AS term
+  FROM documents WHERE doc_id % 25 = 0
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY 1),
+ranked AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.df ASC, t.term) AS rk
+  FROM tf t JOIN df d ON t.term = d.term
+)
+SELECT doc_id, term, tf, df, rk FROM ranked WHERE rk <= 3
+""",
+    tags=("text", "tfidf", "topk"),
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document salient terms: TF-IDF-shaped ranking done entirely in
+    integers (tf desc, document-frequency asc, term tie-break) — float IDF
+    would be order-sensitive across engines; ordinal ranking is exact.
+    Shape: explode → two aggregations → broadcast df join → window top-k."""
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
+    words = d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("term"))
+    tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = words.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term")
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rk")
+    )
+
+
+@query(
+    "q_corpus_stats",
+    oracle="""
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM documents GROUP BY lang
+""",
+    tags=("text", "agg"),
+)
+def q_corpus_stats(spark, sf_dir):
+    """Corpus profile per language — the summary a curation run reports
+    before/after filtering (exact integer sums; one double division)."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
     )

@@ -29,7 +29,6 @@ Design for scale:
 from __future__ import annotations
 
 import fnmatch
-import io
 import re
 import tarfile
 

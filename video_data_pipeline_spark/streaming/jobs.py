@@ -22,7 +22,6 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
 )
 
 EVENTS_SCHEMA = StructType(
