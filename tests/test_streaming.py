@@ -51,3 +51,73 @@ def test_stream_sliding_matches_batch(spark, sf_dir, tmp_path):
     assert len(a) == len(b)
     assert (a["window_start_ms"].values == b["window_start_ms"].values).all()
     assert (a["n_events"].values == b["n_events"].values).all()
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late events beyond the watermark are excluded from finalized windows
+    (append mode): batch 1 advances event time far ahead; batch 2's stale
+    event falls behind the watermark and must not resurrect its window."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base = 1_700_000_000_000_000_000  # ns epoch
+    hour = 3_600 * 1_000_000_000
+    # batch 1: events in hour 0 and hour 10 (watermark advances to h10 - 1h)
+    pd.DataFrame({
+        "event_id": [1, 2], "ts": [base, base + 10 * hour],
+        "user_id": [1, 1], "event_type": ["click", "click"],
+        "value": [1.0, 1.0], "props": ["{}", "{}"],
+    }).to_parquet(src / "b1.parquet")
+    # batch 2: another on-time event (lets the watermark from batch 1 take
+    # effect — Spark applies the watermark computed after batch N-1)
+    pd.DataFrame({
+        "event_id": [3], "ts": [base + 10 * hour + 1_000_000],
+        "user_id": [1], "event_type": ["click"],
+        "value": [1.0], "props": ["{}"],
+    }).to_parquet(src / "b2.parquet")
+    # batch 3: a late event back in hour 0 — now firmly behind the watermark
+    pd.DataFrame({
+        "event_id": [4], "ts": [base + 2_000_000],
+        "user_id": [1], "event_type": ["click"],
+        "value": [1.0], "props": ["{}"],
+    }).to_parquet(src / "b3.parquet")
+    # the file source triggers micro-batches in modification-time order —
+    # pin mtimes so the late file genuinely arrives last
+    import os
+    import time as _time
+
+    now = _time.time()
+    os.utime(src / "b1.parquet", (now - 120, now - 120))
+    os.utime(src / "b2.parquet", (now - 60, now - 60))
+    os.utime(src / "b3.parquet", (now, now))
+
+    from video_data_pipeline_spark.streaming.jobs import EVENTS_SCHEMA
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_out")
+        .option("checkpointLocation", str(tmp_path / "ck_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.ws: r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+    # hour-0 window finalized with ONLY the on-time event; the late event
+    # (event_id 4) was dropped by the watermark (h10 window still pending)
+    assert sorted(rows.values()) == [1], rows
