@@ -102,3 +102,65 @@ def fetch_media(path_main: str, path_fallback: str | None) -> bytes:
     bytes from the path so the pack plan is testable hermetically."""
     src = path_main or path_fallback or ""
     return hashlib.md5(src.encode()).digest() * 4  # 64 deterministic bytes
+
+
+#: Spark's canonical image struct (mirrors the built-in `image` source)
+IMAGE_SCHEMA = (
+    "height int, width int, nChannels int, mode string, data binary"
+)
+
+
+def fake_decode_image(data: bytes) -> tuple[int, int, int, str, bytes]:
+    """STUB for image decode (PIL/cv2, autodecode.py:238-374 ImageHandler):
+    derives deterministic dimensions from the content hash and returns the
+    Spark image-source struct shape; real impl returns actual pixels."""
+    h = hashlib.md5(data).digest()
+    height = 64 + h[2] % 192
+    width = 64 + h[3] % 192
+    return height, width, 3, "rgb", data[:16]
+
+
+def decode_images_batch(
+    it: Iterator[pd.DataFrame], image_col: str = "image"
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: encoded image bytes → `image struct<...>` column
+    (the autodecode imagespec path as typed columns Catalyst can prune)."""
+    for pdf in it:
+        structs = []
+        for data in pdf[image_col]:
+            hgt, wid, nch, mode, px = fake_decode_image(bytes(data))
+            structs.append(
+                {"height": hgt, "width": wid, "nChannels": nch, "mode": mode, "data": px}
+            )
+        out = pdf.drop(columns=[image_col])
+        out["image"] = structs
+        yield out
+
+
+def embed_media_batch(
+    it: Iterator[pd.DataFrame], media_col: str = "video", dim: int = 64
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: media bytes → unit-norm embedding array<float>.
+
+    STUB for the visual encoder (no torch in this container): deterministic
+    pseudo-embedding from chained md5 of the content — unit-normalized so
+    cosine math downstream behaves like real embeddings. The Spark-side
+    contract (Arrow batch in, fixed-dim float list out) is exactly what a
+    real CLIP/SigLIP executor kernel satisfies."""
+    import math
+
+    for pdf in it:
+        vecs = []
+        for data in pdf[media_col]:
+            data = bytes(data)
+            vals: list[float] = []
+            seed = data
+            while len(vals) < dim:
+                seed = hashlib.md5(seed).digest()
+                vals.extend(b / 255.0 - 0.5 for b in seed)
+            vals = vals[:dim]
+            norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+            vecs.append([float(v / norm) for v in vals])
+        out = pdf.copy()
+        out["embedding"] = vecs
+        yield out
