@@ -72,8 +72,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    # warm-up: JVM/codegen/Arrow paths
+    # warm-up: JVM/codegen path, then the Python-worker daemon (one-time
+    # startup otherwise lands on the first applyInPandas query's number)
     run("q01_pricing_summary")
+    run("q_shard_rolling")
 
     timings: dict[str, float] = {}
     total = 0.0
