@@ -58,7 +58,18 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     for c in a.columns:
         av, bv = a[c], b[c]
         try:
-            if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
+            af, bf = pd.api.types.is_float_dtype(av), pd.api.types.is_float_dtype(bv)
+            if af != bf:
+                # The external driver hashes raw values, so bigint 123 vs
+                # float 123.0 is a hard mismatch there — mirror that here
+                # instead of silently coercing (DuckDB SUM(BIGINT)→HUGEINT
+                # lands as float64 in pandas; fix the oracle with a CAST).
+                problems.append(
+                    f"col {c}: dtype mismatch spark={av.dtype} duck={bv.dtype} "
+                    "(int-vs-float breaks the driver hash; CAST the oracle)"
+                )
+                continue
+            if af and bf:
                 av = av.astype("float64")
                 bv = bv.astype("float64")
                 eq = (av == bv) | (av.isna() & bv.isna())

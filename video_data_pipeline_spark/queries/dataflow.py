@@ -268,7 +268,7 @@ WITH pos AS (
   FROM documents
 )
 SELECT batch_id, COUNT(*) AS batch_size, MIN(doc_id) AS first_doc,
-       MAX(doc_id) AS last_doc, SUM(n_chars) AS batch_chars
+       MAX(doc_id) AS last_doc, CAST(SUM(n_chars) AS BIGINT) AS batch_chars
 FROM pos GROUP BY batch_id
 """,
     tags=("batching",),

@@ -164,3 +164,57 @@ def q_track_objects(spark, sf_dir):
         F.min("frame_idx").alias("first_frame"),
         F.max("frame_idx").alias("last_frame"),
     )
+
+
+@query(
+    "q_track_separated",
+    oracle="""
+WITH base AS (
+  SELECT p_partkey AS obj, CAST(p_partkey % 7 AS VARCHAR) AS video_id,
+         CAST(p_partkey % 13 * 30 AS DOUBLE) AS x0,
+         CAST(p_partkey % 3 + 1 AS DOUBLE) AS vx
+  FROM part WHERE p_partkey % 100 < 4
+)
+SELECT video_id, obj,
+       CAST(ROW_NUMBER() OVER (PARTITION BY video_id ORDER BY obj) - 1 AS BIGINT)
+         AS track_id,
+       CAST(8 AS BIGINT) AS n_dets, x0 AS min_x, x0 + vx * 7 AS max_x
+FROM base
+""",
+    tags=("media", "tracking", "stateful"),
+)
+def q_track_separated(spark, sf_dir):
+    """Greedy-IoU tracking on a closed-form fixture, fully oracle-checkable
+    (the SQL-expressible invariant subset of q_track_objects): objects in a
+    video are y-separated by >=700px (zero cross-object IoU) and move <=3px
+    per frame with 12px boxes (own-track IoU >=0.6 > 0.3 threshold), so the
+    tracker provably assigns one track per object, numbered in frame-0
+    processing order (det_id asc == obj asc) — i.e. track_id is exactly
+    ROW_NUMBER per video over obj, and min/max x are the linear-motion
+    endpoints. Runs the REAL operator (operators/tracking.py applyInPandas),
+    not a simulation; reference declares tracking at pack/tools.py:220-222."""
+    from video_data_pipeline_spark.operators.tracking import track_objects
+
+    p = table(spark, sf_dir, "part").where(F.col("p_partkey") % 100 < 4)
+    dets = p.select(
+        (F.col("p_partkey") % 7).cast("string").alias("video_id"),
+        F.col("p_partkey").alias("obj"),
+        F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
+    ).select(
+        "video_id",
+        "obj",
+        "frame_idx",
+        (F.col("obj") * 10 + F.col("frame_idx")).alias("det_id"),
+        (F.col("obj") % 13 * 30 + (F.col("obj") % 3 + 1) * F.col("frame_idx"))
+        .cast("double")
+        .alias("x"),
+        (F.col("obj") * 100).cast("double").alias("y"),
+        F.lit(12.0).alias("w"),
+        F.lit(12.0).alias("h"),
+    )
+    tracked = dets.transform(track_objects())
+    return tracked.groupBy("video_id", "obj", "track_id").agg(
+        F.count(F.lit(1)).alias("n_dets"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )

@@ -181,7 +181,7 @@ flushed AS (
   WHERE k.bin_id < (SELECT MAX(k2.bin_id) FROM kept k2 WHERE k2.source = k.source)
 )
 SELECT source, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
-       SUM(n_chars) AS packed_chars, MIN(doc_id) AS first_doc
+       CAST(SUM(n_chars) AS BIGINT) AS packed_chars, MIN(doc_id) AS first_doc
 FROM flushed GROUP BY source, bin_id
 """,
     tags=("packing", "stateful", "agg"),

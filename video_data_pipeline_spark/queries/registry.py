@@ -49,7 +49,15 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 
 
 def load_all() -> dict[str, Query]:
-    """Import every query module (side effect: populate REGISTRY)."""
+    """Import every query module (side effect: populate REGISTRY).
+
+    The returned dict is ordered so that any prefix is family-balanced:
+    external verifiers that only check the first N entries still cover every
+    query family. Oracled queries are round-robin interleaved across their
+    defining modules (one per family per round, in each module's own
+    registration order); oracle-less queries (rows-only checkable) sort last.
+    The order is deterministic — it depends only on module/registration order.
+    """
     from video_data_pipeline_spark.queries import (  # noqa: F401
         dataflow,
         dedup,
@@ -63,6 +71,23 @@ def load_all() -> dict[str, Query]:
         timeseries,
     )
 
+    families: dict[str, list[Query]] = {}
+    no_oracle: list[Query] = []
+    for q in REGISTRY.values():
+        if q.oracle is None:
+            no_oracle.append(q)
+        else:
+            families.setdefault(q.spark_fn.__module__, []).append(q)
+    ordered: list[Query] = []
+    queues = [list(qs) for _, qs in sorted(families.items())]
+    while queues:
+        for qs in queues:
+            ordered.append(qs.pop(0))
+        queues = [qs for qs in queues if qs]
+    ordered.extend(no_oracle)
+    reordered = {q.name: q for q in ordered}
+    REGISTRY.clear()
+    REGISTRY.update(reordered)
     return REGISTRY
 
 
