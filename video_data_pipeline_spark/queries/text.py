@@ -503,7 +503,7 @@ def q_tfidf_top_terms(spark, sf_dir):
     oracle="""
 SELECT lang, COUNT(*) AS n_docs,
        COUNT(DISTINCT source) AS n_sources,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
        MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
 FROM documents GROUP BY lang

@@ -87,8 +87,9 @@ WITH ordered AS (
   FROM ordered
 ), sessions AS (
   SELECT user_id, event_id, t,
-         SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY t, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, COUNT(*) AS n_events,
@@ -161,7 +162,7 @@ def q_asof_join(spark, sf_dir):
     "q_json_props",
     oracle="""
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_total,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
        COUNT(*) AS n
 FROM events GROUP BY event_type
 """,
