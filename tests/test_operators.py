@@ -125,24 +125,6 @@ def test_associate_broadcast(spark):
 # --------------------------------------------------------------- packing
 
 
-def _greedy_reference(sizes, budget):
-    """Direct transliteration of tokenize/main.py:186-215 flush semantics."""
-    bins, acc, b = [], 0, 0
-    for s in sizes:
-        if s > budget:
-            bins.append(-1)
-            continue
-        if acc + s > budget:
-            b += 1
-            acc = 0
-        acc += s
-        bins.append(b)
-    # drop trailing partial
-    kept = [x for x in bins if x >= 0]
-    last = max(kept) if kept else None
-    return [x if 0 <= x < last else None if x == last else None for x in bins] if kept else bins
-
-
 def test_greedy_bin_pack_semantics(spark):
     sizes = [500, 600, 900, 100, 2500, 800, 700, 600, 123]
     rows = [("g", i, s) for i, s in enumerate(sizes)]
@@ -151,13 +133,15 @@ def test_greedy_bin_pack_semantics(spark):
         greedy_bin_pack(["g"], "pos", "sz", budget=2000, drop_partial=False)
     )
     got = {r.pos: r.bin_id for r in out.collect()}
-    # greedy: [500,600](+900 would fit: 500+600+900=2000 ≤ 2000 stays bin0),
-    # 100 overflows? 2000+100>2000 → bin1; 2500 skipped; 800,700 bin1 (=1600);
-    # 600 overflows → bin2; 123 bin2
-    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 5: 1, 6: 1, 7: 2, 8: 2}
+    # strict boundaries (reference keeps len < budget; a bin of exactly
+    # budget would trip check_sample's `len >= 8000` rule):
+    # [500,600] bin0 (900 would make exactly 2000 >= budget → flush);
+    # [900,100,800] bin1 (2500 skipped: >= budget; +700 → 2500 → flush);
+    # [700,600,123] bin2
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 5: 1, 6: 2, 7: 2, 8: 2}
     dropped = df.transform(greedy_bin_pack(["g"], "pos", "sz", budget=2000))
     got2 = {r.pos: r.bin_id for r in dropped.collect()}
-    assert got2 == {0: 0, 1: 0, 2: 0, 3: 1, 5: 1, 6: 1}  # trailing bin 2 dropped
+    assert got2 == {0: 0, 1: 0, 2: 1, 3: 1, 5: 1}  # trailing bin 2 dropped
 
 
 def test_shard_roll_semantics(spark):
@@ -276,3 +260,35 @@ def test_salted_agg_rejects_non_algebraic(spark):
 
     with _pytest.raises(ValueError, match="not algebraic"):
         salted_agg(["k"], {"bad": ("avg", "v")})
+
+
+# ------------------------------------------------------ connected components
+
+
+def test_connected_components_warns_and_cleans_up(spark):
+    import warnings as _w
+
+    from video_data_pipeline_spark.operators.components import connected_components
+
+    spark.catalog.clearCache()
+    # path graph 0-1-2-3-4: diameter 4 > max_iter=1 -> partial + warning
+    chain = _df(spark, [(i, i + 1) for i in range(4)], "src bigint, dst bigint")
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        connected_components(chain, max_iter=1).collect()
+    assert any("no convergence" in str(c.message) for c in caught)
+    # converged run: correct labels, warning-free, no persisted leftovers
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        out = connected_components(chain, max_iter=8)
+        got = {r.node: r.component for r in out.collect()}
+    assert got == {i: 0 for i in range(5)}
+    assert not any("no convergence" in str(c.message) for c in caught)
+    del out
+    import gc
+
+    gc.collect()
+    jsc = spark.sparkContext._jsc.sc()
+    # only the (GC-pending) final checkpoint may remain; all per-round
+    # persists must be gone
+    assert jsc.getPersistentRDDs().size() <= 2

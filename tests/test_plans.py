@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import glob
 import json
+import re
 import tarfile
 
 from pyspark.sql import functions as F
@@ -55,12 +56,25 @@ def test_pack_uniform_frames(spark, sf_dir, tmp_path):
         sample_type="uniform",
         n_frames=4,
     ).collect()
-    assert sum(m.nsamples for m in manifest) == 10
-    with tarfile.open(glob.glob(out + "/*.tar")[0]) as tar:
-        names = tar.getnames()
-    # one json + 4 frame members per sample, keyed "<key>.jpg.<i>"
-    assert sum(n.endswith(".json") for n in names) == 10
-    assert sum(".jpg." in n for n in names) == 40
+    # reference layout: one json sample per video + one jpg sample per frame
+    assert sum(m.nsamples for m in manifest) == 50
+    names, payloads = [], {}
+    for path in glob.glob(out + "/*.tar"):
+        with tarfile.open(path) as tar:
+            for n in tar.getnames():
+                names.append(n)
+                if n.endswith(".json"):
+                    payloads[n] = json.loads(tar.extractfile(n).read())
+    json_names = [n for n in names if n.endswith(".json")]
+    jpg_names = [n for n in names if n.endswith(".jpg")]
+    assert len(jpg_names) == 40
+    # keys: stable sequential 9-digit base ({idx:09d}), frames {idx:09d}-{i}
+    assert sorted(json_names) == [f"{i:09d}.json" for i in range(10)]
+    assert re.fullmatch(r"\d{9}-\d+\.jpg", sorted(jpg_names)[0])
+    # json sample records its frame keys (pack/pack.py:214-224)
+    first = sorted(json_names)[0]
+    base = first[:-5]
+    assert payloads[first]["image_name_list"] == [f"{base}-{i}" for i in range(4)]
 
 
 def test_tokenize_and_index_roundtrip(spark, sf_dir, tmp_path):

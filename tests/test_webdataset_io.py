@@ -150,6 +150,23 @@ def test_decode_only_restricts(spark, tmp_path):
     assert isinstance(row.cls, (bytes, bytearray))  # left raw binary
 
 
+def test_decode_inference_is_bounded_and_suffixes_bypasses(spark):
+    """Schema inference reads only the first ``sample_rows`` rows (never a
+    full-corpus pass): a suffix first appearing beyond the sample window is
+    invisible to inference, while explicit ``suffixes=`` needs no scan at
+    all and surfaces it."""
+    rows = [(f"{i:05d}", "s", 0, {"txt": b"x"}) for i in range(64)]
+    rows += [(f"{i:05d}", "s", 0, {"txt": b"y", "late": b"z"}) for i in range(64, 128)]
+    df = spark.createDataFrame(
+        rows, "__key__ string, __url__ string, __member_idx__ int, sample map<string,binary>"
+    ).coalesce(1)
+    inferred = decode_columns(df, sample_rows=32)
+    assert "late" not in inferred.columns  # bounded window never saw it
+    explicit = decode_columns(df, suffixes=["txt", "late"])
+    assert {"txt", "late"} <= set(explicit.columns)
+    assert explicit.where(F.col("late").isNotNull()).count() == 64
+
+
 def test_to_dict_map_filter(spark, tmp_path):
     from video_data_pipeline_spark.sources.webdataset import to_dict
 
@@ -175,3 +192,112 @@ def test_tgz_roundtrip_deterministic(spark, tmp_path):
     back = decode_columns(read_webdataset(spark, a))
     assert back.count() == 10
     assert back.orderBy("__key__").first().txt == "caption 0"
+
+
+# ------------------------------------------------- remote schemes (gopen)
+
+
+def _write_local_shard(spark, tmp_path, n=6):
+    out = str(tmp_path / "remote_src")
+    write_webdataset(
+        _sample_df(spark, n=n).repartition(1).sortWithinPartitions("__key__"),
+        out,
+        sample_col=None,
+    ).collect()
+    tars = sorted(glob.glob(out + "/*.tar"))
+    assert len(tars) == 1
+    return tars[0]
+
+
+def test_read_via_pipe_scheme(spark, tmp_path):
+    """pipe: URL (reference gopen_pipe): the shard streams from a shell
+    command's stdout inside each executor."""
+    tar_path = _write_local_shard(spark, tmp_path)
+    df = read_webdataset(spark, f"pipe:cat {tar_path}")
+    assert df.count() == 6
+    # select_files pushdown still applies on the piped stream
+    only_txt = read_webdataset(spark, f"pipe:cat {tar_path}", select_files="*.txt")
+    keys = only_txt.select(F.explode(F.map_keys("sample")).alias("k")).distinct().collect()
+    assert {r.k for r in keys} == {"txt"}
+
+
+def test_read_via_http_scheme(spark, tmp_path):
+    """http:// URL (reference gopen_curl path): executors stream the shard
+    over HTTP."""
+    import http.server
+    import threading
+
+    tar_path = _write_local_shard(spark, tmp_path)
+    directory = os.path.dirname(tar_path)
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=directory, **kw
+    )
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/{os.path.basename(tar_path)}"
+        df = read_webdataset(spark, url)
+        rows = df.orderBy("__key__").collect()
+        assert len(rows) == 6
+        assert rows[0].sample["txt"] == b"caption 0"
+        assert rows[0]["__url__"] == url
+    finally:
+        httpd.shutdown()
+
+
+def test_read_via_s3_scheme(spark, tmp_path):
+    """s3:// URL against an S3-compatible endpoint (moto server): executors
+    build their own boto3 clients from the endpoint_url option — no driver
+    proxying, matching reference gopen_s3/object-store reads."""
+    import boto3
+    from moto.server import ThreadedMotoServer
+
+    server = ThreadedMotoServer(port=0, verbose=False)
+    server.start()
+    host, port = server.get_host_and_port()
+    endpoint = f"http://{host}:{port}"
+    creds = dict(access_key_id="testing", secret_access_key="testing")
+    try:
+        tar_path = _write_local_shard(spark, tmp_path)
+        client = boto3.client(
+            "s3",
+            endpoint_url=endpoint,
+            aws_access_key_id="testing",
+            aws_secret_access_key="testing",
+            region_name="us-east-1",
+        )
+        client.create_bucket(Bucket="shards")
+        with open(tar_path, "rb") as fh:
+            client.put_object(Bucket="shards", Key="train/part-0.tar", Body=fh.read())
+        df = read_webdataset(
+            spark, "s3://shards/train/part-0.tar", endpoint_url=endpoint, **creds
+        )
+        rows = df.orderBy("__key__").collect()
+        assert len(rows) == 6
+        assert rows[0].sample["txt"] == b"caption 0"
+        # pushdown preserved over s3
+        only = read_webdataset(
+            spark,
+            "s3://shards/train/part-0.tar",
+            select_files="*.cls",
+            endpoint_url=endpoint,
+            **creds,
+        )
+        keys = only.select(F.explode(F.map_keys("sample")).alias("k")).distinct().collect()
+        assert {r.k for r in keys} == {"cls"}
+    finally:
+        server.stop()
+
+
+def test_gopen_scheme_table():
+    from video_data_pipeline_spark.sources.gopen import gopen, register_scheme, url_scheme
+
+    assert url_scheme("pipe:cat x.tar") == "pipe"
+    assert url_scheme("s3://b/k.tar") == "s3"
+    assert url_scheme("/abs/path.tar") == "file"
+    with pytest.raises(ValueError, match="no gopen handler"):
+        gopen("gs://bucket/x.tar")
+    register_scheme("gs", lambda url, mode, **kw: io.BytesIO(b"fake"))
+    assert gopen("gs://bucket/x.tar").read() == b"fake"

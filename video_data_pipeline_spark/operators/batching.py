@@ -33,29 +33,30 @@ def _global_index(
     depends only on the total order."""
     spark = df.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
-    cols = [F.col(c) for c in order_by]
-    # bounded, content-hash sample of order keys (no rand(); one pruned scan)
+    # Bucket on the FIRST order column only: a monotone prefix of the sort
+    # key keeps the global index correct (equal leading keys share a bucket
+    # and are ordered within it by the remaining columns), and scalar
+    # boundary comparisons stay inside whole-stage codegen — struct-tuple
+    # comparisons fall back to interpreted ordering and cost ~1s/600k rows.
+    first = order_by[0]
+    dtype = df.schema[first].dataType
+    # bounded, content-hash sample of leading keys (no rand(); pruned scan)
     cap = max(n * 20, 200)
     sample = (
-        df.select(*order_by)
-        .where(F.pmod(F.xxhash64(*cols), F.lit(101)) == F.lit(0))
+        df.select(first)
+        .where(F.pmod(F.xxhash64(F.col(first)), F.lit(101)) == F.lit(0))
         .limit(cap)
         .collect()
     )
-    keys = sorted({tuple(r) for r in sample})
+    keys = sorted({r[0] for r in sample if r[0] is not None})
     if len(keys) > n - 1:
         step = len(keys) / n
         bounds = sorted({keys[int(step * i)] for i in range(1, n)})
     else:
         bounds = keys
-    fields = {c: df.schema[c].dataType for c in order_by}
-    key_struct = F.struct(*cols)
     bucket = F.lit(0)
-    for b in bounds:
-        lit_struct = F.struct(
-            *[F.lit(v).cast(fields[c]).alias(c) for c, v in zip(order_by, b)]
-        )
-        bucket = bucket + F.when(key_struct >= lit_struct, 1).otherwise(0)
+    for v in bounds:
+        bucket = bucket + F.when(F.col(first) >= F.lit(v).cast(dtype), 1).otherwise(0)
     bucketed = df.withColumn("__b__", bucket)
     counts = bucketed.groupBy("__b__").count().collect()
     offsets: dict[int, int] = {}

@@ -30,7 +30,8 @@ def greedy_bin_pack(
 ):
     """Assign ``bin_col`` per group by the reference's greedy first-fit loop.
 
-    Rows over budget are dropped (reference ``continue``); with
+    Rows at-or-over budget are dropped (reference keeps strictly
+    ``len < budget``, main.py:193); with
     ``drop_partial`` the unflushed trailing bin is dropped (reference drops
     it to avoid duplicate keys, main.py:212-215).
     """
@@ -39,10 +40,16 @@ def greedy_bin_pack(
         pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
         bins, acc, bin_id = [], 0, 0
         for size in pdf[size_col]:
-            if size > budget:
-                bins.append(-1)  # individually over budget: skipped
+            if size >= budget:
+                # strict boundary: the reference keeps only len < budget
+                # (tokenize/main.py:193 `< 8000`), matching check_sample's
+                # `len >= 8000` violation rule — a sample of exactly budget
+                # is skipped, never packed-then-flagged
+                bins.append(-1)
                 continue
-            if acc + size > budget:
+            if acc + size >= budget:
+                # flush is strict too: a merged bin of exactly budget would
+                # trip the same `len >= 8000` check_sample rule downstream
                 bin_id += 1
                 acc = 0
             acc += size

@@ -63,11 +63,15 @@ def pack_dataset(
 
     ensure_shipped(meta.sparkSession)
     meta = build_conversations(meta)
-    # zero-padded sample keys, the reference's f"{idx:09d}" (pack/pack.py:155)
-    keyed = meta.withColumn(
-        "__key__",
-        F.format_string("%09d", F.monotonically_increasing_id()),
-    )
+    # zero-padded sample keys, the reference's f"{idx:09d}" (pack/pack.py:155).
+    # Keys come from a STABLE global index over the deterministic video_path
+    # order — not monotonically_increasing_id, whose values depend on
+    # partition layout and exceed 9 digits past partition 0.
+    from video_data_pipeline_spark.operators.batching import global_index
+
+    keyed = meta.transform(global_index(["video_path"], idx_col="__idx__")).withColumn(
+        "__key__", F.format_string("%09d", F.col("__idx__"))
+    ).drop("__idx__")
 
     fetch_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in keyed.schema.fields
@@ -101,18 +105,35 @@ def pack_dataset(
         sampled = with_video.mapInPandas(
             lambda it: sample_frames_batch(it, n_frames=n_frames), schema=frame_schema
         )
-        # members: json + one jpg per frame keyed "<key>-<i>" (samplers.py:112-117)
-        entries = F.map_from_arrays(
-            F.concat(
-                F.array(F.lit("json")),
-                F.transform(
-                    F.sequence(F.lit(0), F.size("frames") - 1),
-                    lambda i: F.concat(F.lit("jpg."), i.cast("string")),
-                ),
-            ),
-            F.concat(F.array(json_payload.cast("binary")), F.col("frames")),
+        # reference layout (pack/pack.py:214-224 + samplers.py:112-117): one
+        # json sample keyed {idx:09d} carrying image_name_list, plus one
+        # SEPARATE sample per frame keyed {idx:09d}-{i} with suffix `jpg` —
+        # standard to_dict('jpg;png;jpeg') pipelines then decode each frame.
+        image_names = F.transform(
+            F.sequence(F.lit(0), F.size("frames") - 1),
+            lambda i: F.concat(F.col("__key__"), F.lit("-"), i.cast("string")),
         )
-        samples = sampled.select("__key__", entries.alias("sample"))
+        uniform_json = F.to_json(
+            F.struct(
+                F.col("conversations"),
+                F.array(F.col("video_path")).alias("videos"),
+                image_names.alias("image_name_list"),
+            )
+        )
+        json_samples = sampled.select(
+            "__key__",
+            F.create_map(F.lit("json"), uniform_json.cast("binary")).alias("sample"),
+        )
+        frame_samples = sampled.select(
+            F.col("__key__").alias("__base__"),
+            F.posexplode("frames").alias("pos", "frame"),
+        ).select(
+            F.concat(F.col("__base__"), F.lit("-"), F.col("pos").cast("string")).alias(
+                "__key__"
+            ),
+            F.create_map(F.lit("jpg"), F.col("frame")).alias("sample"),
+        )
+        samples = json_samples.unionByName(frame_samples)
     else:
         raise ValueError(f"unknown sample_type {sample_type!r}")
 

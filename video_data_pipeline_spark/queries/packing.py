@@ -33,20 +33,20 @@ WITH RECURSIVE ordered AS (
   FROM documents
 ), walk AS (
   SELECT source, doc_id, n_chars, rn,
-         CASE WHEN n_chars > {budget} THEN -1 ELSE 0 END AS bin_id,
-         CASE WHEN n_chars > {budget} THEN 0 ELSE n_chars END AS acc,
+         CASE WHEN n_chars >= {budget} THEN -1 ELSE 0 END AS bin_id,
+         CASE WHEN n_chars >= {budget} THEN 0 ELSE n_chars END AS acc,
          0 AS cur_bin
   FROM ordered WHERE rn = 1
   UNION ALL
   SELECT o.source, o.doc_id, o.n_chars, o.rn,
-         CASE WHEN o.n_chars > {budget} THEN -1
-              WHEN w.acc + o.n_chars > {budget} THEN w.cur_bin + 1
+         CASE WHEN o.n_chars >= {budget} THEN -1
+              WHEN w.acc + o.n_chars >= {budget} THEN w.cur_bin + 1
               ELSE w.cur_bin END,
-         CASE WHEN o.n_chars > {budget} THEN w.acc
-              WHEN w.acc + o.n_chars > {budget} THEN o.n_chars
+         CASE WHEN o.n_chars >= {budget} THEN w.acc
+              WHEN w.acc + o.n_chars >= {budget} THEN o.n_chars
               ELSE w.acc + o.n_chars END,
-         CASE WHEN o.n_chars > {budget} THEN w.cur_bin
-              WHEN w.acc + o.n_chars > {budget} THEN w.cur_bin + 1
+         CASE WHEN o.n_chars >= {budget} THEN w.cur_bin
+              WHEN w.acc + o.n_chars >= {budget} THEN w.cur_bin + 1
               ELSE w.cur_bin END
   FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
 ), kept AS (SELECT source, doc_id, n_chars, bin_id FROM walk WHERE bin_id >= 0)
@@ -159,20 +159,20 @@ WITH RECURSIVE ordered AS (
   FROM documents
 ), walk AS (
   SELECT source, doc_id, n_chars, rn,
-         CASE WHEN n_chars > {_BUDGET} THEN -1 ELSE 0 END AS bin_id,
-         CASE WHEN n_chars > {_BUDGET} THEN 0 ELSE n_chars END AS acc,
+         CASE WHEN n_chars >= {_BUDGET} THEN -1 ELSE 0 END AS bin_id,
+         CASE WHEN n_chars >= {_BUDGET} THEN 0 ELSE n_chars END AS acc,
          0 AS cur_bin
   FROM ordered WHERE rn = 1
   UNION ALL
   SELECT o.source, o.doc_id, o.n_chars, o.rn,
-         CASE WHEN o.n_chars > {_BUDGET} THEN -1
-              WHEN w.acc + o.n_chars > {_BUDGET} THEN w.cur_bin + 1
+         CASE WHEN o.n_chars >= {_BUDGET} THEN -1
+              WHEN w.acc + o.n_chars >= {_BUDGET} THEN w.cur_bin + 1
               ELSE w.cur_bin END,
-         CASE WHEN o.n_chars > {_BUDGET} THEN w.acc
-              WHEN w.acc + o.n_chars > {_BUDGET} THEN o.n_chars
+         CASE WHEN o.n_chars >= {_BUDGET} THEN w.acc
+              WHEN w.acc + o.n_chars >= {_BUDGET} THEN o.n_chars
               ELSE w.acc + o.n_chars END,
-         CASE WHEN o.n_chars > {_BUDGET} THEN w.cur_bin
-              WHEN w.acc + o.n_chars > {_BUDGET} THEN w.cur_bin + 1
+         CASE WHEN o.n_chars >= {_BUDGET} THEN w.cur_bin
+              WHEN w.acc + o.n_chars >= {_BUDGET} THEN w.cur_bin + 1
               ELSE w.cur_bin END
   FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
 ), kept AS (SELECT source, doc_id, n_chars, bin_id FROM walk WHERE bin_id >= 0),

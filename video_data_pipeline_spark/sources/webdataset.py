@@ -120,6 +120,11 @@ class _WebDatasetReader(DataSourceReader):
         self.paths = expand_paths(options.get("path", ""))
         self.select = options.get("select_files")
         self.rename = options.get("rename_files")
+        self.gopen_kw = {
+            k: options[k]
+            for k in ("endpoint_url", "access_key_id", "secret_access_key")
+            if options.get(k)
+        }
 
     def partitions(self):
         return [_ShardPartition(p) for p in self.paths]
@@ -143,11 +148,19 @@ class _WebDatasetReader(DataSourceReader):
                         return f[: -len(old)] + new
                 return f
 
-        with open(partition.path, "rb") as fh:
+        from video_data_pipeline_spark.sources.gopen import gopen
+
+        # scheme-dispatch open (gopen.py:316-344 semantics): each executor
+        # streams its shard straight from file/pipe/http/s3 — the driver
+        # never proxies bytes
+        fh = gopen(partition.path, "rb", **self.gopen_kw)
+        try:
             for key, idx, sample in iter_tar_samples(
                 fh, partition.path, select_files, rename_files
             ):
                 yield (key, partition.path, idx, sample)
+        finally:
+            fh.close()
 
 
 class WebDatasetDataSource(DataSource):
@@ -176,9 +189,15 @@ def expand_paths(path_spec: str) -> list[str]:
 
     from video_data_pipeline_spark.sources.shardlists import expand_urls
 
+    from video_data_pipeline_spark.sources.gopen import is_remote
+
     out: list[str] = []
     for p in expand_urls(path_spec.split(",")):
-        if os.path.isdir(p):
+        if is_remote(p):
+            # remote URL: no local glob/dir expansion (brace/`::` expansion
+            # already happened in expand_urls)
+            out.append(p)
+        elif os.path.isdir(p):
             hits = []
             for pat in ("*.tar", "*.tgz", "*.tar.gz"):
                 hits.extend(globmod.glob(os.path.join(p, pat)))
@@ -208,16 +227,30 @@ def read_webdataset(
     paths: str | list[str],
     select_files: str | None = None,
     rename_files: str | None = None,
+    endpoint_url: str | None = None,
+    access_key_id: str | None = None,
+    secret_access_key: str | None = None,
 ) -> DataFrame:
-    """Scan tar shards into a sample DataFrame (see module docstring)."""
+    """Scan tar shards into a sample DataFrame (see module docstring).
+
+    ``paths`` may mix schemes (``file``/``pipe:``/``http(s)``/``s3``);
+    ``endpoint_url`` (+ optional explicit keys) targets S3-compatible
+    stores (MinIO etc.) — in production omit them and executors use the
+    standard boto3 credential chain."""
     register(spark)
     if isinstance(paths, list):
         paths = ",".join(paths)
     reader = spark.read.format("webdataset").option("path", paths)
-    if select_files:
-        reader = reader.option("select_files", select_files)
-    if rename_files:
-        reader = reader.option("rename_files", rename_files)
+    opts = {
+        "select_files": select_files,
+        "rename_files": rename_files,
+        "endpoint_url": endpoint_url,
+        "access_key_id": access_key_id,
+        "secret_access_key": secret_access_key,
+    }
+    for k, v in opts.items():
+        if v:
+            reader = reader.option(k, v)
     return reader.load()
 
 
@@ -241,6 +274,8 @@ def decode_columns(
     extra: dict[str, str] | None = None,
     keep_sample: bool = False,
     only: list[str] | None = None,
+    suffixes: list[str] | None = None,
+    sample_rows: int = 1024,
 ) -> DataFrame:
     """Promote map entries to typed top-level columns (the ``decode`` stage,
     filters.py:283-302 + autodecode).
@@ -251,11 +286,24 @@ def decode_columns(
     stay in the map as binary for UDF decoding. ``only=`` restricts which
     suffixes are *decoded* — others surface as raw binary (reference
     ``decode(only=...)``/``Decoder.partial``, autodecode.py:482-547).
+
+    Column discovery: pass ``suffixes=`` to skip inference entirely (the
+    scale path — zero pre-pass); otherwise suffixes are inferred from the
+    first ``sample_rows`` rows only (SURVEY §7: "schema inferred from a
+    sampled scan"), NEVER a full-corpus pass. WebDataset shards are
+    homogeneous by convention, so a bounded prefix sees every suffix; a
+    suffix appearing only deeper into the corpus needs ``suffixes=``.
     """
-    present = {
-        k for row in df.select(F.explode(F.map_keys("sample")).alias("k")).distinct().collect()
-        for k in [row.k]
-    }
+    if suffixes is not None:
+        present = set(suffixes)
+    else:
+        present = {
+            row.k
+            for row in df.limit(sample_rows)
+            .select(F.explode(F.map_keys("sample")).alias("k"))
+            .distinct()
+            .collect()
+        }
     cols = [F.col("__key__"), F.col("__url__"), F.col("__member_idx__")]
     decoders = dict(_BASIC_DECODERS)
     decoders.update(extra or {})
