@@ -35,18 +35,43 @@ from pyspark.sql import DataFrame
 
 
 def _encode(suffix: str, value) -> bytes:
-    """Extension encoder table (writer.py:135-233 subset: the always-valid
-    encodings; media columns must already be bytes)."""
+    """Extension encoder table (writer.py:135-233 ``make_handlers``):
+    text/int/json plus pickle (``pyd``/``pickle``), numpy (``npy``/
+    ``npz``), TenBin (``ten``/``tenbin``/``tb``) and gated msgpack
+    (``mp``/``msgpack``/``msg``); already-encoded ``binary`` values pass
+    through (media/image encoding is a UDF upstream)."""
     if value is None:
         raise ValueError("cannot encode None")
     if isinstance(value, (bytes, bytearray, memoryview)):
         return bytes(value)
-    if suffix in ("txt", "text", "transcript"):
+    if suffix in ("txt", "text", "transcript", "html", "htm"):
         return str(value).encode("utf-8")
-    if suffix in ("cls", "cls2", "index", "inx", "id"):
+    if suffix in ("cls", "cls2", "class", "count", "index", "inx", "id"):
         return str(int(value)).encode("ascii")
     if suffix in ("json", "jsn"):
         return json.dumps(value, sort_keys=True, ensure_ascii=False).encode("utf-8")
+    if suffix in ("pyd", "pickle"):
+        from video_data_pipeline_spark.functions.codecs import pickle_encode
+
+        return pickle_encode(value)
+    if suffix == "npy":
+        from video_data_pipeline_spark.functions.codecs import npy_encode
+
+        return npy_encode(value)
+    if suffix == "npz":
+        from video_data_pipeline_spark.functions.codecs import npz_encode
+
+        if not isinstance(value, dict):
+            value = {"arr_0": value}
+        return npz_encode(value)
+    if suffix in ("ten", "tenbin", "tb"):
+        from video_data_pipeline_spark.functions.codecs import tenbin_encode
+
+        return tenbin_encode(value)
+    if suffix in ("mp", "msgpack", "msg"):
+        from video_data_pipeline_spark.functions.codecs import msgpack_encode
+
+        return msgpack_encode(value)
     if isinstance(value, str):
         return value.encode("utf-8")
     raise ValueError(f"no encoder for suffix {suffix!r} / type {type(value).__name__}")
