@@ -25,15 +25,16 @@ from video_data_pipeline_spark.sources.webdataset import base_plus_ext
 
 
 def greedy_reference(sizes: list[int], budget: int) -> list[int]:
-    """Transliteration of tokenize/main.py:186-215 (skip oversize, flush on
-    overflow) — the spec the Spark operator and the recursive-CTE oracle
-    must both match."""
+    """Transliteration of tokenize/main.py:186-215 with the checker-safe
+    STRICT boundary (keep only len < budget, main.py:193; flush before a
+    bin would reach budget) — the spec the Spark operator and the
+    recursive-CTE oracle must both match."""
     bins, acc, b = [], 0, 0
     for s in sizes:
-        if s > budget:
+        if s >= budget:
             bins.append(-1)
             continue
-        if acc + s > budget:
+        if acc + s >= budget:
             b += 1
             acc = 0
         acc += s
@@ -48,19 +49,20 @@ def greedy_reference(sizes: list[int], budget: int) -> list[int]:
 @settings(max_examples=200)
 def test_greedy_pack_invariants(sizes, budget):
     bins = greedy_reference(sizes, budget)
-    # every kept bin's total fits the budget
+    # every kept bin's total stays strictly under budget (check_sample's
+    # len >= 8000 rule can never fire on a packed bin)
     totals: dict[int, int] = {}
     for s, b in zip(sizes, bins):
         if b >= 0:
             totals[b] = totals.get(b, 0) + s
-    assert all(t <= budget for t in totals.values())
+    assert all(t < budget for t in totals.values())
     # bin ids are contiguous non-decreasing over kept rows
     kept = [b for b in bins if b >= 0]
     assert kept == sorted(kept)
     if kept:
         assert set(kept) == set(range(max(kept) + 1))
-    # oversize rows are exactly the skipped ones
-    assert all((b == -1) == (s > budget) for s, b in zip(sizes, bins))
+    # at-or-over-size rows are exactly the skipped ones
+    assert all((b == -1) == (s >= budget) for s, b in zip(sizes, bins))
 
 
 # ---------------------------------------------------------- uniform sample
@@ -163,8 +165,61 @@ def test_detokenize_and_vocab():
 
     ids, mask = tokenize_conversation([("human", "hi"), ("gpt", "yo")], n_images=1)
     text = detokenize(ids)
-    assert text.startswith("<s> <im_start> <im_patch>")
-    assert "</s>" in text
+    # reference detokenize spacing pads each special with spaces (runs of
+    # consecutive specials produce runs of blanks) — compare token-wise
+    assert text.split()[:3] == ["<s>", "<im_start>", "<im_patch>"]
+    assert "</s>" in text.split()
     assert vocab_size_with_padding(32000, 128, 1) == 32000
     assert vocab_size_with_padding(32001, 128, 1) == 32128
     assert vocab_size_with_padding(100, 128, 8) == 1024
+
+
+def test_special_token_scan_splice_counts():
+    """Reference fixture: <image> expands to <im_start>+256*<im_patch>+
+    <im_end> and the greedy scan splices exactly those ids around encoded
+    words (index/check_pair.py:37-40 invariants)."""
+    from video_data_pipeline_spark.functions.text import (
+        IM_END,
+        IM_PATCH,
+        IM_START,
+        check_sample,
+        encode_text,
+        expand_image_markers,
+        tokenize_with_specials,
+    )
+
+    text = expand_image_markers("hello <image> brave new world")
+    ids = tokenize_with_specials(text)
+    assert ids.count(IM_START) == 1
+    assert ids.count(IM_PATCH) == 256
+    assert ids.count(IM_END) == 1
+    # layout: hello, start, 256 patches, end, 3 words
+    assert ids[0] == encode_text("hello")[0]
+    assert ids[1] == IM_START
+    assert ids[258] == IM_END
+    assert ids[259:] == encode_text("brave new world")
+    assert check_sample(ids, [0] * len(ids), n_images=1) is None
+    # two images double the patch count, still balanced
+    ids2 = tokenize_with_specials(expand_image_markers("<image><image>"))
+    assert ids2.count(IM_PATCH) == 512
+    assert check_sample(ids2, [0] * len(ids2), n_images=2) is None
+
+
+def test_special_token_scan_earliest_and_ties():
+    from video_data_pipeline_spark.functions.text import (
+        detokenize_with_specials,
+        tokenize_with_specials,
+    )
+
+    # earliest occurrence wins regardless of dict order
+    specials = {"<b>": 101, "<a>": 100}
+    assert tokenize_with_specials("<a>x<b>", specials, encode=lambda t: []) == [100, 101]
+    # at the same index, the first special in dict order wins (reference
+    # min(indices, key=indices.get) semantics): "ab" shadows prefix-shared
+    # "abc" when listed first
+    ids = tokenize_with_specials("abc", {"ab": 1, "abc": 2}, encode=lambda t: [])
+    assert ids == [1]  # "ab" consumed first; trailing "c" encodes to []
+    assert tokenize_with_specials("abc", {"abc": 2, "ab": 1}, encode=lambda t: []) == [2]
+    # detokenize spacing: names spliced with spaces, outer strip
+    out = detokenize_with_specials([7, 100, 8], {100: "<a>"}, decode=lambda r: "·".join(map(str, r)))
+    assert out == "7 <a> 8"

@@ -132,6 +132,75 @@ _SPECIAL_NAMES = {
     IM_END: "<im_end>",
 }
 
+#: text-form special tokens for the scan (tokenize/tokenizer.py:613-628 set)
+SPECIAL_TOKENS = {
+    "<im_start>": IM_START,
+    "<im_patch>": IM_PATCH,
+    "<im_end>": IM_END,
+}
+
+
+def tokenize_with_specials(
+    text: str,
+    specials: dict[str, int] | None = None,
+    encode=encode_text,
+) -> list[int]:
+    """The reference's greedy earliest-special scan
+    (tokenize/tokenizer.py:650-672), tokenizer-agnostic: repeatedly find
+    the earliest special-token substring, base-encode the text before it,
+    splice the special id, continue past it. Ties at the same index
+    resolve to the first special in dict order (the reference's
+    ``min(indices, key=indices.get)``). Only the base ``encode`` differs
+    between the hash stand-in and SentencePiece (``sp.encode_as_ids``)."""
+    specials = SPECIAL_TOKENS if specials is None else specials
+    ids: list[int] = []
+    idx = 0
+    while True:
+        indices: dict[str, int] = {}
+        for token in specials:
+            found = text.find(token, idx)
+            if found != -1:
+                indices[token] = found - idx
+        if not indices:
+            break
+        next_token = min(indices, key=indices.get)
+        next_idx = idx + indices[next_token]
+        ids.extend(encode(text[idx:next_idx]))
+        ids.append(specials[next_token])
+        idx = next_idx + len(next_token)
+    ids.extend(encode(text[idx:]))
+    return ids
+
+
+def detokenize_with_specials(
+    ids: list[int],
+    inv_specials: dict[int, str] | None = None,
+    decode=None,
+) -> str:
+    """The reference's detokenize spacing (tokenize/tokenizer.py:674-686):
+    decoded runs and special-token names joined with single spaces, outer
+    whitespace stripped. ``decode`` renders a run of ordinary ids (for the
+    hash tokenizer that's placeholder rendering; for SentencePiece,
+    ``sp.decode_ids``)."""
+    inv = _SPECIAL_NAMES if inv_specials is None else inv_specials
+    if decode is None:
+        decode = lambda run: " ".join(f"⟨{i}⟩" for i in run)  # noqa: E731
+    text = ""
+    last_i = 0
+    for i, tid in enumerate(ids):
+        if tid in inv:
+            text += decode(ids[last_i:i]) + " "
+            text += inv[tid] + " "
+            last_i = i + 1
+    text += decode(ids[last_i:])
+    return text.strip()
+
+
+def expand_image_markers(text: str, n_patches: int = N_PATCHES) -> str:
+    """``<image>`` → ``<im_start>`` + 256·``<im_patch>`` + ``<im_end>`` in
+    text form (tokenize/main.py:94-112 preprocessing before the scan)."""
+    return text.replace("<image>", "<im_start>" + "<im_patch>" * n_patches + "<im_end>")
+
 
 def detokenize(ids: list[int]) -> str:
     """Inverse rendering for inspection (reference ``detokenize``,
@@ -141,10 +210,40 @@ def detokenize(ids: list[int]) -> str:
     placeholders while special tokens render by name — enough to audit
     structure (BOS/EOS placement, image blocks, masking spans), which is
     what the reference's golden dump checks."""
-    out = []
-    for i in ids:
-        out.append(_SPECIAL_NAMES.get(i, f"⟨{i}⟩"))
-    return " ".join(out)
+    return detokenize_with_specials(ids)
+
+
+class SentencePieceTokenizer:
+    """SentencePiece-backed tokenizer with the reference's special-token
+    splice semantics (tokenize/tokenizer.py:600-686).
+
+    The scan/detokenize logic is the generic, tested
+    :func:`tokenize_with_specials` / :func:`detokenize_with_specials`;
+    ONLY the base ``sp.encode_as_ids`` / ``sp.decode_ids`` need the
+    sentencepiece library + model file, so environments without them still
+    exercise the full special-token semantics through the hash tokenizer."""
+
+    def __init__(self, model_path: str, specials: dict[str, int] | None = None):
+        if not HAVE_SENTENCEPIECE:  # pragma: no cover - environment-dependent
+            raise NotImplementedError(
+                "sentencepiece is not installed; the hash tokenizer path "
+                "(tokenize_with_specials + encode_text) is the stand-in"
+            )
+        import sentencepiece as spm  # pragma: no cover
+
+        self._sp = spm.SentencePieceProcessor(model_file=model_path)  # pragma: no cover
+        self._specials = dict(specials or SPECIAL_TOKENS)  # pragma: no cover
+        self._inv = {v: k for k, v in self._specials.items()}  # pragma: no cover
+
+    def tokenize(self, text: str) -> list[int]:  # pragma: no cover
+        return tokenize_with_specials(text, self._specials, self._sp.encode_as_ids)
+
+    def detokenize(self, ids: list[int]) -> str:  # pragma: no cover
+        return detokenize_with_specials(ids, self._inv, self._sp.decode_ids)
+
+    @property
+    def vocab_size(self) -> int:  # pragma: no cover
+        return self._sp.vocab_size()
 
 
 def vocab_size_with_padding(

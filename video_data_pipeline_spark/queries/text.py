@@ -522,3 +522,79 @@ def q_corpus_stats(spark, sf_dir):
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@query(
+    "q_special_splice",
+    oracle="""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), ' +')) END AS n_words,
+         CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(list_aggregate(list_transform(
+                     string_split_regex(trim(text), ' +'),
+                     w -> 3 + (('0x' || substr(md5(w), 1, 15))::BIGINT) % 31997),
+                   'sum') AS BIGINT) END AS words_sum
+  FROM documents WHERE doc_id % 10 = 3
+)
+SELECT doc_id,
+       CAST(n_words + 258 AS BIGINT) AS n_ids,
+       CAST(1 AS BIGINT) AS n_start,
+       CAST(256 AS BIGINT) AS n_patch,
+       CAST(1 AS BIGINT) AS n_end,
+       CAST(words_sum + 32001 + 256 * 32000 + 32002 AS BIGINT) AS ids_sum
+FROM base
+""",
+    tags=("text", "tokenize", "special"),
+)
+def q_special_splice(spark, sf_dir):
+    """The greedy earliest-special tokenize scan
+    (tokenize/tokenizer.py:650-672) run END-TO-END: each doc gets an
+    ``<image>`` marker expanded to <im_start>+256·<im_patch>+<im_end> in
+    text form (tokenize/main.py:94-112), then the REAL
+    ``tokenize_with_specials`` (Arrow-batched mapInPandas) splices special
+    ids around hash-encoded words. The oracle derives the exact id counts
+    and id-sum closed-form — the index/check_pair.py:37-40 invariants as a
+    hard value check, not just rows."""
+    import pandas as pd
+
+    from video_data_pipeline_spark.functions.text import (
+        IM_END,
+        IM_PATCH,
+        IM_START,
+        expand_image_markers,
+        tokenize_with_specials,
+    )
+    from video_data_pipeline_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 3).select(
+        "doc_id", "text"
+    )
+
+    def _scan(it):
+        for pdf in it:
+            out_rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ids = tokenize_with_specials(expand_image_markers("<image> " + (text or "")))
+                out_rows.append(
+                    (
+                        doc_id,
+                        len(ids),
+                        sum(1 for i in ids if i == IM_START),
+                        sum(1 for i in ids if i == IM_PATCH),
+                        sum(1 for i in ids if i == IM_END),
+                        sum(ids),
+                    )
+                )
+            yield pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "n_ids", "n_start", "n_patch", "n_end", "ids_sum"],
+            )
+
+    return d.mapInPandas(
+        _scan,
+        schema="doc_id bigint, n_ids bigint, n_start bigint, n_patch bigint, "
+        "n_end bigint, ids_sum bigint",
+    )
