@@ -90,3 +90,115 @@ def test_dispatch(spark, tmp_path):
         tmp_path, "p.jsonl", json.dumps({"video_path": "v.mp4", "caption": "c"})
     )
     assert load_dataset(spark, "jsonl", path).first().value == "c"
+
+
+def test_load_hd3m_prefix_join(spark, tmp_path):
+    from video_data_pipeline_spark.sources.metadata import load_hd3m
+
+    path = _write(
+        tmp_path,
+        "hd3m.json",
+        json.dumps([
+            {"video": "clips/a.mp4", "caption": "ca"},
+            {"video": "clips/b.mp4", "caption": "cb"},
+        ]),
+    )
+    rows = {r.video_path: r.value for r in load_hd3m(spark, path, prefix="s3://hd3m/").collect()}
+    assert rows == {"s3://hd3m/clips/a.mp4": "ca", "s3://hd3m/clips/b.mp4": "cb"}
+
+
+def test_load_ego4d_absolute_paths(spark, tmp_path):
+    from video_data_pipeline_spark.sources.metadata import load_ego4d
+
+    path = _write(
+        tmp_path,
+        "ego4d.json",
+        json.dumps([{"video_path": "/abs/e0.mp4", "caption": "c0"}]),
+    )
+    row = load_ego4d(spark, path).first()
+    assert row.video_path == "/abs/e0.mp4" and row.value == "c0"
+
+
+def test_load_cambrain_columnar_pivot(spark, tmp_path):
+    from video_data_pipeline_spark.sources.metadata import load_cambrain
+
+    path = _write(
+        tmp_path,
+        "cambrain.json",
+        json.dumps({
+            "image": {"0": "im0.jpg", "1": "im1.jpg"},
+            "value": {"0": "v0", "1": "v1"},
+        }),
+    )
+    rows = {r.video_path: r.value for r in load_cambrain(spark, path, prefix="pfx").collect()}
+    assert rows == {"pfx/im0.jpg": "v0", "pfx/im1.jpg": "v1"}
+
+
+def test_load_merlin_interleave(spark, tmp_path):
+    from video_data_pipeline_spark.sources.metadata import load_merlin
+
+    path = _write(
+        tmp_path,
+        "merlin.json",
+        json.dumps([
+            {"image_info": ["i0.jpg", "i1.jpg"], "text_list": ["t0", "t1", "t2"]},
+        ]),
+    )
+    row = load_merlin(spark, path).first()
+    assert list(row.video_path) == ["i0.jpg", "i1.jpg"]
+    assert list(row.value) == ["t0", "t1", "t2"]
+
+
+def test_load_videochat2_multi_qa(spark, tmp_path):
+    from video_data_pipeline_spark.sources.metadata import load_videochat2
+
+    path = _write(
+        tmp_path,
+        "vc2.json",
+        json.dumps([
+            {
+                "images": ["a.jpg", "b.jpg"],
+                "conversations": [
+                    {"from": "human", "value": "q1"},
+                    {"from": "gpt", "value": "a1"},
+                    {"from": "human", "value": "q2"},
+                    {"from": "gpt", "value": "a2"},
+                ],
+            }
+        ]),
+    )
+    row = load_videochat2(spark, path).first()
+    assert list(row.images) == ["a.jpg", "b.jpg"]
+    assert [c["from"] for c in row.conversations] == ["human", "gpt", "human", "gpt"]
+
+
+def test_load_how2link_clip_path_quirk(spark, tmp_path):
+    """Reference keeps only the LAST THREE path segments of clip_path and
+    appends .mp4 (dataset_loader.py:139)."""
+    from video_data_pipeline_spark.sources.metadata import load_how2link
+
+    recs = [{"clips": [
+        {"clip_path": "/deep/nested/dir/x/y/z", "caption": "c"},
+        {"clip_path": "a/b", "caption": "d"},
+    ]}]
+    path = _write(tmp_path, "h2l2.jsonl", "\n".join(json.dumps(r) for r in recs))
+    rows = {r.video_path: r.value for r in load_how2link(spark, path, prefix="p").collect()}
+    assert rows == {"p/x/y/z.mp4": "c", "p/a/b.mp4": "d"}
+
+
+def test_load_llava_prefix(spark, tmp_path):
+    from video_data_pipeline_spark.sources.metadata import load_llava
+
+    path = _write(
+        tmp_path,
+        "llava.json",
+        json.dumps([
+            {"image": "00/im.jpg", "conversations": [
+                {"from": "human", "value": "<image>\nwhat"},
+                {"from": "gpt", "value": "ans"},
+            ]}
+        ]),
+    )
+    row = load_llava(spark, path, prefix="/mnt/llava").first()
+    assert row.video_path == "/mnt/llava/00/im.jpg"
+    assert row.value[1]["value"] == "ans"

@@ -301,3 +301,23 @@ def test_gopen_scheme_table():
         gopen("gs://bucket/x.tar")
     register_scheme("gs", lambda url, mode, **kw: io.BytesIO(b"fake"))
     assert gopen("gs://bucket/x.tar").read() == b"fake"
+
+
+def test_member_level_gz_decode(spark, tmp_path):
+    """Reference gzfilter/Continue (autodecode.py:430-463): a `txt.gz`
+    member decompresses transparently and continues decoding as `txt`,
+    surfacing under the stripped name."""
+    import gzip
+
+    out = str(tmp_path / "gz_members")
+    rows = [
+        (f"{i:05d}", {"txt.gz": gzip.compress(f"zipped {i}".encode()),
+                      "cls": str(i).encode()})
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "`__key__` string, sample map<string,binary>")
+    write_webdataset(df.repartition(1).sortWithinPartitions("__key__"), out).collect()
+    back = decode_columns(read_webdataset(spark, out))
+    assert "txt" in back.columns and "txt_gz" not in back.columns
+    got = {r["__key__"]: (r.txt, r.cls) for r in back.collect()}
+    assert got == {f"{i:05d}": (f"zipped {i}", i) for i in range(4)}

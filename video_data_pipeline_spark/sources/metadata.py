@@ -52,15 +52,95 @@ def load_jsonl_pairs(
     )
 
 
-def load_how2link(spark: SparkSession, path: str) -> DataFrame:
+def load_how2link(spark: SparkSession, path: str, prefix: str = "") -> DataFrame:
     """How2Link: records carry a ``clips`` array — each clip becomes a row
     (dataset_loader.py:131-147 explodes clips while streaming ijson; here
-    ``explode`` is distributed and lazy)."""
+    ``explode`` is distributed and lazy). Reference quirk: the stored
+    ``clip_path`` is truncated to its LAST THREE path segments and given a
+    ``.mp4`` suffix before the prefix join (dataset_loader.py:139)."""
     raw = spark.read.json(path)
     clip = F.explode("clips").alias("clip")
-    return raw.select(clip).select(
-        F.col("clip.video_path").alias("video_path"),
+    exploded = raw.select(clip)
+    fields = exploded.select("clip.*").columns
+    if "clip_path" in fields:
+        segs = F.split(F.col("clip.clip_path"), "/")
+        last3 = F.slice(segs, F.greatest(F.size(segs) - 2, F.lit(1)), 3)
+        rel = F.concat(F.array_join(last3, "/"), F.lit(".mp4"))
+        return exploded.select(
+            _prefixed(rel, prefix).alias("video_path"),
+            F.col("clip.caption").alias("value"),
+        )
+    return exploded.select(
+        _prefixed(F.col("clip.video_path"), prefix).alias("video_path"),
         F.col("clip.caption").alias("value"),
+    )
+
+
+def _prefixed(col, prefix: str):
+    """``os.path.join(get_prefix(ds), p)`` equivalent (no double slash)."""
+    if not prefix:
+        return col
+    return F.concat(F.lit(prefix.rstrip("/") + "/"), col)
+
+
+def load_hd3m(spark: SparkSession, path: str, prefix: str = "") -> DataFrame:
+    """HD-3M: JSON array of ``{video, caption}`` with the dataset prefix
+    joined onto the relative video path (dataset_loader.py:118-129)."""
+    raw = spark.read.option("multiLine", True).json(path)
+    return raw.select(
+        _prefixed(F.col("video"), prefix).alias("video_path"),
+        F.col("caption").alias("value"),
+    )
+
+
+def load_ego4d(spark: SparkSession, path: str) -> DataFrame:
+    """Ego4D: JSON array of ``{video_path, caption}`` — paths are already
+    absolute, no prefix join (dataset_loader.py:80-90)."""
+    raw = spark.read.option("multiLine", True).json(path)
+    return raw.select(
+        F.col("video_path").alias("video_path"), F.col("caption").alias("value")
+    )
+
+
+def load_cambrain(spark: SparkSession, path: str, prefix: str = "") -> DataFrame:
+    """Cambrian: columnar JSON ``{image: {idx: path}, value: {idx: cap}}``
+    pivoted to rows with the prefix join (dataset_loader.py:66-78 — the
+    webvid-style dict-of-columns shape under different key names)."""
+    raw = spark.read.option("multiLine", True).json(path)
+    imgs = raw.select(F.explode(_as_map("image")).alias("idx", "rel_path"))
+    caps = raw.select(F.explode(_as_map("value")).alias("idx", "value"))
+    return imgs.join(caps, "idx").select(
+        _prefixed(F.col("rel_path"), prefix).alias("video_path"), "value"
+    )
+
+
+def load_merlin(spark: SparkSession, path: str) -> DataFrame:
+    """Merlin-S interleave: each record pairs an ``image_info`` list with a
+    ``text_list`` (dataset_loader.py:188-199); both stay arrays — the
+    interleave structure is the sample."""
+    raw = spark.read.option("multiLine", True).json(path)
+    return raw.select(
+        F.col("image_info").alias("video_path"), F.col("text_list").alias("value")
+    )
+
+
+def load_videochat2(spark: SparkSession, path: str) -> DataFrame:
+    """VideoChat2: multi-image multi-QA records ``{images, conversations}``
+    (dataset_loader.py:209-218); conversations keep the typed turn schema."""
+    raw = spark.read.option("multiLine", True).json(path)
+    return raw.select(
+        F.col("images").alias("images"),
+        F.col("conversations").cast(CONV_TYPE).alias("conversations"),
+    )
+
+
+def load_llava(spark: SparkSession, path: str, prefix: str = "") -> DataFrame:
+    """LLaVA pretrain: ``{image, conversations}`` with prefix join
+    (dataset_loader.py:178-186)."""
+    raw = spark.read.option("multiLine", True).json(path)
+    return raw.select(
+        _prefixed(F.col("image"), prefix).alias("video_path"),
+        F.col("conversations").cast(CONV_TYPE).alias("value"),
     )
 
 
@@ -114,6 +194,12 @@ LOADERS = {
     "internvid": load_internvid,
     "sft": load_sft,
     "unicontrol": load_unicontrol,
+    "hd3m": load_hd3m,
+    "ego4d": load_ego4d,
+    "cambrain": load_cambrain,
+    "merlin": load_merlin,
+    "videochat2": load_videochat2,
+    "llava": load_llava,
 }
 
 

@@ -307,23 +307,41 @@ def decode_columns(
     cols = [F.col("__key__"), F.col("__url__"), F.col("__member_idx__")]
     decoders = dict(_BASIC_DECODERS)
     decoders.update(extra or {})
+
+    def decode_one(raw, suffix: str):
+        if suffix in ("json", "jsn"):
+            s = raw.cast("string")
+            return F.from_json(s, json_schema) if json_schema else s
+        if suffix in decoders:
+            return raw.cast("string").cast(decoders[suffix])
+        return raw
+
     for suffix in sorted(present):
         raw = F.col("sample")[suffix]
-        name = suffix.replace(".", "_")
         if only is not None and suffix not in only:
-            cols.append(raw.alias(name))
-        elif suffix in ("json", "jsn"):
-            s = raw.cast("string")
-            cols.append(
-                F.from_json(s, json_schema).alias(name) if json_schema else s.alias(name)
-            )
-        elif suffix in decoders:
-            cols.append(raw.cast("string").cast(decoders[suffix]).alias(name))
+            cols.append(raw.alias(suffix.replace(".", "_")))
+        elif suffix.endswith(".gz"):
+            # member-level transparent decompression (reference gzfilter +
+            # Continue, autodecode.py:430-463): gunzip, strip the .gz from
+            # the surfaced name, and CONTINUE decoding by the inner suffix
+            from video_data_pipeline_spark.session import ensure_shipped
+
+            ensure_shipped(df.sparkSession)
+            base = suffix[: -len(".gz")]
+            cols.append(decode_one(_gunzip(raw), base).alias(base.replace(".", "_")))
         else:
-            cols.append(raw.alias(name))
+            cols.append(decode_one(raw, suffix).alias(suffix.replace(".", "_")))
     if keep_sample:
         cols.append(F.col("sample"))
     return df.select(*cols)
+
+
+@F.pandas_udf(BinaryType())
+def _gunzip(s):
+    """Arrow-batched gunzip for ``*.gz`` members (never row-at-a-time)."""
+    import gzip
+
+    return s.map(lambda b: None if b is None else gzip.decompress(bytes(b)))
 
 
 def to_dict(*globs: str, sample_col: str = "sample"):
