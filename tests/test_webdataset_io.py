@@ -321,3 +321,49 @@ def test_member_level_gz_decode(spark, tmp_path):
     assert "txt" in back.columns and "txt_gz" not in back.columns
     got = {r["__key__"]: (r.txt, r.cls) for r in back.collect()}
     assert got == {f"{i:05d}": (f"zipped {i}", i) for i in range(4)}
+
+
+def test_streaming_shard_ingest_incremental(spark, tmp_path):
+    """readStream over a shard directory: first availableNow run drains the
+    existing shards; after a NEW shard lands, a restart from the same
+    checkpoint ingests ONLY the new one (offset = discovered-shard set)."""
+    from video_data_pipeline_spark.sources.webdataset import read_webdataset_stream
+
+    shard_dir = str(tmp_path / "stream_shards")
+    ckpt = str(tmp_path / "ckpt")
+    write_webdataset(
+        _sample_df(spark, n=6).repartition(1).sortWithinPartitions("__key__"),
+        shard_dir,
+        prefix="batch0",
+        maxcount=3,
+        sample_col=None,
+    ).collect()
+
+    def drain(name):
+        got: set[str] = set()
+
+        def sink(batch_df, _bid):
+            got.update(r["__key__"] for r in batch_df.collect())
+
+        q = (
+            read_webdataset_stream(spark, shard_dir)
+            .writeStream.foreachBatch(sink)
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return got
+
+    first = drain("wds_stream_1")
+    assert first == {f"{i:06d}" for i in range(6)}
+
+    # a new shard arrives; same checkpoint -> only its samples are new
+    extra = spark.createDataFrame(
+        [("x00001", "late caption", 9, b"\x01")],
+        "`__key__` string, txt string, cls int, jpg binary",
+    )
+    write_webdataset(extra.repartition(1), shard_dir, prefix="batch1", sample_col=None).collect()
+    second = drain("wds_stream_2")
+    assert second == {"x00001"}

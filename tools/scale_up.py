@@ -1,0 +1,93 @@
+"""Scale-up generator: replicate an sf directory K× with consistent key
+offsets, for scale validation beyond the shipped testdata (ROADMAP #2).
+
+Foreign keys stay valid because every copy applies the SAME offset to both
+sides of each relationship (orderkey on orders AND lineitem, etc.).
+Dimension tables (region, nation) are kept single-copy. Document text is
+left byte-identical across copies — exact duplicates at scale are the
+realistic shape for the dedup family.
+
+Usage: python tools/scale_up.py --src /root/testdata/sf0.1 --dst /tmp/sf1 --factor 10
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+#: per-table key columns that must be offset per copy (FK-consistent)
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "part": ["p_partkey"],
+    "supplier": ["s_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["doc_id"],
+}
+#: single-copy dimensions
+PASSTHROUGH = ["region", "nation"]
+
+
+def key_span(df, cols) -> int:
+    """Offset stride: one power of 10 above the max key (keeps keys readable
+    and guarantees disjoint ranges)."""
+    maxes = [F.max(c) for c in cols]
+    expr = maxes[0] if len(maxes) == 1 else F.greatest(*maxes)
+    mx = df.select(expr.alias("m")).first()["m"] or 0
+    span = 1
+    while span <= mx:
+        span *= 10
+    return span
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dst", required=True)
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .appName("scale_up")
+        .getOrCreate()
+    )
+    os.makedirs(args.dst, exist_ok=True)
+    for name in PASSTHROUGH:
+        df = spark.read.parquet(f"{args.src}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{args.dst}/{name}.parquet")
+        print(f"{name}: {df.count()} rows (single copy)")
+    for name, cols in KEY_COLS.items():
+        src = f"{args.src}/{name}.parquet"
+        if not os.path.exists(src):
+            print(f"{name}: missing, skipped")
+            continue
+        df = spark.read.parquet(src)
+        span = key_span(df, cols)
+        copies = []
+        for c in range(args.factor):
+            cp = df
+            for col in cols:
+                cp = cp.withColumn(col, F.col(col) + F.lit(c * span))
+            copies.append(cp)
+        out = copies[0]
+        for cp in copies[1:]:
+            out = out.unionByName(cp)
+        out.write.mode("overwrite").parquet(f"{args.dst}/{name}.parquet")
+        print(f"{name}: x{args.factor} span={span}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

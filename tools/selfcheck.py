@@ -12,6 +12,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import traceback
@@ -104,9 +105,12 @@ def main() -> int:
     spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{args.sf_dir}/{t}.parquet')"
-        )
+        path = f"{args.sf_dir}/{t}.parquet"
+        # Spark-written datasets are DIRECTORIES of part files (e.g. the
+        # tools/scale_up.py output); the shipped testdata is single files
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     n_pass = n_fail = n_nooracle = 0
     for name, q in sorted(registry.items()):

@@ -313,18 +313,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     the demo; at scale this runs only on LSH candidate pairs.)"""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(F.expr("size(w) >= 3"))
-    sh = words.select(
+    # shingle-set size travels WITH each exploded row: it's a plan-time
+    # function of the array, so no separate `sizes` aggregate to broadcast
+    # (which would recompute the whole shingle subtree per join branch —
+    # VERDICT r1 perf flag) and no second shuffle
+    docs = words.select(
         "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(0, size(w) - 3), "
-                    "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
-                )
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
             )
-        ).alias("shingle"),
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        ).alias("shingles"),
+    ).withColumn("n", F.size("shingles"))
+    sh = docs.select("doc_id", "n", F.explode("shingles").alias("shingle"))
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
@@ -333,19 +335,19 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("n_common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("n_common")
+        F.col("na") + F.col("nb") - F.col("n_common")
     )
-    return (
-        common.join(F.broadcast(sa), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(F.broadcast(sb), F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= 0.05)
+    return common.select("doc_a", "doc_b", jac.alias("jaccard")).where(
+        F.col("jaccard") >= 0.05
     )
 
 

@@ -36,13 +36,13 @@ WITH agg AS (
   GROUP BY l_returnflag, l_linestatus
 )
 SELECT l_returnflag, l_linestatus,
-  CAST(_sq AS DOUBLE) AS sum_qty,
-  CAST(_sp AS DOUBLE) AS sum_base_price,
-  CAST(_sdp AS DOUBLE) AS sum_disc_price,
-  CAST(_sc AS DOUBLE) AS sum_charge,
-  CAST(_sq AS DOUBLE) / count_order AS avg_qty,
-  CAST(_sp AS DOUBLE) / count_order AS avg_price,
-  CAST(_sd AS DOUBLE) / count_order AS avg_disc,
+  CAST(CAST(_sq AS VARCHAR) AS DOUBLE) AS sum_qty,
+  CAST(CAST(_sp AS VARCHAR) AS DOUBLE) AS sum_base_price,
+  CAST(CAST(_sdp AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+  CAST(CAST(_sc AS VARCHAR) AS DOUBLE) AS sum_charge,
+  CAST(CAST(_sq AS VARCHAR) AS DOUBLE) / count_order AS avg_qty,
+  CAST(CAST(_sp AS VARCHAR) AS DOUBLE) / count_order AS avg_price,
+  CAST(CAST(_sd AS VARCHAR) AS DOUBLE) / count_order AS avg_disc,
   count_order
 FROM agg
 """,
@@ -69,16 +69,21 @@ def q01_pricing_summary(spark, sf_dir):
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+    # decimal -> double goes THROUGH A STRING on both engines: above ~2^53
+    # the engines' direct decimal->double casts round differently (seen at
+    # sf>=1 on the scale-6 sum_charge), while exact-decimal-string +
+    # correctly-rounded strtod is bit-identical everywhere
+    d2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
     return agg.select(
         "l_returnflag",
         "l_linestatus",
-        F.col("_sq").cast("double").alias("sum_qty"),
-        F.col("_sp").cast("double").alias("sum_base_price"),
-        F.col("_sdp").cast("double").alias("sum_disc_price"),
-        F.col("_sc").cast("double").alias("sum_charge"),
-        (F.col("_sq").cast("double") / F.col("count_order")).alias("avg_qty"),
-        (F.col("_sp").cast("double") / F.col("count_order")).alias("avg_price"),
-        (F.col("_sd").cast("double") / F.col("count_order")).alias("avg_disc"),
+        d2d("_sq").alias("sum_qty"),
+        d2d("_sp").alias("sum_base_price"),
+        d2d("_sdp").alias("sum_disc_price"),
+        d2d("_sc").alias("sum_charge"),
+        (d2d("_sq") / F.col("count_order")).alias("avg_qty"),
+        (d2d("_sp") / F.col("count_order")).alias("avg_price"),
+        (d2d("_sd") / F.col("count_order")).alias("avg_disc"),
         "count_order",
     )
 

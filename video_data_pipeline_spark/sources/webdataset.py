@@ -34,7 +34,12 @@ import tarfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -115,16 +120,55 @@ class _ShardPartition(InputPartition):
         self.path = path
 
 
+def _filters_from_options(select: str | None, rename: str | None):
+    select_files = None
+    rename_files = None
+    if select:
+        globs = select.split(";")
+        select_files = lambda f: any(fnmatch.fnmatch(f, g) for g in globs)  # noqa: E731
+    if rename:
+        pairs = [p.split("=", 1) for p in rename.split(";")]
+
+        def rename_files(f: str) -> str:
+            for new, old in pairs:
+                if f.endswith("." + old):
+                    return f[: -len(old)] + new
+            return f
+
+    return select_files, rename_files
+
+
+def _read_shard(path: str, select: str | None, rename: str | None, gopen_kw: dict):
+    """One shard → sample tuples; shared by the batch and stream readers.
+
+    scheme-dispatch open (gopen.py:316-344 semantics): each executor
+    streams its shard straight from file/pipe/http/s3 — the driver never
+    proxies bytes."""
+    select_files, rename_files = _filters_from_options(select, rename)
+    from video_data_pipeline_spark.sources.gopen import gopen
+
+    fh = gopen(path, "rb", **gopen_kw)
+    try:
+        for key, idx, sample in iter_tar_samples(fh, path, select_files, rename_files):
+            yield (key, path, idx, sample)
+    finally:
+        fh.close()
+
+
+def _gopen_kw(options: dict) -> dict:
+    return {
+        k: options[k]
+        for k in ("endpoint_url", "access_key_id", "secret_access_key")
+        if options.get(k)
+    }
+
+
 class _WebDatasetReader(DataSourceReader):
     def __init__(self, options: dict):
         self.paths = expand_paths(options.get("path", ""))
         self.select = options.get("select_files")
         self.rename = options.get("rename_files")
-        self.gopen_kw = {
-            k: options[k]
-            for k in ("endpoint_url", "access_key_id", "secret_access_key")
-            if options.get(k)
-        }
+        self.gopen_kw = _gopen_kw(options)
 
     def partitions(self):
         return [_ShardPartition(p) for p in self.paths]
@@ -134,33 +178,43 @@ class _WebDatasetReader(DataSourceReader):
             # Spark substitutes a single None partition when partitions()
             # returns [] (empty shard list) — a legal empty dataset.
             return
-        select_files = None
-        rename_files = None
-        if self.select:
-            globs = self.select.split(";")
-            select_files = lambda f: any(fnmatch.fnmatch(f, g) for g in globs)  # noqa: E731
-        if self.rename:
-            pairs = [p.split("=", 1) for p in self.rename.split(";")]
+        yield from _read_shard(partition.path, self.select, self.rename, self.gopen_kw)
 
-            def rename_files(f: str) -> str:
-                for new, old in pairs:
-                    if f.endswith("." + old):
-                        return f[: -len(old)] + new
-                return f
 
-        from video_data_pipeline_spark.sources.gopen import gopen
+class _WebDatasetStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("webdataset")`` — shards as a streaming
+    source (the reference's "watch a bucket, ingest new tars" pattern that
+    its DataLoader world can't express; ROADMAP round-1 #7).
 
-        # scheme-dispatch open (gopen.py:316-344 semantics): each executor
-        # streams its shard straight from file/pipe/http/s3 — the driver
-        # never proxies bytes
-        fh = gopen(partition.path, "rb", **self.gopen_kw)
-        try:
-            for key, idx, sample in iter_tar_samples(
-                fh, partition.path, select_files, rename_files
-            ):
-                yield (key, partition.path, idx, sample)
-        finally:
-            fh.close()
+    Offsets are the sorted set of discovered shard paths (JSON-serializable
+    and replayable); each microbatch plans ONE partition PER NEW SHARD, so
+    ingest parallelism scales with arrival rate and executors stream their
+    shards directly via gopen — exactly-once per shard under checkpointing
+    (Spark replays partitions(start, end) deterministically from offsets)."""
+
+    def __init__(self, options: dict):
+        self.path_spec = options.get("path", "")
+        self.select = options.get("select_files")
+        self.rename = options.get("rename_files")
+        self.gopen_kw = _gopen_kw(options)
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": sorted(set(expand_paths(self.path_spec)))}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        return [_ShardPartition(p) for p in new]
+
+    def read(self, partition: _ShardPartition | None):
+        if partition is None:
+            return
+        yield from _read_shard(partition.path, self.select, self.rename, self.gopen_kw)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class WebDatasetDataSource(DataSource):
@@ -179,6 +233,9 @@ class WebDatasetDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return _WebDatasetReader(self.options)
+
+    def streamReader(self, schema: StructType) -> "_WebDatasetStreamReader":
+        return _WebDatasetStreamReader(self.options)
 
 
 def expand_paths(path_spec: str) -> list[str]:
@@ -251,6 +308,27 @@ def read_webdataset(
     for k, v in opts.items():
         if v:
             reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_webdataset_stream(
+    spark: SparkSession,
+    paths: str | list[str],
+    select_files: str | None = None,
+    rename_files: str | None = None,
+) -> DataFrame:
+    """Streaming scan: new tar shards appearing under ``paths`` become
+    microbatches (one partition per new shard). Combine with the streaming
+    twins (streaming/jobs.py) or ``decode_columns`` exactly like the batch
+    reader; checkpointing gives exactly-once per shard."""
+    register(spark)
+    if isinstance(paths, list):
+        paths = ",".join(paths)
+    reader = spark.readStream.format("webdataset").option("path", paths)
+    if select_files:
+        reader = reader.option("select_files", select_files)
+    if rename_files:
+        reader = reader.option("rename_files", rename_files)
     return reader.load()
 
 
