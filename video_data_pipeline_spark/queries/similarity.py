@@ -267,3 +267,77 @@ def q_embedding_near_dup(spark, sf_dir):
         )
         .where(F.col("cosine") >= 0.5)
     )
+
+
+@query(
+    "q_ivf_topk",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid FROM cents c, q
+  ORDER BY {_cosine("duck", "c.cv", "q.qv")} DESC, c.cid LIMIT 2
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine("duck", "e.embedding", "c.cv")} DESC, c.cid)
+             AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+)
+SELECT a.vec_id, a.cid AS centroid_id,
+       {_cosine("duck", "a.embedding", "q.qv")} AS cosine
+FROM assigned a, q
+WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id LIMIT 10
+""",
+    tags=("similarity", "ivf", "topk"),
+)
+def q_ivf_topk(spark, sf_dir):
+    """IVF probe search end-to-end: coarse-quantize the corpus to 8 seed
+    centroids, probe the query's 2 nearest inverted lists, brute-force
+    cosine only within them, top-10. The ANN scale path: centroids
+    broadcast, assignment is per-row column math, the probe filter prunes
+    ~6/8 of the corpus before any exact scoring (with ivf lists stored
+    bucketed-by-centroid it becomes partition pruning), and top-k is a
+    TakeOrdered — no corpus shuffle anywhere."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", F.expr(_cosine("spark", "cv", "qv")).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), "cid")
+        .limit(2)
+        .select("cid")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "cid",
+            F.expr(_cosine("spark", "embedding", "cv")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("cid").alias("centroid_id"),
+            F.expr(_cosine("spark", "embedding", "qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

@@ -598,3 +598,71 @@ def q_special_splice(spark, sf_dir):
         schema="doc_id bigint, n_ids bigint, n_start bigint, n_patch bigint, "
         "n_end bigint, ids_sum bigint",
     )
+
+
+@query(
+    "q_curation_pipeline",
+    oracle=f"""
+WITH quality AS (
+  SELECT doc_id, lang, source, n_chars, text
+  FROM documents
+  WHERE len({_DUCK_TOKENS}) BETWEEN 16 AND 1024
+    AND CAST({_stop_count_duck()} AS DOUBLE) / len({_DUCK_TOKENS}) >= 0.01
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT q.*, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rk
+    FROM quality q
+  ) WHERE dup_rk = 1
+),
+quota AS (
+  SELECT * FROM (
+    SELECT d.*, ROW_NUMBER() OVER (
+      PARTITION BY lang
+      ORDER BY (('0x' || substr(md5('q' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT), doc_id
+    ) AS qrk
+    FROM deduped d
+  ) WHERE qrk <= 120
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       COUNT(DISTINCT source) AS n_sources, MIN(doc_id) AS first_doc
+FROM quota GROUP BY lang
+""",
+    tags=("text", "quality", "dedup", "pipeline"),
+)
+def q_curation_pipeline(spark, sf_dir):
+    """The full curation pipeline as ONE lazy plan — quality filter (C4-style
+    length/stopword heuristics) → exact dedup (min-doc_id survivor per text
+    md5) → deterministic per-language quota (stable-hash ranked, 120/lang)
+    → corpus summary. Each stage is the operator the standalone queries
+    prove; composed, Catalyst pipelines the filter into the scan and the
+    two window stages shuffle on md5(text) then lang — both uniform keys.
+    This is the shape a 100 TB pretraining-data refresh runs nightly."""
+    from video_data_pipeline_spark.queries.common import SPARK_HASH
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    n_words = F.size(F.expr(_SPARK_TOKENS))
+    stop_ratio = F.expr(_stop_count_spark()).cast("double") / n_words
+    quality = d.where(
+        n_words.between(16, 1024) & (stop_ratio >= 0.01)
+    ).select("doc_id", "lang", "source", "n_chars", "text")
+    dup_w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        quality.withColumn("dup_rk", F.row_number().over(dup_w))
+        .where(F.col("dup_rk") == 1)
+        .drop("dup_rk")
+    )
+    rank_key = F.expr(SPARK_HASH.format(x="concat('q', CAST(doc_id AS STRING))"))
+    quota_w = Window.partitionBy("lang").orderBy(rank_key, "doc_id")
+    quota = (
+        deduped.withColumn("qrk", F.row_number().over(quota_w))
+        .where(F.col("qrk") <= 120)
+    )
+    return quota.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("first_doc"),
+    )
