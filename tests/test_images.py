@@ -90,3 +90,69 @@ def test_fake_pixels_mode_channels():
     assert fake_pixels(b"a", "l").ndim == 2
     assert fake_pixels(b"a", "rgb").shape[2] == 3
     assert fake_pixels(b"a", "rgba").shape[2] == 4
+
+
+# --------------------------------------------------------------- encoders
+
+
+def test_netpbm_encode_decode_real_roundtrip():
+    """PPM/PGM are REAL end-to-end in this container: encode in numpy,
+    decode back bit-exact through the image handler (no PIL involved)."""
+    from video_data_pipeline_spark.functions.images import encode_image
+
+    rgb = np.random.default_rng(3).integers(0, 255, (5, 7, 3), dtype=np.uint8)
+    blob = encode_image(rgb, "ppm")
+    assert blob.startswith(b"P6\n7 5\n255\n")
+    back = image_handler("rgb8")("k.ppm", blob)
+    np.testing.assert_array_equal(back, rgb)
+    gray = rgb[:, :, 0]
+    gback = image_handler("l8")("k.pgm", encode_image(gray, "pgm"))
+    np.testing.assert_array_equal(gback, gray)
+
+
+def test_png_encoder_emits_valid_png():
+    import struct
+    import zlib
+
+    from video_data_pipeline_spark.functions.images import encode_image
+
+    rgb = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
+    blob = encode_image(rgb, "png")
+    assert blob[:8] == b"\x89PNG\r\n\x1a\n"
+    w, h = struct.unpack(">II", blob[16:24])
+    assert (w, h) == (4, 2)
+    # decompress the IDAT payload and strip per-row filter bytes
+    idat_len = struct.unpack(">I", blob[33:37])[0]
+    raw = zlib.decompress(blob[41 : 41 + idat_len])
+    rows = [raw[i * 13 + 1 : (i + 1) * 13] for i in range(2)]  # 1+4*3 bytes/row
+    np.testing.assert_array_equal(
+        np.frombuffer(b"".join(rows), np.uint8).reshape(2, 4, 3), rgb
+    )
+
+
+def test_float_image_range_check_and_scale():
+    from video_data_pipeline_spark.functions.images import encode_image
+
+    ok = np.full((2, 2), 0.5)
+    blob = encode_image(ok, "pgm")
+    assert image_handler("l8")("k.pgm", blob)[0, 0] == 127
+    with pytest.raises(ValueError, match="out of range"):
+        encode_image(np.full((2, 2), 1.5), "pgm")
+
+
+def test_resize_cap():
+    from video_data_pipeline_spark.functions.images import resize_cap
+
+    big = np.zeros((2000, 1000, 3), np.uint8)
+    out = resize_cap(big, max_side=1280)
+    assert out.shape == (1280, 640, 3)
+    small = np.zeros((100, 50), np.uint8)
+    assert resize_cap(small, max_side=1280).shape == (100, 50)
+
+
+def test_merlin_black_background():
+    from video_data_pipeline_spark.functions.images import merlin_black_background
+
+    img = merlin_black_background("Black background: 320, 240")
+    assert img.shape == (240, 320, 3) and img.dtype == np.uint8 and not img.any()
+    assert merlin_black_background("data/frames/x.jpg") is None

@@ -69,8 +69,14 @@ def fake_pixels(data: bytes, mode: str) -> np.ndarray:
 
 
 def load_pixels(data: bytes, mode: str) -> np.ndarray:
-    """The ONE gated step: PIL open+convert when available, else the
-    deterministic fake (same dims either way for a given content)."""
+    """Pixel load. Binary netpbm (P5/P6) decodes REAL pixels in pure numpy
+    — no library needed; other formats go through PIL when available, else
+    the deterministic fake (same dims either way for a given content). The
+    mode conversion happens downstream in :func:`conform_image`."""
+    data = bytes(data)
+    netpbm = _decode_netpbm(data)
+    if netpbm is not None:
+        return netpbm
     try:  # pragma: no cover - PIL absent in this container
         import PIL.Image
 
@@ -147,3 +153,151 @@ def image_handler(imagespec: str, extensions: frozenset[str] = IMAGE_EXTENSIONS)
         return torch.from_numpy(result)  # pragma: no cover
 
     return _handle
+
+
+# --------------------------------------------------------------- encoders
+# The writer-side imageencoder (reference writer.py:22-60): float images
+# are range-checked/clipped/scaled to uint8, then compressed per format.
+# PPM/PGM (binary netpbm) and PNG (stored + zlib, stdlib only) are REAL
+# encoders here; JPEG/TIFF need PIL and stay gated.
+
+
+def _to_uint8(image: np.ndarray) -> np.ndarray:
+    image = np.asarray(image)
+    if image.dtype in (np.float32, np.float64):
+        if not (image.min() > -0.001 and image.max() < 1.001):
+            raise ValueError(
+                f"image values out of range {image.min()} {image.max()}"
+            )
+        image = (np.clip(image, 0.0, 1.0) * 255.0).astype(np.uint8)
+    if image.ndim not in (2, 3):
+        raise ValueError(f"image must be 2-D or 3-D, got {image.shape}")
+    if image.ndim == 3 and image.shape[2] == 1:
+        image = image[:, :, 0]
+    return image
+
+
+def _encode_netpbm(image: np.ndarray) -> bytes:
+    """Binary PGM (P5, gray) / PPM (P6, rgb) — the formats PIL emits for
+    'PPM'; byte-exact spec: magic, dims, maxval, raw big-endian samples."""
+    image = _to_uint8(image)
+    if image.ndim == 2:
+        header = f"P5\n{image.shape[1]} {image.shape[0]}\n255\n"
+    elif image.shape[2] == 3:
+        header = f"P6\n{image.shape[1]} {image.shape[0]}\n255\n"
+    else:
+        raise ValueError(f"netpbm supports gray or rgb, got {image.shape}")
+    return header.encode("ascii") + image.tobytes()
+
+
+def _decode_netpbm(data: bytes) -> np.ndarray | None:
+    """Inverse of :func:`_encode_netpbm` (handles whitespace-separated
+    headers with optional comments). Returns None if not P5/P6."""
+    if data[:2] not in (b"P5", b"P6"):
+        return None
+    fields: list[int] = []
+    pos = 2
+    while len(fields) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, _maxval = fields
+    nch = 3 if data[:2] == b"P6" else 1
+    arr = np.frombuffer(data, np.uint8, count=height * width * nch, offset=pos)
+    return arr.reshape(height, width) if nch == 1 else arr.reshape(height, width, 3)
+
+
+def _encode_png(image: np.ndarray) -> bytes:
+    """Minimal real PNG (stdlib zlib): 8-bit gray (color 0) or rgb
+    (color 2), filter 0 per scanline — readable by any PNG decoder."""
+    import struct
+    import zlib
+
+    image = _to_uint8(image)
+    color = 0 if image.ndim == 2 else 2
+    if image.ndim == 3 and image.shape[2] != 3:
+        raise ValueError(f"png encoder supports gray or rgb, got {image.shape}")
+    height, width = image.shape[:2]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    rows = image.reshape(height, -1)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(height))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_image(image: np.ndarray, format: str = "PNG") -> bytes:
+    """``imageencoder`` (writer.py:22-60): float range-check/clip/scale,
+    then compress. Real encoders: ppm/pgm/pbm ('img'/'image' alias), png.
+    jpeg/tiff require Pillow (quality=100, the reference's opts) — gated."""
+    fmt = format.upper()
+    if fmt == "JPG":
+        fmt = "JPEG"
+    elif fmt in ("IMG", "IMAGE"):
+        fmt = "PPM"
+    if fmt in ("PPM", "PGM", "PBM", "PNM"):
+        return _encode_netpbm(image)
+    if fmt == "PNG":
+        return _encode_png(image)
+    if fmt in ("JPEG", "TIFF"):
+        try:  # pragma: no cover - PIL absent in this container
+            import io as _io
+
+            import PIL.Image
+
+            buf = _io.BytesIO()
+            PIL.Image.fromarray(_to_uint8(image)).save(
+                buf, format=fmt, quality=100
+            )
+            return buf.getvalue()
+        except ImportError as e:
+            raise NotImplementedError(
+                f"{fmt} encoding needs Pillow; ppm/pgm/png are built in"
+            ) from e
+    raise ValueError(f"unknown image format {format!r}")
+
+
+def resize_cap(image: np.ndarray, max_side: int = 1280) -> np.ndarray:
+    """The 1280-cap resize (pack/tools.py image path): if the longer side
+    exceeds ``max_side``, scale down preserving aspect ratio.
+    Nearest-neighbor in pure numpy — a REAL kernel, no PIL."""
+    image = np.asarray(image)
+    h, w = image.shape[:2]
+    longest = max(h, w)
+    if longest <= max_side:
+        return image
+    scale = max_side / longest
+    nh, nw = max(1, round(h * scale)), max(1, round(w * scale))
+    yi = np.minimum((np.arange(nh) / scale).astype(int), h - 1)
+    xi = np.minimum((np.arange(nw) / scale).astype(int), w - 1)
+    return image[yi][:, xi]
+
+
+def merlin_black_background(image_name: str) -> np.ndarray | None:
+    """Merlin-S sampler quirk (pack/samplers.py:48-71): pseudo-paths
+    ``"Black background: W, H"`` materialize as zero rgb images instead of
+    a fetch. Returns None for ordinary paths."""
+    if not image_name.startswith("Black background"):
+        return None
+    w, h = (int(x.replace(" ", "")) for x in image_name.split(":")[-1].split(", "))
+    return np.zeros((h, w, 3), np.uint8)

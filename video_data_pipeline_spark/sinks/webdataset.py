@@ -72,6 +72,16 @@ def _encode(suffix: str, value) -> bytes:
         from video_data_pipeline_spark.functions.codecs import msgpack_encode
 
         return msgpack_encode(value)
+    if suffix in ("jpg", "jpeg", "img", "image", "png", "ppm", "pgm", "pbm",
+                  "tiff", "tif"):
+        # ndarray values run the imageencoder (writer.py:145-152 handlers);
+        # png/ppm/pgm are built-in, jpeg/tiff PIL-gated (functions/images.py)
+        import numpy as _np
+
+        if isinstance(value, _np.ndarray):
+            from video_data_pipeline_spark.functions.images import encode_image
+
+            return encode_image(value, suffix)
     if isinstance(value, str):
         return value.encode("utf-8")
     raise ValueError(f"no encoder for suffix {suffix!r} / type {type(value).__name__}")
