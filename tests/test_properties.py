@@ -223,3 +223,38 @@ def test_special_token_scan_earliest_and_ties():
     # detokenize spacing: names spliced with spaces, outer strip
     out = detokenize_with_specials([7, 100, 8], {100: "<a>"}, decode=lambda r: "·".join(map(str, r)))
     assert out == "7 <a> 8"
+
+
+def test_tokenizer_variants():
+    """The four reference tokenizer classes (tokenizer.py:91,310,461,589)
+    differ only in special-token registries; every variant tokenizes its
+    own markers to single spliced ids and renders them back by name."""
+    from video_data_pipeline_spark.functions.text import (
+        VARIANT_SPECIALS,
+        build_tokenizer,
+    )
+
+    assert set(VARIANT_SPECIALS) == {"sentencepiece", "stepmm", "stepchat", "llama2mm"}
+
+    chat = build_tokenizer("stepchat")
+    ids = chat.tokenize("<|BOT|>user says hi<|EOT|><|THINK_START|>mm<|THINK_END|>")
+    specials = [i for i in ids if chat.is_special_token(i)]
+    assert len(specials) == 4 and len(set(specials)) == 4
+    text = chat.detokenize(ids)
+    for marker in ("<|BOT|>", "<|EOT|>", "<|THINK_START|>", "<|THINK_END|>"):
+        assert marker in text.split()
+
+    mm = build_tokenizer("stepmm")
+    dream_ids = mm.tokenize("<dream_start>a<dream_end>")
+    assert sum(1 for i in dream_ids if mm.is_special_token(i)) == 2
+    assert mm.vocab_size > build_tokenizer("llama2mm").vocab_size
+
+    # im-family ids stay at the published 32000-block across mm variants
+    from video_data_pipeline_spark.functions.text import IM_PATCH
+
+    assert IM_PATCH in build_tokenizer("llama2mm").tokenize("<im_patch>")
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown tokenizer variant"):
+        build_tokenizer("gpt5")

@@ -213,6 +213,90 @@ def detokenize(ids: list[int]) -> str:
     return detokenize_with_specials(ids)
 
 
+#: the reference's four tokenizer variants (tokenize/tokenizer.py classes)
+#: differ ONLY in their special-token registries — the scan/splice logic
+#: is identical. Ids are assigned sequentially from the vocab boundary,
+#: matching the reference's convention of specials living past the base
+#: vocab (<im_patch>=32000 etc.).
+VARIANT_SPECIALS: dict[str, list[str]] = {
+    # SentencePieceTokenizer (tokenizer.py:91): no extra specials
+    "sentencepiece": [],
+    # StepmmTokenizer (tokenizer.py:310): image + dream token family
+    "stepmm": [
+        "<im_patch>", "<im_start>", "<im_end>",
+        "<dream>", "<dream_start>", "<dream_end>",
+    ],
+    # StepChatTokenizer (tokenizer.py:461): turn/call/think/img markers
+    "stepchat": [
+        "<|BOT|>", "<|EOT|>",
+        "<|CALL_START|>", "<|CALL_END|>",
+        "<|THINK_START|>", "<|THINK_END|>",
+        "<|IMG_START|>", "<|IMG_END|>",
+    ],
+    # Llama2mmTokenizer (tokenizer.py:589): image family only
+    "llama2mm": ["<im_patch>", "<im_start>", "<im_end>"],
+}
+
+
+class HashTokenizer:
+    """Engine-portable tokenizer implementing the reference's
+    AbstractTokenizer surface (tokenizer.py:27-89) over the hash encoder:
+    tokenize/detokenize with variant special splicing, vocab_size,
+    bos/eos/pad/unk ids. The SentencePiece-backed classes share exactly
+    this shape with only the base encode swapped."""
+
+    def __init__(self, name: str, specials: dict[str, int]):
+        self.name = name
+        self._specials = dict(specials)
+        self._inv_specials = {v: k for k, v in self._specials.items()}
+
+    @property
+    def vocab_size(self) -> int:
+        return VOCAB + len(self._specials)
+
+    def tokenize(self, text: str) -> list[int]:
+        return tokenize_with_specials(text, self._specials, encode_text)
+
+    def detokenize(self, ids: list[int]) -> str:
+        inv = dict(_SPECIAL_NAMES)
+        inv.update(self._inv_specials)
+        return detokenize_with_specials(ids, inv)
+
+    def is_special_token(self, idx: int) -> bool:
+        return idx in self._inv_specials or idx in _SPECIAL_NAMES
+
+    @property
+    def bos(self) -> int:
+        return BOS
+
+    @property
+    def eod(self) -> int:
+        return EOS
+
+    @property
+    def pad(self) -> int:
+        return 0
+
+
+def build_tokenizer(variant: str, model_file: str | None = None):
+    """The reference's tokenizer dispatch: pick the variant's special-token
+    registry; SentencePiece-backed when a model file is given AND the lib
+    exists, hash-backed otherwise (same surface either way)."""
+    if variant not in VARIANT_SPECIALS:
+        raise ValueError(
+            f"unknown tokenizer variant {variant!r}; one of {sorted(VARIANT_SPECIALS)}"
+        )
+    names = VARIANT_SPECIALS[variant]
+    specials = dict(SPECIAL_TOKENS) if variant != "stepchat" else {}
+    base = VOCAB + len(specials)
+    for i, tok in enumerate(names):
+        if tok not in specials:
+            specials[tok] = base + i
+    if model_file is not None and HAVE_SENTENCEPIECE:  # pragma: no cover
+        return SentencePieceTokenizer(model_file, specials)
+    return HashTokenizer(variant, specials)
+
+
 class SentencePieceTokenizer:
     """SentencePiece-backed tokenizer with the reference's special-token
     splice semantics (tokenize/tokenizer.py:600-686).
