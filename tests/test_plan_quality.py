@@ -34,7 +34,18 @@ def formatted_plan_of(spark, sf_dir, name):
     return buf.getvalue()
 
 
-@pytest.mark.parametrize("name", ["q03_top_orders", "q05_region_revenue", "q_associate"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q03_top_orders",
+        "q05_region_revenue",
+        "q_associate",
+        "q07_volume_shipping",
+        "q08_market_share",
+        "q14_promo_revenue",
+        "q_ivf_topk",
+    ],
+)
 def test_dim_joins_broadcast(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BroadcastHashJoin" in plan, f"{name}: dimension join lost its broadcast"

@@ -214,3 +214,157 @@ def q_yearly_growth(spark, sf_dir):
     return yearly.select(
         "yr", "revenue", (F.col("revenue") - F.lag("revenue").over(w)).alias("yoy_delta")
     )
+
+
+@query(
+    "q07_volume_shipping",
+    oracle="""
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(date_part('year', l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+            * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+            AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+WHERE ns.n_name IN ('NATION_1', 'NATION_2') AND nc.n_name IN ('NATION_1', 'NATION_2')
+  AND ns.n_name <> nc.n_name
+GROUP BY ns.n_name, nc.n_name, CAST(date_part('year', l.l_shipdate) AS BIGINT)
+""",
+    tags=("join", "tpch", "agg"),
+)
+def q07_volume_shipping(spark, sf_dir):
+    """TPC-H Q7-style volume shipping: revenue between two nations by year.
+
+    Plan shape: nation (25 rows) and supplier/customer broadcast into the
+    lineitem/orders scans; the nation filters prune BEFORE the fact join;
+    one shuffle on the 3-column group key."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ns = n.where(F.col("n_name").isin("NATION_1", "NATION_2")).alias("ns")
+    nc = n.where(F.col("n_name").isin("NATION_1", "NATION_2")).alias("nc")
+    rev = dec("l_extendedprice") * (one() - dec("l_discount"))
+    joined = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .where(F.col("ns.n_name") != F.col("nc.n_name"))
+    )
+    return (
+        joined.groupBy(
+            F.col("ns.n_name").alias("supp_nation"),
+            F.col("nc.n_name").alias("cust_nation"),
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum(rev).alias("_r"))
+        .select(
+            "supp_nation", "cust_nation", "l_year",
+            F.col("_r").cast("string").cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q08_market_share",
+    oracle="""
+WITH volumes AS (
+  SELECT CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,
+         CAST(l.l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))) AS volume,
+         ns.n_name AS supp_nation
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+  JOIN region r ON r.r_regionkey = nc.n_regionkey
+  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO'
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS VARCHAR) AS DOUBLE) AS mkt_share
+FROM volumes GROUP BY o_year
+""",
+    tags=("join", "tpch", "agg"),
+)
+def q08_market_share(spark, sf_dir):
+    """TPC-H Q8-style market share: NATION_1's fraction of PROMO-part
+    revenue sold into ASIA customers, by order year. Every dimension
+    broadcasts; the two decimal sums stay exact and convert to double via
+    string (the >2^53-safe path) only for the final ratio."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = table(spark, sf_dir, "supplier")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    ns = n.alias("ns")
+    nc = n.alias("nc")
+    vol = dec("l_extendedprice") * (one() - dec("l_discount"))
+    base = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(r), F.col("nc.n_regionkey") == r.r_regionkey)
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            F.col("ns.n_name").alias("supp_nation"),
+        )
+    )
+    zero = F.lit(0).cast("decimal(12,2)")
+    agg = base.groupBy("o_year").agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero)).alias("_n"),
+        F.sum("volume").alias("_d"),
+    )
+    d2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    return agg.select("o_year", (d2d("_n") / d2d("_d")).alias("mkt_share"))
+
+
+@query(
+    "q14_promo_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+             THEN CAST(l.l_extendedprice AS DECIMAL(12,2))
+                  * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+             ELSE CAST(0 AS DECIMAL(12,2)) END) AS VARCHAR) AS DOUBLE) * 100.0
+       / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+              AS VARCHAR) AS DOUBLE) AS promo_revenue_pct
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-02-01'
+""",
+    tags=("join", "tpch", "agg"),
+)
+def q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-style promo revenue share in one ship month: part
+    broadcasts into the date-pruned lineitem scan; single global aggregate
+    (two exact decimal sums -> one double division at output)."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec("l_extendedprice") * (one() - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(12,2)")
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("_p"),
+        F.sum(rev).alias("_t"),
+    )
+    d2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
+    return agg.select(((d2d("_p") * 100.0) / d2d("_t")).alias("promo_revenue_pct"))
