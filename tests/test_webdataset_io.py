@@ -367,3 +367,47 @@ def test_streaming_shard_ingest_incremental(spark, tmp_path):
     write_webdataset(extra.repartition(1), shard_dir, prefix="batch1", sample_col=None).collect()
     second = drain("wds_stream_2")
     assert second == {"x00001"}
+
+
+def test_streaming_rate_limit(spark, tmp_path):
+    """max_shards_per_batch caps admission per microbatch (the
+    maxFilesPerTrigger analog): a 6-shard backlog drains in >=3 batches of
+    <=2 shards each, with every sample ingested exactly once."""
+    from video_data_pipeline_spark.sources.webdataset import read_webdataset_stream
+
+    shard_dir = str(tmp_path / "rl_shards")
+    write_webdataset(
+        _sample_df(spark, n=6).repartition(1).sortWithinPartitions("__key__"),
+        shard_dir,
+        maxcount=1,
+        sample_col=None,
+    ).collect()
+
+    batches: list[set[str]] = []
+
+    def sink(batch_df, _bid):
+        rows = {r["__key__"] for r in batch_df.collect()}
+        if rows:
+            batches.append(rows)
+
+    import time
+
+    q = (
+        read_webdataset_stream(spark, shard_dir, max_shards_per_batch=2)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "rl_ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if sum(len(b) for b in batches) >= 6:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    all_keys = set().union(*batches) if batches else set()
+    assert all_keys == {f"{i:06d}" for i in range(6)}
+    assert len(batches) >= 3
+    assert all(len(b) <= 2 for b in batches)

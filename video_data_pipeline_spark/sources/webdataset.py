@@ -197,12 +197,29 @@ class _WebDatasetStreamReader(DataSourceStreamReader):
         self.select = options.get("select_files")
         self.rename = options.get("rename_files")
         self.gopen_kw = _gopen_kw(options)
+        # maxFilesPerTrigger analog: cap how many NEW shards one microbatch
+        # ingests (admission control for backlog catch-up). Best-effort: the
+        # cap is applied against the last offset this reader instance saw
+        # (committed or returned), so the first batch after a driver restart
+        # may exceed it once.
+        raw = options.get("max_shards_per_batch")
+        self.max_shards = int(raw) if raw else None
+        self._base: set[str] = set()
 
     def initialOffset(self) -> dict:
         return {"files": []}
 
     def latestOffset(self) -> dict:
-        return {"files": sorted(set(expand_paths(self.path_spec)))}
+        discovered = sorted(set(expand_paths(self.path_spec)))
+        if self.max_shards is None:
+            return {"files": discovered}
+        new = [p for p in discovered if p not in self._base][: self.max_shards]
+        end = sorted(self._base | set(new))
+        self._base = set(end)
+        return {"files": end}
+
+    def commit(self, end: dict) -> None:
+        self._base |= set(end.get("files", []))
 
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
@@ -212,9 +229,6 @@ class _WebDatasetStreamReader(DataSourceStreamReader):
         if partition is None:
             return
         yield from _read_shard(partition.path, self.select, self.rename, self.gopen_kw)
-
-    def commit(self, end: dict) -> None:
-        pass
 
 
 class WebDatasetDataSource(DataSource):
@@ -316,11 +330,16 @@ def read_webdataset_stream(
     paths: str | list[str],
     select_files: str | None = None,
     rename_files: str | None = None,
+    max_shards_per_batch: int | None = None,
 ) -> DataFrame:
     """Streaming scan: new tar shards appearing under ``paths`` become
     microbatches (one partition per new shard). Combine with the streaming
     twins (streaming/jobs.py) or ``decode_columns`` exactly like the batch
-    reader; checkpointing gives exactly-once per shard."""
+    reader; checkpointing gives exactly-once per shard.
+    ``max_shards_per_batch`` is the maxFilesPerTrigger analog — admission
+    control so a backlog catches up in bounded microbatches. Use it with a
+    processingTime trigger: ``availableNow`` captures one (capped) offset
+    and stops, leaving the rest of the backlog for the next run."""
     register(spark)
     if isinstance(paths, list):
         paths = ",".join(paths)
@@ -329,6 +348,8 @@ def read_webdataset_stream(
         reader = reader.option("select_files", select_files)
     if rename_files:
         reader = reader.option("rename_files", rename_files)
+    if max_shards_per_batch:
+        reader = reader.option("max_shards_per_batch", str(max_shards_per_batch))
     return reader.load()
 
 
