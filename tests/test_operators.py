@@ -292,3 +292,35 @@ def test_connected_components_warns_and_cleans_up(spark):
     # only the (GC-pending) final checkpoint may remain; all per-round
     # persists must be gone
     assert jsc.getPersistentRDDs().size() <= 2
+
+
+# ------------------------------------------------------------------ kmeans
+
+
+def test_kmeans_separable_clusters(spark):
+    """Three well-separated blobs: the fit recovers one centroid per blob
+    (every member assigned to its own blob's centroid) and is
+    deterministic across runs."""
+    from video_data_pipeline_spark.operators.kmeans import assign_step, kmeans_fit
+
+    rows = []
+    base = {0: [10.0, 0.0, 0.0], 1: [0.0, 10.0, 0.0], 2: [0.0, 0.0, 10.0]}
+    for i in range(30):
+        blob = i % 3
+        jitter = (i % 5) * 0.01
+        vec = [v + jitter if v else jitter for v in base[blob]]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    cents = kmeans_fit(df, k=3, max_iter=8)
+    got = cents.orderBy("cid").collect()
+    assert len(got) == 3
+    # every vector lands with its own blob's dominant axis
+    assigned = assign_step(df, cents, "embedding", "vec_id").collect()
+    by_blob = {}
+    for r in assigned:
+        by_blob.setdefault(r.vec_id % 3, set()).add(r.cid)
+    assert all(len(cids) == 1 for cids in by_blob.values())
+    assert len({next(iter(c)) for c in by_blob.values()}) == 3
+    # determinism: a second fit is bit-identical
+    again = kmeans_fit(df, k=3, max_iter=8).orderBy("cid").collect()
+    assert [list(r.cv) for r in again] == [list(r.cv) for r in got]

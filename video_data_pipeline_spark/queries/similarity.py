@@ -341,3 +341,70 @@ def q_ivf_topk(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+@query(
+    "q_kmeans_step",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 4
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine("duck", "e.embedding", "c.cv")} DESC, c.cid)
+             AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+),
+exploded AS (
+  SELECT cid,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         unnest(embedding) AS val
+  FROM assigned
+)
+SELECT cid, dim, COUNT(*) AS n_members,
+       CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS DOUBLE)
+         / (COUNT(*) * 1048576.0) AS new_val
+FROM exploded GROUP BY cid, dim
+""",
+    tags=("similarity", "kmeans", "iterative"),
+)
+def q_kmeans_step(spark, sf_dir):
+    """One Lloyd's k-means iteration, exactly: assign every embedding to
+    its nearest of 4 seed centroids (argmax cosine — broadcast centroids,
+    per-row math), then recompute each centroid as the member mean per
+    dimension. Cross-row float sums are order-dependent, so the mean is
+    computed over 2^20-QUANTIZED integer values (exact, order-free sum;
+    identical FLOOR(x*2^20+0.5) rounding in both engines) divided back in
+    double — the engine's determinism contract applied to iterative ML.
+    The full training loop is this step repeated with the output fed back
+    as `cents` (same plan shape each round, localCheckpoint between —
+    operators/components.py is the loop pattern)."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id", "embedding", "cid",
+            F.expr(_cosine("spark", "embedding", "cv")).alias("cos"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+    )
+    exploded = assigned.select(
+        "cid", F.posexplode("embedding").alias("dim", "val")
+    )
+    quant = F.floor(F.col("val").cast("double") * 1048576 + 0.5).cast("bigint")
+    return exploded.groupBy("cid", "dim").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        (F.sum(quant).cast("double") / (F.count(F.lit(1)) * F.lit(1048576.0))).alias(
+            "new_val"
+        ),
+    )
