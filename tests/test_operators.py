@@ -324,3 +324,78 @@ def test_kmeans_separable_clusters(spark):
     # determinism: a second fit is bit-identical
     again = kmeans_fit(df, k=3, max_iter=8).orderBy("cid").collect()
     assert [list(r.cv) for r in again] == [list(r.cv) for r in got]
+
+
+# ----------------------------------------------------------- merge / scd2
+
+
+def test_merge_into_update_insert_delete(spark):
+    from video_data_pipeline_spark.operators.merge import merge_into
+
+    target = _df(
+        spark,
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, bal double",
+    )
+    source = _df(
+        spark,
+        [(2, "b2", 99.0), (4, "d", 40.0), (3, "c", -1.0)],
+        "k int, name string, bal double",
+    )
+    out = merge_into(target, source, on="k", update_cols=["bal"])
+    got = {r.k: (r.name, r.bal) for r in out.collect()}
+    # matched: bal updated, name kept; unmatched target kept; insert full row
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b", 99.0),
+        3: ("c", -1.0),
+        4: ("d", 40.0),
+    }
+    # delete_condition drops matched rows meeting it (negative balance CDC)
+    out2 = merge_into(
+        target,
+        source,
+        on="k",
+        update_cols=["bal"],
+        delete_condition=F.col("s.bal") < 0,
+    )
+    assert sorted(r.k for r in out2.collect()) == [1, 2, 4]
+    # insert=False: source-only rows ignored
+    out3 = merge_into(target, source, on="k", update_cols=["bal"], insert=False)
+    assert sorted(r.k for r in out3.collect()) == [1, 2, 3]
+
+
+def test_scd2_apply_versions(spark):
+    from video_data_pipeline_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            (1, "gold", "2020-01-01", None, True),
+            (2, "silver", "2020-01-01", None, True),
+            (3, "bronze", "2019-01-01", "2020-06-01", False),
+            (3, "gold", "2020-06-01", None, True),
+        ],
+        "k int, tier string, valid_from string, valid_to string, is_current boolean",
+    ).select(
+        "k", "tier",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    changes = _df(spark, [(1, "platinum"), (2, "silver")], "k int, tier string")
+    out = scd2_apply(dim, changes, on="k", change_ts="2021-03-01")
+    rows = sorted(
+        ((r.k, r.tier, r.is_current, r.valid_to is None) for r in out.collect())
+    )
+    # k=1 changed: old gold closed, new platinum current.
+    # k=2 unchanged (same tier): untouched. k=3 history untouched.
+    assert rows == [
+        (1, "gold", False, False),
+        (1, "platinum", True, True),
+        (2, "silver", True, True),
+        (3, "bronze", False, False),
+        (3, "gold", True, True),
+    ]
+    # closed row got the change timestamp
+    closed = [r for r in out.collect() if r.k == 1 and not r.is_current][0]
+    assert str(closed.valid_to).startswith("2021-03-01")

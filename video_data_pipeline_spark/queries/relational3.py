@@ -368,3 +368,74 @@ def q14_promo_revenue(spark, sf_dir):
     )
     d2d = lambda c: F.col(c).cast("string").cast("double")  # noqa: E731
     return agg.select(((d2d("_p") * 100.0) / d2d("_t")).alias("promo_revenue_pct"))
+
+
+@query(
+    "q_merge_upsert",
+    oracle="""
+WITH changes AS (
+  SELECT c_custkey, c_name, c_nationkey,
+         CAST(CAST(c_acctbal AS DECIMAL(12,2)) + CAST(100 AS DECIMAL(12,2)) AS DOUBLE)
+           AS c_acctbal,
+         'CDC_SEG' AS c_mktsegment
+  FROM customer WHERE c_custkey % 11 = 0
+  UNION ALL
+  SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR), c_nationkey,
+         CAST(0.0 AS DOUBLE), 'CDC_SEG'
+  FROM customer WHERE c_custkey % 503 = 0
+),
+merged AS (
+  SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+         CASE WHEN t.c_custkey IS NULL THEN s.c_name ELSE t.c_name END AS c_name,
+         CASE WHEN t.c_custkey IS NULL THEN s.c_nationkey ELSE t.c_nationkey END
+           AS c_nationkey,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal ELSE t.c_acctbal END
+           AS c_acctbal,
+         CASE WHEN s.c_custkey IS NOT NULL THEN s.c_mktsegment ELSE t.c_mktsegment END
+           AS c_mktsegment
+  FROM customer t FULL OUTER JOIN changes s ON t.c_custkey = s.c_custkey
+)
+SELECT c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal,
+       MIN(c_custkey) AS first_key, MAX(c_custkey) AS last_key
+FROM merged GROUP BY c_mktsegment
+""",
+    tags=("merge", "cdc", "join"),
+)
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO emulation (operators/merge.py — the lakehouse verb as a
+    full-outer join, ROADMAP r1 #8): a CDC batch updates segment+balance
+    for every 11th customer and inserts synthetic new customers, then the
+    merged relation is summarized per segment. The change set broadcasts
+    (CDC batches are small); one shuffle on the merge key."""
+    from video_data_pipeline_spark.operators.merge import merge_into
+
+    cust = table(spark, sf_dir, "customer")
+    updates = cust.where(F.col("c_custkey") % 11 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (dec("c_acctbal") + F.lit(100).cast("decimal(12,2)"))
+        .cast("double")
+        .alias("c_acctbal"),
+        F.lit("CDC_SEG").alias("c_mktsegment"),
+    )
+    inserts = cust.where(F.col("c_custkey") % 503 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("CDC_SEG").alias("c_mktsegment"),
+    )
+    merged = merge_into(
+        cust,
+        updates.unionByName(inserts),
+        on="c_custkey",
+        update_cols=["c_acctbal", "c_mktsegment"],
+    )
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+        F.min("c_custkey").alias("first_key"),
+        F.max("c_custkey").alias("last_key"),
+    )
