@@ -411,3 +411,33 @@ def test_streaming_rate_limit(spark, tmp_path):
     assert all_keys == {f"{i:06d}" for i in range(6)}
     assert len(batches) >= 3
     assert all(len(b) <= 2 for b in batches)
+
+
+def test_streaming_decode_with_explicit_suffixes(spark, tmp_path):
+    """Streaming DataFrames can't run the sampled suffix inference (no
+    .limit/collect on a stream) — the explicit ``suffixes=`` zero-pre-pass
+    path composes with the shard stream end-to-end."""
+    from video_data_pipeline_spark.sources.webdataset import read_webdataset_stream
+
+    shard_dir = str(tmp_path / "dec_shards")
+    write_webdataset(
+        _sample_df(spark, n=5).repartition(1).sortWithinPartitions("__key__"),
+        shard_dir,
+        sample_col=None,
+    ).collect()
+
+    typed = decode_columns(
+        read_webdataset_stream(spark, shard_dir), suffixes=["txt", "cls"]
+    )
+    assert typed.isStreaming
+    got: list = []
+    q = (
+        typed.writeStream.foreachBatch(
+            lambda b, _i: got.extend((r["__key__"], r.txt, r.cls) for r in b.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "dec_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sorted(got) == [(f"{i:06d}", f"caption {i}", i % 5) for i in range(5)]
