@@ -439,3 +439,128 @@ def q_merge_upsert(spark, sf_dir):
         F.min("c_custkey").alias("first_key"),
         F.max("c_custkey").alias("last_key"),
     )
+
+
+@query(
+    "q15_top_supplier",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))))
+              AS VARCHAR) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+""",
+    tags=("join", "tpch", "agg", "subquery"),
+)
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15-style top supplier: quarterly revenue per supplier, keep
+    the max. The scalar-max subquery is a broadcast of a 1-row aggregate;
+    supplier is the broadcast dim; one shuffle on suppkey."""
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = dec("l_extendedprice") * (one() - dec("l_discount"))
+    revenue = (
+        li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(rev).alias("_r"))
+        .select("supplier_no", F.col("_r").cast("string").cast("double").alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("m"))
+    return (
+        revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+WITH avg_qty AS (
+  SELECT l_partkey,
+         0.2 * (CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+                / COUNT(*)) AS threshold
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE)
+         / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN avg_qty a ON a.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#1' AND CAST(l.l_quantity AS DOUBLE) < a.threshold
+""",
+    tags=("join", "tpch", "agg", "subquery"),
+)
+def q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17-style small-quantity revenue: lineitems under 20% of their
+    part's average quantity, for one brand. The per-part average is a
+    self-aggregation joined back on partkey — co-partitioned with the fact
+    scan (same key both sides, single shuffle); part broadcasts."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_qty = (
+        li.groupBy("l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("_sq"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.col("l_partkey").alias("ap_partkey"),
+            (F.lit(0.2) * (F.col("_sq").cast("string").cast("double") / F.col("_n"))).alias(
+                "threshold"
+            ),
+        )
+    )
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
+        .where(F.col("l_quantity").cast("double") < F.col("threshold"))
+    )
+    return joined.agg(
+        (F.sum(dec("l_extendedprice")).cast("string").cast("double") / F.lit(7.0)).alias(
+            "avg_yearly"
+        )
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle="""
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+       * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2))))
+       AS VARCHAR) AS DOUBLE) AS revenue
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND CAST(l.l_quantity AS DOUBLE) BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND CAST(l.l_quantity AS DOUBLE) BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND CAST(l.l_quantity AS DOUBLE) BETWEEN 20 AND 30)
+""",
+    tags=("join", "tpch", "agg"),
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19-style disjunctive predicate revenue: three OR-ed
+    brand/size/quantity branches across the part join. Catalyst pushes the
+    common partkey equi-join and evaluates the disjunction post-join;
+    part broadcasts, single global aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity").cast("double")
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & qty.between(20, 30))
+    )
+    rev = dec("l_extendedprice") * (one() - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .where(cond)
+        .agg(F.sum(rev).cast("string").cast("double").alias("revenue"))
+    )
