@@ -77,3 +77,18 @@ def test_decode_images_schema(spark):
     # typed struct fields prune/project like ordinary columns
     just_dims = decoded.select("image.height", "image.width").collect()
     assert len(just_dims) == 6
+
+
+def test_fetch_media_real_local_and_fallback(tmp_path):
+    """fetch_media now probes through gopen: a readable local path returns
+    REAL bytes; a dead main path falls through to the fallback; fully
+    unreachable paths keep the deterministic hermetic stand-in."""
+    from video_data_pipeline_spark.functions.media import fetch_media
+
+    p = tmp_path / "clip.mp4"
+    p.write_bytes(b"\x00REALVIDEO")
+    assert fetch_media(str(p), None) == b"\x00REALVIDEO"
+    assert fetch_media(str(tmp_path / "missing.mp4"), str(p)) == b"\x00REALVIDEO"
+    fake = fetch_media("s3://nowhere/clip.mp4", None)
+    assert len(fake) == 64
+    assert fake == fetch_media("s3://nowhere/clip.mp4", None)  # deterministic

@@ -96,10 +96,26 @@ def resize_cap_image(data: bytes, max_side: int = 1280) -> bytes:
 
 
 def fetch_media(path_main: str, path_fallback: str | None) -> bytes:
-    """Deterministic fake of the S3/local media fetch with path fallback
+    """Media fetch with the reference's two-probe path fallback
     (``get_cache_video`` pack/tools.py:224-241; ``load_image``
-    pack/tools.py:21-37): real impl opens the object store; fake derives
-    bytes from the path so the pack plan is testable hermetically."""
+    pack/tools.py:21-37): each candidate path is opened through the gopen
+    scheme table (sources/gopen.py — local/pipe/http/s3), first readable
+    one wins. Unreachable paths (the hermetic-test case: no object store
+    in this container) fall back to deterministic content derived from the
+    path, keeping the pack plan testable offline."""
+    from video_data_pipeline_spark.sources.gopen import gopen
+
+    for candidate in (path_main, path_fallback):
+        if not candidate:
+            continue
+        try:
+            fh = gopen(candidate, "rb")
+            try:
+                return fh.read()
+            finally:
+                fh.close()
+        except Exception:  # noqa: BLE001 — probe semantics: try the next path
+            continue
     src = path_main or path_fallback or ""
     return hashlib.md5(src.encode()).digest() * 4  # 64 deterministic bytes
 
