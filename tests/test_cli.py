@@ -27,7 +27,7 @@ def test_cli_lifecycle(tmp_path):
             f.write(json.dumps({"video_path": f"v{i}.mp4", "caption": f"caption {i} " * 30}) + "\n")
 
     r = run_cli("pack", "--meta", str(meta), "--out", str(tmp_path / "shards"),
-                "--samples-per-shard", "4")
+                "--samples-per-shard", "4", "--hermetic")
     assert r.returncode == 0, r.stderr[-2000:]
     pack = json.loads(r.stdout.strip().splitlines()[-1])
     assert pack["samples"] == 12 and pack["shards"] == 3

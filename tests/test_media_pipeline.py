@@ -31,7 +31,9 @@ def _meta(spark, sf_dir, n=20):
 
 def test_pack_embed_lsh_end_to_end(spark, sf_dir, tmp_path):
     out = str(tmp_path / "shards")
-    pack_dataset(_meta(spark, sf_dir).repartition(2), out, samples_per_shard=8).collect()
+    pack_dataset(
+        _meta(spark, sf_dir).repartition(2), out, samples_per_shard=8, hermetic=True
+    ).collect()
 
     samples = read_webdataset(spark, out).select(
         "__key__", F.col("sample")["mp4"].alias("video")
@@ -80,15 +82,38 @@ def test_decode_images_schema(spark):
 
 
 def test_fetch_media_real_local_and_fallback(tmp_path):
-    """fetch_media now probes through gopen: a readable local path returns
-    REAL bytes; a dead main path falls through to the fallback; fully
-    unreachable paths keep the deterministic hermetic stand-in."""
+    """fetch_media probes through gopen: a readable local path returns REAL
+    bytes; a dead main path falls through to the fallback; fully unreachable
+    paths raise FileNotFoundError (the reference's two-probe contract) unless
+    hermetic=True, which keeps the deterministic offline stand-in."""
+    import pytest
+
     from video_data_pipeline_spark.functions.media import fetch_media
 
     p = tmp_path / "clip.mp4"
     p.write_bytes(b"\x00REALVIDEO")
     assert fetch_media(str(p), None) == b"\x00REALVIDEO"
     assert fetch_media(str(tmp_path / "missing.mp4"), str(p)) == b"\x00REALVIDEO"
-    fake = fetch_media("s3://nowhere/clip.mp4", None)
+    with pytest.raises(FileNotFoundError):
+        fetch_media(str(tmp_path / "missing.mp4"), None)
+    fake = fetch_media("s3://nowhere/clip.mp4", None, hermetic=True)
     assert len(fake) == 64
-    assert fake == fetch_media("s3://nowhere/clip.mp4", None)  # deterministic
+    assert fake == fetch_media("s3://nowhere/clip.mp4", None, hermetic=True)
+
+
+def test_fetch_media_rejects_shell_schemes(tmp_path):
+    """A data-derived media path must never reach the pipe: (shell) handler
+    — the reference opens media only via s3/local (pack/tools.py); gopen's
+    pipe: scheme is for operator-authored shard URLs, not row values."""
+    import pytest
+
+    from video_data_pipeline_spark.functions.media import fetch_media
+
+    marker = tmp_path / "pwned"
+    evil = f"pipe:touch {marker}"
+    with pytest.raises(FileNotFoundError):
+        fetch_media(evil, None)
+    assert not marker.exists()
+    # even hermetic mode must not execute — it falls to fake bytes
+    out = fetch_media(evil, None, hermetic=True)
+    assert len(out) == 64 and not marker.exists()

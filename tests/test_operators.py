@@ -399,3 +399,31 @@ def test_scd2_apply_versions(spark):
     # closed row got the change timestamp
     closed = [r for r in out.collect() if r.k == 1 and not r.is_current][0]
     assert str(closed.valid_to).startswith("2021-03-01")
+
+
+def test_scd2_null_shift_detected(spark):
+    """(x, NULL, y) → (x, y, NULL) IS a change: the pairwise eqNullSafe
+    compare must version it (a concat_ws-style tuple serialization skips
+    NULLs and would collide these two tuples)."""
+    from video_data_pipeline_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "x", None, "y", "2020-01-01", None, True)],
+        "k int, a string, b string, c string, valid_from string, "
+        "valid_to string, is_current boolean",
+    ).select(
+        "k", "a", "b", "c",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+        "is_current",
+    )
+    changes = spark.createDataFrame(
+        [(1, "x", "y", None)], "k int, a string, b string, c string"
+    )
+    out = scd2_apply(dim, changes, on="k", change_ts="2021-01-01").collect()
+    assert len(out) == 2  # closed old version + new current version
+    cur = [r for r in out if r.is_current][0]
+    assert (cur.a, cur.b, cur.c) == ("x", "y", None)
+    old = [r for r in out if not r.is_current][0]
+    assert (old.a, old.b, old.c) == ("x", None, "y")
+    assert str(old.valid_to).startswith("2021-01-01")

@@ -33,7 +33,7 @@ def _meta(spark, sf_dir, n=60):
 def test_pack_video_text_pair(spark, sf_dir, tmp_path):
     out = str(tmp_path / "packed")
     manifest = pack_dataset(
-        _meta(spark, sf_dir).repartition(2), out, samples_per_shard=25
+        _meta(spark, sf_dir).repartition(2), out, samples_per_shard=25, hermetic=True
     ).collect()
     assert sum(m.nsamples for m in manifest) == 60
     # re-scan: every sample has json + mp4 members (pack/pack.py:171-179 shape)
@@ -55,6 +55,7 @@ def test_pack_uniform_frames(spark, sf_dir, tmp_path):
         samples_per_shard=10,
         sample_type="uniform",
         n_frames=4,
+        hermetic=True,
     ).collect()
     # reference layout: one json sample per video + one jpg sample per frame
     assert sum(m.nsamples for m in manifest) == 50

@@ -248,6 +248,13 @@ def test_tokenizer_variants():
     dream_ids = mm.tokenize("<dream_start>a<dream_end>")
     assert sum(1 for i in dream_ids if mm.is_special_token(i)) == 2
     assert mm.vocab_size > build_tokenizer("llama2mm").vocab_size
+    # special ids are contiguous from the vocab boundary and all < vocab_size
+    # (the reference's next_id = len(self._vocab) convention)
+    for variant in VARIANT_SPECIALS:
+        tok = build_tokenizer(variant)
+        ids = sorted(tok._specials.values())
+        assert ids == list(range(32000, 32000 + len(ids)))
+        assert all(i < tok.vocab_size for i in ids)
 
     # im-family ids stay at the published 32000-block across mm variants
     from video_data_pipeline_spark.functions.text import IM_PATCH

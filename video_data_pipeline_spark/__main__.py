@@ -36,6 +36,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--type", dest="sample_type", default="video_text_pair",
                    choices=["video_text_pair", "uniform"])
     p.add_argument("--frames", type=int, default=16)
+    p.add_argument("--hermetic", action="store_true",
+                   help="fake bytes for unreachable media paths (tests only)")
 
     t = sub.add_parser("tokenize", help="tokenize + 8k-pack tar shards")
     t.add_argument("--in", dest="inp", required=True)
@@ -80,6 +82,7 @@ def main(argv: list[str] | None = None) -> int:
             samples_per_shard=args.samples_per_shard,
             sample_type=args.sample_type,
             n_frames=args.frames,
+            hermetic=args.hermetic,
         ).collect()
         print(json.dumps({
             "shards": len(manifest),

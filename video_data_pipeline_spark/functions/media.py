@@ -95,18 +95,40 @@ def resize_cap_image(data: bytes, max_side: int = 1280) -> bytes:
     return data
 
 
-def fetch_media(path_main: str, path_fallback: str | None) -> bytes:
+#: schemes a *data-derived* path (a value read out of a dataset row) may
+#: open. Deliberately excludes ``pipe:`` — the gopen table is for operator-
+#: authored shard URLs, where pipe: is an explicit user command; letting a
+#: metadata record route through it would hand row values to `sh -c` on
+#: executors. The reference only ever opens media via megfile s3/local
+#: (pack/tools.py get_cache_video/load_image), never a shell.
+DATA_SAFE_SCHEMES = frozenset({"file", "http", "https", "s3"})
+
+
+def fetch_media(
+    path_main: str, path_fallback: str | None, hermetic: bool = False
+) -> bytes:
     """Media fetch with the reference's two-probe path fallback
     (``get_cache_video`` pack/tools.py:224-241; ``load_image``
     pack/tools.py:21-37): each candidate path is opened through the gopen
-    scheme table (sources/gopen.py — local/pipe/http/s3), first readable
-    one wins. Unreachable paths (the hermetic-test case: no object store
-    in this container) fall back to deterministic content derived from the
-    path, keeping the pack plan testable offline."""
-    from video_data_pipeline_spark.sources.gopen import gopen
+    scheme table (sources/gopen.py), first readable one wins — restricted
+    to :data:`DATA_SAFE_SCHEMES` because these paths come from data rows.
 
+    When both probes fail the reference raises ``FileNotFoundError`` and so
+    do we; only under an explicit ``hermetic=True`` (offline tests — no
+    object store in this container) do unreachable paths fall back to
+    deterministic content derived from the path."""
+    from video_data_pipeline_spark.sources.gopen import gopen, url_scheme
+
+    last_err: Exception | None = None
     for candidate in (path_main, path_fallback):
         if not candidate:
+            continue
+        scheme = url_scheme(candidate)
+        if scheme not in DATA_SAFE_SCHEMES:
+            last_err = ValueError(
+                f"scheme {scheme!r} not allowed for data-derived media path: "
+                f"{candidate!r}"
+            )
             continue
         try:
             fh = gopen(candidate, "rb")
@@ -114,8 +136,13 @@ def fetch_media(path_main: str, path_fallback: str | None) -> bytes:
                 return fh.read()
             finally:
                 fh.close()
-        except Exception:  # noqa: BLE001 — probe semantics: try the next path
+        except Exception as exc:  # noqa: BLE001 — probe semantics: try the next path
+            last_err = exc
             continue
+    if not hermetic:
+        raise FileNotFoundError(
+            f"no readable media at {path_main!r} / {path_fallback!r}"
+        ) from last_err
     src = path_main or path_fallback or ""
     return hashlib.md5(src.encode()).digest() * 4  # 64 deterministic bytes
 

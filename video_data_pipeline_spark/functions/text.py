@@ -288,10 +288,13 @@ def build_tokenizer(variant: str, model_file: str | None = None):
         )
     names = VARIANT_SPECIALS[variant]
     specials = dict(SPECIAL_TOKENS) if variant != "stepchat" else {}
-    base = VOCAB + len(specials)
-    for i, tok in enumerate(names):
+    # contiguous id assignment from the vocab boundary: next_id advances
+    # only when a token is actually added (the reference's
+    # next_id = len(self._vocab) convention), so every special id is
+    # < vocab_size with no gaps even when some names were pre-seeded.
+    for tok in names:
         if tok not in specials:
-            specials[tok] = base + i
+            specials[tok] = VOCAB + len(specials)
     if model_file is not None and HAVE_SENTENCEPIECE:  # pragma: no cover
         return SentencePieceTokenizer(model_file, specials)
     return HashTokenizer(variant, specials)

@@ -86,9 +86,16 @@ def scd2_apply(
     d = dim.alias("d")
     c = F.broadcast(changes).alias("c")
     joined = d.join(c, F.col(f"d.{on}") == F.col(f"c.{on}"), "left")
-    differs = F.col(f"c.{on}").isNotNull() & F.concat_ws(
-        "\x1f", *[F.col(f"d.{a}") for a in attrs]
-    ).eqNullSafe(F.concat_ws("\x1f", *[F.col(f"c.{a}") for a in attrs])).__invert__()
+    # pairwise null-safe column compare — never serialize the tuple to one
+    # string: concat_ws skips NULLs, so (x, NULL, y) vs (x, y, NULL) would
+    # collide and a real change would silently not be versioned
+    any_attr_differs = None
+    for a in attrs:
+        diff = ~F.col(f"d.{a}").eqNullSafe(F.col(f"c.{a}"))
+        any_attr_differs = diff if any_attr_differs is None else (any_attr_differs | diff)
+    differs = F.col(f"c.{on}").isNotNull() & (
+        any_attr_differs if any_attr_differs is not None else F.lit(False)
+    )
     closing = F.col(f"d.{current_col}") & differs
     # existing rows: close the superseded current versions
     kept = joined.select(

@@ -33,14 +33,17 @@ def build_conversations(meta: DataFrame, value_col: str = "value") -> DataFrame:
     return meta.withColumn("conversations", conv)
 
 
-def _fetch_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _fetch_batch(
+    it: Iterator[pd.DataFrame], hermetic: bool = False
+) -> Iterator[pd.DataFrame]:
     """Media fetch with ``process_videos``→``videos`` path fallback
     (pack/dataset.py:65-80 coalesce-over-two-probes)."""
     for pdf in it:
         fallback = pdf["video_fallback"] if "video_fallback" in pdf else [None] * len(pdf)
         pdf = pdf.copy()
         pdf["video"] = [
-            fetch_media(p, q) for p, q in zip(pdf["video_path"], fallback)
+            fetch_media(p, q, hermetic=hermetic)
+            for p, q in zip(pdf["video_path"], fallback)
         ]
         yield pdf
 
@@ -51,6 +54,7 @@ def pack_dataset(
     samples_per_shard: int = 500,
     sample_type: str = "video_text_pair",
     n_frames: int = 16,
+    hermetic: bool = False,
 ) -> DataFrame:
     """Pack a normalized caption table ``(video_path, value)`` into tar
     shards; returns the writer manifest (act on it to execute).
@@ -58,6 +62,10 @@ def pack_dataset(
     ``sample_type`` mirrors the --type sampler dispatch (pack/pack.py:69-85):
     ``video_text_pair`` stores whole video bytes; ``uniform`` stores sampled
     frames as jpg members keyed ``{key}-{i}`` (pack/samplers.py:112-117).
+
+    ``hermetic=True`` lets unreachable media paths fall back to
+    deterministic stand-in bytes (offline tests); in production a bad path
+    fails the task, matching the reference's FileNotFoundError.
     """
     from video_data_pipeline_spark.session import ensure_shipped
 
@@ -76,7 +84,10 @@ def pack_dataset(
     fetch_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in keyed.schema.fields
     )
-    with_video = keyed.mapInPandas(_fetch_batch, schema=f"{fetch_schema}, video binary")
+    with_video = keyed.mapInPandas(
+        lambda it: _fetch_batch(it, hermetic=hermetic),
+        schema=f"{fetch_schema}, video binary",
+    )
 
     json_payload = F.to_json(
         F.struct(

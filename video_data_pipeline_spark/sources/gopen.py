@@ -163,7 +163,11 @@ def _gopen_pipe(url: str, mode: str, **kw):
 def _gopen_http(url: str, mode: str, **kw):
     if not mode.startswith("r"):
         raise ValueError(f"http(s) is read-only, got mode {mode!r}")
-    return urllib.request.urlopen(url)  # noqa: S310 — scheme checked by dispatch
+    # bounded by default: a hung shard endpoint must fail the task (or let
+    # fetch_media fall through to its next candidate), not stall it forever
+    return urllib.request.urlopen(  # noqa: S310 — scheme checked by dispatch
+        url, timeout=kw.get("timeout", 60)
+    )
 
 
 def _gopen_s3(
