@@ -285,11 +285,18 @@ def q_simhash_near_pairs(spark, sf_dir):
 # ------------------------------------------------------------------ jaccard
 
 
+#: demo-subset / threshold chosen so the query is NON-vacuous at every test
+#: scale (sf0.001: 34 pairs, sf0.01: 36 pairs — a 0-row match would prove
+#: nothing about the jaccard math)
+_JACCARD_MOD = 3
+_JACCARD_TAU = 0.02
+
+
 def _duck_jaccard_sql() -> str:
     return f"""
 WITH sh AS (
   SELECT doc_id, unnest(list_distinct({_DUCK_SHINGLES})) AS shingle
-  FROM documents WHERE doc_id % 10 = 0 AND len({_DUCK_WORDS}) >= 3
+  FROM documents WHERE doc_id % {_JACCARD_MOD} = 0 AND len({_DUCK_WORDS}) >= 3
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 common AS (
@@ -302,7 +309,7 @@ SELECT c.doc_a, c.doc_b,
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= 0.05
+WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= {_JACCARD_TAU}
 """
 
 
@@ -311,7 +318,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard similarity: explode distinct 3-gram shingles,
     equi-join on shingle, |∩| / |∪| ≥ threshold. (Subset of docs to bound
     the demo; at scale this runs only on LSH candidate pairs.)"""
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % _JACCARD_MOD == 0)
     words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(F.expr("size(w) >= 3"))
     # shingle-set size travels WITH each exploded row: it's a plan-time
     # function of the array, so no separate `sizes` aggregate to broadcast
@@ -347,7 +354,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         F.col("na") + F.col("nb") - F.col("n_common")
     )
     return common.select("doc_a", "doc_b", jac.alias("jaccard")).where(
-        F.col("jaccard") >= 0.05
+        F.col("jaccard") >= _JACCARD_TAU
     )
 
 
