@@ -44,11 +44,41 @@ def formatted_plan_of(spark, sf_dir, name):
         "q08_market_share",
         "q14_promo_revenue",
         "q_ivf_topk",
+        # r4: these dropped their forced hints (VERDICT r3 #3) — the gate now
+        # proves size statistics / AQE still CHOOSE broadcast when the dim
+        # side is genuinely small, instead of the query forcing it
+        "q10_returned_revenue",
+        "q18_large_orders",
+        "q15_top_supplier",
     ],
 )
 def test_dim_joins_broadcast(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "BroadcastHashJoin" in plan, f"{name}: dimension join lost its broadcast"
+
+
+def test_no_forced_broadcast_of_scale_growing_tables():
+    """Source-level gate for VERDICT r3 #3: ``F.broadcast(`` hints are only
+    legal on static dims (region/nation), 1-row/k-row aggregates, generated
+    draw/centroid frames, or bounded samples — never directly on the
+    scale-growing tables (customer/supplier/part/orders/lineitem/documents/
+    embeddings/events) or undisguised derivations of them."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "video_data_pipeline_spark"
+    # table-variable names conventionally bound to scale-growing tables in
+    # the query modules
+    banned = re.compile(
+        r"F\.broadcast\(\s*(c|s|p|o|l|li|cust|customer|supplier|part|orders|"
+        r"lineitem|d|docs|documents|e|emb|embeddings|events|df_)\s*[,)]"
+    )
+    offenders = []
+    for f in root.rglob("*.py"):
+        for i, line in enumerate(f.read_text().splitlines(), 1):
+            if banned.search(line):
+                offenders.append(f"{f.name}:{i}: {line.strip()}")
+    assert not offenders, "forced broadcast of scale-growing side:\n" + "\n".join(offenders)
 
 
 def test_q01_scan_pruned_and_pushed(spark, sf_dir):

@@ -108,8 +108,9 @@ ORDER BY revenue DESC, o_orderkey LIMIT 10
 def q03_top_orders(spark, sf_dir):
     """TPC-H Q3-style: 3-way join + agg + deterministic top-k.
 
-    customer is small → broadcast into the orders scan; only the
-    lineitem↔orders join shuffles, keyed on orderkey.
+    No forced broadcast hints: customer grows with scale, so the join
+    strategy is left to size statistics / AQE (hints are reserved for the
+    static region/nation dims). Locally the small sides still broadcast.
     """
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = table(spark, sf_dir, "orders").where(
@@ -120,7 +121,7 @@ def q03_top_orders(spark, sf_dir):
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(dec("l_extendedprice") * (one() - dec("l_discount"))).alias("_rev"))
         .select(
@@ -167,11 +168,11 @@ def q05_region_revenue(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .join(
-            F.broadcast(s),
+            s,
             (s.s_suppkey == l.l_suppkey) & (s.s_nationkey == n.n_nationkey),
         )
         .groupBy("n_name")

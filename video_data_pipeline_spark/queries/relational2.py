@@ -226,15 +226,18 @@ def q_resampled(spark, sf_dir):
     """``ResampledShards`` sampling *with replacement*, deterministic seed
     (shardlists.py:281-324): k independent draws, each mapped to a document
     by keyed hash mod N. The draw table is generated (no data scan) and the
-    pick is an equi-join — broadcastable at any corpus size."""
+    pick is an equi-join — the DRAW side broadcasts (k rows, corpus-size
+    independent); the corpus itself never broadcasts or shuffles."""
     d = table(spark, sf_dir, "documents")
     n = d.count()  # dimension-sized action; at scale pass the known count
     draws = spark.range(_DRAWS).select(F.col("id").alias("draw_id"))
     hash_expr = SPARK_HASH.format(x="concat('rs:', CAST(draw_id AS STRING))")
     pick = F.expr(f"{hash_expr} % {n}")
     chosen = draws.select("draw_id", pick.alias("doc_id"))
-    return chosen.join(F.broadcast(d.select("doc_id", "source")), "doc_id").select(
-        "draw_id", "doc_id", "source"
+    return (
+        d.select("doc_id", "source")
+        .join(F.broadcast(chosen), "doc_id")
+        .select("draw_id", "doc_id", "source")
     )
 
 

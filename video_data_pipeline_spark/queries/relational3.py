@@ -34,7 +34,7 @@ def q10_returned_revenue(spark, sf_dir):
     n = table(spark, sf_dir, "nation")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(F.sum(dec("l_extendedprice") * (one() - dec("l_discount"))).alias("_rev"))
@@ -69,7 +69,7 @@ def q14_promo_ratio(spark, sf_dir):
     p = table(spark, sf_dir, "part")
     zero = F.lit(0).cast("decimal(12,2)")
     rev = dec("l_extendedprice") * (one() - dec("l_discount"))
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(p, l.l_partkey == p.p_partkey)
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("_promo"),
         F.sum(rev).alias("_all"),
@@ -104,7 +104,7 @@ def q18_large_orders(spark, sf_dir):
     l = table(spark, sf_dir, "lineitem")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(F.sum(dec("l_quantity")).alias("_qty"))
         .where(F.col("_qty") > 150)
@@ -239,8 +239,9 @@ GROUP BY ns.n_name, nc.n_name, CAST(date_part('year', l.l_shipdate) AS BIGINT)
 def q07_volume_shipping(spark, sf_dir):
     """TPC-H Q7-style volume shipping: revenue between two nations by year.
 
-    Plan shape: nation (25 rows) and supplier/customer broadcast into the
-    lineitem/orders scans; the nation filters prune BEFORE the fact join;
+    Plan shape: nation (25 rows, static) carries the only broadcast hints;
+    supplier/customer are scale-growing, so their join strategy is left to
+    size statistics / AQE. The nation filters prune BEFORE the fact join;
     one shuffle on the 3-column group key."""
     li = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
@@ -251,10 +252,10 @@ def q07_volume_shipping(spark, sf_dir):
     nc = n.where(F.col("n_name").isin("NATION_1", "NATION_2")).alias("nc")
     rev = dec("l_extendedprice") * (one() - dec("l_discount"))
     joined = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
         .where(F.col("ns.n_name") != F.col("nc.n_name"))
     )
@@ -300,9 +301,11 @@ FROM volumes GROUP BY o_year
 )
 def q08_market_share(spark, sf_dir):
     """TPC-H Q8-style market share: NATION_1's fraction of PROMO-part
-    revenue sold into ASIA customers, by order year. Every dimension
-    broadcasts; the two decimal sums stay exact and convert to double via
-    string (the >2^53-safe path) only for the final ratio."""
+    revenue sold into ASIA customers, by order year. Only the static dims
+    (nation, region) carry broadcast hints — part/supplier/customer grow
+    with scale and are left to size statistics / AQE. The two decimal sums
+    stay exact and convert to double via string (the >2^53-safe path) only
+    for the final ratio."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
     s = table(spark, sf_dir, "supplier")
@@ -314,11 +317,11 @@ def q08_market_share(spark, sf_dir):
     nc = n.alias("nc")
     vol = dec("l_extendedprice") * (one() - dec("l_discount"))
     base = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
         .join(F.broadcast(r), F.col("nc.n_regionkey") == r.r_regionkey)
         .select(
@@ -352,8 +355,9 @@ WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1996-
     tags=("join", "tpch", "agg"),
 )
 def q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14-style promo revenue share in one ship month: part
-    broadcasts into the date-pruned lineitem scan; single global aggregate
+    """TPC-H Q14-style promo revenue share in one ship month: the part
+    join strategy is left to size statistics / AQE (part grows with scale —
+    no forced hint) over the date-pruned lineitem scan; single global aggregate
     (two exact decimal sums -> one double division at output)."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -362,7 +366,7 @@ def q14_promo_revenue(spark, sf_dir):
     p = table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = dec("l_extendedprice") * (one() - dec("l_discount"))
     zero = F.lit(0).cast("decimal(12,2)")
-    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("_p"),
         F.sum(rev).alias("_t"),
     )
@@ -461,8 +465,9 @@ WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
 )
 def q15_top_supplier(spark, sf_dir):
     """TPC-H Q15-style top supplier: quarterly revenue per supplier, keep
-    the max. The scalar-max subquery is a broadcast of a 1-row aggregate;
-    supplier is the broadcast dim; one shuffle on suppkey."""
+    the max. The scalar-max subquery is a broadcast of a 1-row aggregate
+    (always safe); the supplier join is left to size statistics / AQE; one
+    shuffle on suppkey."""
     li = table(spark, sf_dir, "lineitem").where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -477,7 +482,7 @@ def q15_top_supplier(spark, sf_dir):
     max_rev = revenue.agg(F.max("total_revenue").alias("m"))
     return (
         revenue.join(F.broadcast(max_rev), revenue.total_revenue == F.col("m"))
-        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .join(s, F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -504,7 +509,8 @@ def q17_small_quantity(spark, sf_dir):
     """TPC-H Q17-style small-quantity revenue: lineitems under 20% of their
     part's average quantity, for one brand. The per-part average is a
     self-aggregation joined back on partkey — co-partitioned with the fact
-    scan (same key both sides, single shuffle); part broadcasts."""
+    scan (same key both sides, single shuffle); the brand-subset part join
+    is AQE-chosen (still scale-proportional, so no forced hint)."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select("p_partkey")
     avg_qty = (
@@ -518,7 +524,7 @@ def q17_small_quantity(spark, sf_dir):
         )
     )
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(avg_qty, li.l_partkey == F.col("ap_partkey"))
         .where(F.col("l_quantity").cast("double") < F.col("threshold"))
     )
@@ -549,7 +555,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     """TPC-H Q19-style disjunctive predicate revenue: three OR-ed
     brand/size/quantity branches across the part join. Catalyst pushes the
     common partkey equi-join and evaluates the disjunction post-join;
-    part broadcasts, single global aggregate."""
+    the part join is AQE-chosen (no forced hint), single global aggregate."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
     qty = F.col("l_quantity").cast("double")
@@ -560,7 +566,7 @@ def q19_disjunctive_revenue(spark, sf_dir):
     )
     rev = dec("l_extendedprice") * (one() - dec("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .where(cond)
         .agg(F.sum(rev).cast("string").cast("double").alias("revenue"))
     )

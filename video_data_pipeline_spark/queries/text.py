@@ -490,7 +490,9 @@ def q_tfidf_top_terms(spark, sf_dir):
     """Per-document salient terms: TF-IDF-shaped ranking done entirely in
     integers (tf desc, document-frequency asc, term tie-break) — float IDF
     would be order-sensitive across engines; ordinal ranking is exact.
-    Shape: explode → two aggregations → broadcast df join → window top-k."""
+    Shape: explode → two aggregations → term-keyed shuffle join (document
+    frequencies are vocabulary-sized — never force-broadcast) → window
+    top-k."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 25 == 0)
     words = d.select("doc_id", F.explode(F.expr(_SPARK_TOKENS)).alias("term"))
     tf = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -499,7 +501,7 @@ def q_tfidf_top_terms(spark, sf_dir):
         F.col("tf").desc(), F.col("df").asc(), F.col("term")
     )
     return (
-        tf.join(F.broadcast(df_), "term")
+        tf.join(df_, "term")
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "rk")
