@@ -2,10 +2,11 @@
 
 ``entry(spark)`` runs the flagship query; ``queries()`` exposes every
 implemented operator from SURVEY.md §2 (+ Phase-5 extensions) as
-(spark, sf_dir) -> DataFrame callables (99 as of round 2, round-robin
-ordered by family so any checked prefix covers every family, oracle-less
-queries last); ``oracle_sql()`` gives the DuckDB oracle for each
-SQL-expressible one (97). Implementations live in
+(spark, sf_dir) -> DataFrame callables (round-robin ordered by family so
+any checked prefix covers every family, oracle-less queries last);
+``oracle_sql()`` gives the DuckDB oracle for each SQL-expressible one.
+Counts are live properties of the registry — ``len(queries())`` /
+``len(oracle_sql())`` (105 / 103 as of round 4); implementations live in
 ``video_data_pipeline_spark/queries/``.
 """
 

@@ -105,6 +105,21 @@ def test_q_select_pushdown(spark, sf_dir):
     assert "GreaterThanOrEqual(l_quantity,30" in pushed
 
 
+def test_q21_semi_anti_join_shape(spark, sf_dir):
+    """Q21's exists/not-exists chain must stay semi/anti joins — a rewrite
+    into count-based subquery re-aggregation would double the fact shuffle."""
+    plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan, "q21 lost its left-semi EXISTS join"
+    assert "LeftAnti" in plan, "q21 lost its left-anti NOT EXISTS join"
+
+
+def test_q13_left_join_preserved(spark, sf_dir):
+    """Q13's zero-order customers only survive through a LEFT join; the
+    order-priority filter must ride the join condition, not a WHERE."""
+    plan = plan_of(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in plan, "q13 lost its left outer join"
+
+
 def test_no_cartesian_products(spark, sf_dir):
     """Cross joins are only ever the deliberate 1-row / dim-size broadcasts
     (ANN query vector, LSH centroids)."""

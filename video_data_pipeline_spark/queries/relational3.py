@@ -570,3 +570,167 @@ def q19_disjunctive_revenue(spark, sf_dir):
         .where(cond)
         .agg(F.sum(rev).cast("string").cast("double").alias("revenue"))
     )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders GROUP BY c_count
+""",
+    tags=("join", "tpch", "left-join", "distribution"),
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13-style customer order-count distribution: LEFT join so
+    customers with zero (non-urgent) orders survive with c_count = 0, then
+    a second aggregation over the counts. Two shuffles (custkey, then
+    c_count — the second is tiny); the join condition's order filter rides
+    the join, not a WHERE (a WHERE would turn the left join inner). No
+    broadcast hint: customer is scale-growing."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         CAST(l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS BOOLEAN) AS late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+)
+SELECT s.s_name, COUNT(*) AS numwait
+FROM lo l1
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+WHERE l1.late
+  AND EXISTS (SELECT 1 FROM lo l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lo l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name LIMIT 25
+""",
+    tags=("join", "tpch", "semi", "anti"),
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-style waiting suppliers: suppliers whose line was late on a
+    finished multi-supplier order where NO other supplier was late (the
+    reduced schema has no commit/receipt dates, so late := shipped more
+    than 90 days after the order date).
+
+    Plan shape: the exists/not-exists chain is a left-SEMI then left-ANTI
+    join, both keyed on orderkey with the supplier inequality as a
+    residual condition — never a count-based subquery re-aggregation. The
+    lineitem-orders join and both semi/anti probes all shuffle on the SAME
+    key (orderkey), so the exchange is reusable; supplier resolution joins
+    last on the ~25-row survivor set (AQE picks the strategy)."""
+    o = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias(
+            "late"
+        ),
+    )
+    l1 = lo.where(F.col("late")).alias("l1")
+    l2 = lo.select(
+        F.col("l_orderkey").alias("r_orderkey"), F.col("l_suppkey").alias("r_suppkey")
+    )
+    l3 = lo.where(F.col("late")).select(
+        F.col("l_orderkey").alias("a_orderkey"), F.col("l_suppkey").alias("a_suppkey")
+    )
+    cand = l1.join(
+        l2,
+        (F.col("l1.l_orderkey") == F.col("r_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("r_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("a_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("a_suppkey")),
+        "left_anti",
+    )
+    return (
+        cand.join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
+
+
+@query(
+    "q09_product_profit",
+    oracle="""
+SELECT n.n_name AS nation,
+       CAST(date_part('year', o.o_orderdate) AS BIGINT) AS o_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+              * (CAST(1 AS DECIMAL(12,2)) - CAST(l.l_discount AS DECIMAL(12,2)))
+            - CAST(p.p_retailprice AS DECIMAL(12,2))
+              * CAST(l.l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY n.n_name, CAST(date_part('year', o.o_orderdate) AS BIGINT)
+""",
+    tags=("join", "tpch", "agg"),
+)
+def q09_product_profit(spark, sf_dir):
+    """TPC-H Q9-style product-type profit rollup by supplier nation and
+    order year (the reduced schema has no partsupp, so unit cost :=
+    p_retailprice; profit = revenue - retail cost, both exact
+    DECIMAL(25,4) per row before the difference and sum).
+
+    Plan shape: the five-way join keeps the two fact joins (part-filtered
+    lineitem->orders on orderkey) as shuffle joins; nation (static, 25
+    rows) carries the only broadcast hint; part/supplier strategy is left
+    to size statistics / AQE. One shuffle on the 2-column group key."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").where(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = dec("l_extendedprice") * (one() - dec("l_discount")) - dec(
+        "p_retailprice"
+    ) * dec("l_quantity")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(amount).alias("_p"))
+        .select(
+            "nation", "o_year", F.col("_p").cast("string").cast("double").alias("profit")
+        )
+    )
