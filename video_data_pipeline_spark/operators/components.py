@@ -5,17 +5,21 @@ form *clusters* via transitivity: A~B, B~C ⇒ {A,B,C} dedup together with
 one survivor. That closure is an iterative algorithm — the one shape in
 this engine that loops over actions (like PageRank/label propagation).
 
-Implementation: iterative min-label propagation. Each node starts labeled
-with itself; every round each node takes the min label among itself and
-its neighbors; plain propagation converges in O(diameter) rounds (bounded
-by ``max_iter`` — for adversarial path-shaped graphs switch to the
-large-star/small-star contraction, which is O(log n) with the same join
-primitives). Each round is one join + one groupBy; intermediates are
-persisted for the round and explicitly unpersisted when superseded, so a
-run leaves exactly one (GC-managed) checkpoint behind — the result.
+Implementation: min-label propagation with pointer doubling. Each node
+starts labeled with itself; every round each node takes the min label
+among (a) itself, (b) its neighbors' labels, and (c) the label of the
+node its own label points at (the path-shortcut / pointer-jumping step
+from Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14). The shortcut halves remaining path lengths, so convergence is
+O(log diameter) rounds rather than O(diameter) — an adversarial
+path-shaped graph of 1M nodes converges in ~20 rounds instead of 1M.
+Each round is two joins + one groupBy; intermediates are persisted for
+the round and explicitly unpersisted when superseded, so a run leaves
+exactly one (GC-managed) checkpoint behind — the result.
 
 At 100 TB scale the edge list (near-dup pairs) is tiny relative to the
-corpus, so rounds are cheap.
+corpus, so rounds are cheap; the log-round bound keeps the driver loop
+short even on degenerate chain-of-near-dups graphs.
 """
 
 from __future__ import annotations
@@ -31,14 +35,16 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """Edges (undirected, any orientation) → (node, component) where
     component = min node id reachable. Node set = all endpoint ids.
 
-    Warns (``RuntimeWarning``) if ``max_iter`` rounds pass without
-    convergence — labels are then a valid partial propagation but NOT the
-    true components; raise ``max_iter`` or use star-contraction for graphs
-    with diameter > ``max_iter``.
+    With pointer doubling, ``max_iter`` rounds cover graphs of diameter
+    up to ~2**max_iter, so the default handles any realistic graph. If
+    the loop still exhausts: ``strict=True`` raises ``RuntimeError``;
+    otherwise a ``RuntimeWarning`` is emitted and the labels are a valid
+    partial propagation but NOT the true components.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -56,12 +62,24 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("component").alias("nmin"))
         )
+        cand = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+            ).alias("cand"),
+        )
+        # pointer doubling: follow the candidate label one hop through the
+        # current labeling (label[label[node]]) and keep the smaller — this
+        # is what turns O(diameter) propagation into O(log diameter)
+        hop = labels.select(
+            F.col("node").alias("cnode"), F.col("component").alias("ccomp")
+        )
         updated = (
-            labels.join(neighbor_min, "node", "left")
+            cand.join(hop, cand.cand == hop.cnode, "left")
             .select(
                 "node",
                 F.least(
-                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                    F.col("cand"), F.coalesce(F.col("ccomp"), F.col("cand"))
                 ).alias("component"),
             )
             .persist()
@@ -78,13 +96,16 @@ def connected_components(
             converged = True
             break
     if not converged:
-        warnings.warn(
+        msg = (
             f"connected_components: no convergence after {max_iter} rounds; "
             "labels are a partial propagation (graph diameter exceeds "
-            "max_iter)",
-            RuntimeWarning,
-            stacklevel=2,
+            f"~2**{max_iter})"
         )
+        if strict:
+            labels.unpersist()
+            sym.unpersist()
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     # one final lineage truncation so the caller doesn't recompute the whole
     # iterative chain; its blocks are freed by the ContextCleaner on GC
     result = labels.localCheckpoint(eager=True)
