@@ -330,12 +330,35 @@ def test_connected_components_warns_and_cleans_up(spark):
     assert not any("no convergence" in str(c.message) for c in caught)
     del out
     import gc
+    import time
 
-    gc.collect()
+    # per-round localCheckpoint blocks are freed by the ContextCleaner once
+    # the superseded DataFrames are GC'd (async) — poll with GC hints to
+    # prove nothing leaks permanently
     jsc = spark.sparkContext._jsc.sc()
-    # only the (GC-pending) final checkpoint may remain; all per-round
-    # persists must be gone
+    jvm = spark.sparkContext._jvm
+    for _ in range(30):
+        gc.collect()
+        jvm.System.gc()
+        if jsc.getPersistentRDDs().size() <= 2:
+            break
+        time.sleep(0.5)
     assert jsc.getPersistentRDDs().size() <= 2
+
+
+def test_connected_components_long_chain_no_lineage_blowup(spark):
+    """Regression: per-round persist() (pre-r5) embedded ~3 copies of the
+    previous round's logical plan per round, so plan size grew ~3^rounds and
+    the driver OOMed compiling round ~6's query. With per-round eager
+    localCheckpoint a 512-node chain (needs ~10 pointer-doubling rounds)
+    converges in seconds."""
+    from video_data_pipeline_spark.operators.components import connected_components
+
+    n = 512
+    chain = _df(spark, [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint")
+    out = connected_components(chain, max_iter=15, strict=True)
+    got = {r.node: r.component for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
 
 
 # ------------------------------------------------------------------ kmeans

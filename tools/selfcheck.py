@@ -93,6 +93,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
+    ap.add_argument(
+        "--json",
+        default=None,
+        help="also write per-query results to this JSON file "
+        "(committed as CORRECTNESS_full_r{N}.json)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -113,6 +119,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     n_pass = n_fail = n_nooracle = 0
+    results: dict[str, dict] = {}
     for name, q in sorted(registry.items()):
         if only and name not in only:
             continue
@@ -121,16 +128,19 @@ def main() -> int:
             sdf = q.spark_fn(spark, args.sf_dir).toPandas()
         except Exception:
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": traceback.format_exc()[-800:]}
             n_fail += 1
             continue
         if q.oracle is None:
             print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
             n_nooracle += 1
             continue
         try:
             ddf = con.execute(q.oracle).fetchdf()
         except Exception:
             print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": traceback.format_exc()[-800:]}
             n_fail += 1
             continue
         problems = compare(sdf, ddf)
@@ -138,11 +148,28 @@ def main() -> int:
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"     {p}")
+            results[name] = {"status": "fail", "problems": problems}
             n_fail += 1
         else:
             print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "pass",
+                "rows": len(sdf),
+                "secs": round(time.time() - t0, 2),
+            }
             n_pass += 1
     print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} rows-only")
+    if args.json:
+        import json
+
+        payload = {
+            "sf_dir": args.sf_dir,
+            "summary": {"pass": n_pass, "fail": n_fail, "rows_only": n_nooracle},
+            "queries": results,
+        }
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
 

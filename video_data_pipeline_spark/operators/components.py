@@ -13,13 +13,18 @@ from Kiveris et al., "Connected Components in MapReduce and Beyond",
 SoCC'14). The shortcut halves remaining path lengths, so convergence is
 O(log diameter) rounds rather than O(diameter) — an adversarial
 path-shaped graph of 1M nodes converges in ~20 rounds instead of 1M.
-Each round is two joins + one groupBy; intermediates are persisted for
-the round and explicitly unpersisted when superseded, so a run leaves
-exactly one (GC-managed) checkpoint behind — the result.
+Each round is two joins + one groupBy; the round result is truncated
+with ``localCheckpoint(eager=True)`` (``persist`` alone keeps the full
+logical plan, which embeds ~3 copies of the previous round's plan and
+grows ~3^rounds — the driver would OOM compiling round ~6's query).
+Checkpoint blocks are freed by the ContextCleaner when superseded.
 
 At 100 TB scale the edge list (near-dup pairs) is tiny relative to the
 corpus, so rounds are cheap; the log-round bound keeps the driver loop
-short even on degenerate chain-of-near-dups graphs.
+short even on degenerate chain-of-near-dups graphs. As labels converge,
+most nodes' candidate label equals the component minimum, so the hop
+join concentrates on one key per large component; AQE's skew-join
+splitting (enabled in our session defaults) absorbs that hot partition.
 """
 
 from __future__ import annotations
@@ -74,6 +79,9 @@ def connected_components(
         hop = labels.select(
             F.col("node").alias("cnode"), F.col("component").alias("ccomp")
         )
+        # eager localCheckpoint truncates lineage each round — persist()
+        # alone would leave a logical plan that grows ~3^rounds and OOMs
+        # the driver at plan-compilation time after ~5-6 rounds
         updated = (
             cand.join(hop, cand.cand == hop.cnode, "left")
             .select(
@@ -82,7 +90,7 @@ def connected_components(
                     F.col("cand"), F.coalesce(F.col("ccomp"), F.col("cand"))
                 ).alias("component"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             updated.alias("u")
@@ -102,13 +110,10 @@ def connected_components(
             f"~2**{max_iter})"
         )
         if strict:
-            labels.unpersist()
             sym.unpersist()
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
-    # one final lineage truncation so the caller doesn't recompute the whole
-    # iterative chain; its blocks are freed by the ContextCleaner on GC
-    result = labels.localCheckpoint(eager=True)
-    labels.unpersist()
     sym.unpersist()
-    return result
+    # labels is already an eager localCheckpoint (or, with max_iter=0, the
+    # trivial node->node labeling), so the caller never recomputes the chain
+    return labels

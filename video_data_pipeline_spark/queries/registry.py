@@ -99,12 +99,38 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # caller's session defaults (safe runtime conf)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and convert (truncate) to a
-        # microsecond timestamp, matching DuckDB's ns→us comparison path.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
-
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return _read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events.parquet robustly across physical timestamp encodings.
+
+    The ``ts`` column has drifted between parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects unless ``nanosAsLong`` is set) and plain
+    TIMESTAMP(MICROS). Branch on the read-back dtype instead of assuming one
+    physical type, so a regenerated file can't break every downstream query:
+
+    - TimestampType      -> pass through
+    - TimestampNTZType   -> relabel as UTC instant (session tz is UTC, so the
+                            wall clock is unchanged; keeps DuckDB-oracle parity)
+    - LongType           -> nanosAsLong was already on; nanos ``div 1000`` to us
+    - read rejected      -> TIMESTAMP(NANOS) file; enable nanosAsLong and
+                            convert nanos to a microsecond timestamp
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+        dtype = df.schema["ts"].dataType
+    except Exception:
+        dtype = None
+    if dtype is None or isinstance(dtype, T.LongType):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(dtype, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df

@@ -24,16 +24,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # nanos (see sources note on NANOS parquet)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# nanos-as-long layout; kept importable for tests that write int64 ts columns
+EVENTS_SCHEMA = _events_schema(LongType())
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -43,15 +48,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     The file streaming source requires a *directory* to monitor; the test
     layout is one file per table, so we stage a symlink directory (no data
     copy) — production layouts already are directories of arriving files.
+
+    The ``ts`` column's physical type has drifted between TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS) across testdata regenerations (see
+    ``queries.registry._read_events``); streaming requires a user-supplied
+    schema, so probe the footer with pyarrow and pick the matching one.
     """
+    import glob
     import hashlib
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import pyarrow.parquet as pq
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
     src = os.path.join(sf_dir, "events.parquet")
     if os.path.isdir(src):
         watch_dir = src
+        probe = sorted(glob.glob(os.path.join(src, "*.parquet")))[0]
     else:
         tag = hashlib.md5(src.encode()).hexdigest()[:12]
         watch_dir = os.path.join(tempfile.gettempdir(), f"events_stream_{tag}")
@@ -59,8 +73,26 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         link = os.path.join(watch_dir, "events.parquet")
         if not os.path.exists(link):
             os.symlink(src, link)
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(watch_dir)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        probe = src
+
+    ts_field = pq.read_schema(probe).field("ts")
+    if getattr(ts_field.type, "unit", None) == "ns":
+        # NANOS parquet: Spark's reader only accepts it as long
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(_events_schema(LongType()))
+            .format("parquet")
+            .load(watch_dir)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_spark = TimestampType() if ts_field.type.tz else TimestampNTZType()
+    raw = (
+        spark.readStream.schema(_events_schema(ts_spark))
+        .format("parquet")
+        .load(watch_dir)
+    )
+    # session tz is UTC, so relabeling NTZ as an instant keeps the wall clock
+    return raw.withColumn("ts", F.col("ts").cast(TimestampType()))
 
 
 def stream_windowed_counts(
