@@ -30,7 +30,7 @@ KEY_COLS = {
     "supplier": ["s_suppkey"],
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
-    "embeddings": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 #: single-copy dimensions
 PASSTHROUGH = ["region", "nation"]
@@ -73,6 +73,14 @@ def main() -> int:
             print(f"{name}: missing, skipped")
             continue
         df = spark.read.parquet(src)
+        missing = [c for c in cols if c not in df.columns]
+        if missing:
+            # testdata schemas have drifted across driver regenerations
+            # (e.g. embeddings doc_id -> vec_id); fail per-table, loudly,
+            # instead of crashing the whole run
+            print(f"{name}: KEY_COLS {missing} not in {df.columns} — SKIPPED; "
+                  "update KEY_COLS for the regenerated schema")
+            continue
         span = key_span(df, cols)
         copies = []
         for c in range(args.factor):

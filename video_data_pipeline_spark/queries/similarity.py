@@ -408,3 +408,116 @@ def q_kmeans_step(spark, sf_dir):
             "new_val"
         ),
     )
+
+
+_KM_K = 4  # trained-IVF centroid count (small: lists stay probe-prunable)
+_KM_ROUNDS = 2  # fixed Lloyd's rounds — unrolled verbatim in the oracle
+
+
+def _km_round_sql(i: int) -> str:
+    """One unrolled Lloyd's round as DuckDB CTEs: assign to cents{i-1},
+    then quantized per-dimension means -> cents{i} (same 2^20 integer
+    quantization as operators/kmeans.py, so the fit is bit-identical)."""
+    return f"""
+a{i} AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine("duck", "e.embedding", "c.cv")} DESC, c.cid)
+             AS rk
+    FROM embeddings e, cents{i - 1} c
+  ) WHERE rk = 1
+),
+ex{i} AS (
+  SELECT cid,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         unnest(embedding) AS val
+  FROM a{i}
+),
+m{i} AS (
+  SELECT cid, dim,
+         CAST(SUM(CAST(FLOOR(CAST(val AS DOUBLE) * 1048576 + 0.5) AS BIGINT)) AS DOUBLE)
+           / (COUNT(*) * 1048576.0) AS m
+  FROM ex{i} GROUP BY cid, dim
+),
+cents{i} AS (
+  SELECT cid, list(CAST(m AS FLOAT) ORDER BY dim) AS cv FROM m{i} GROUP BY cid
+)"""
+
+
+@query(
+    "q_ivf_kmeans_topk",
+    oracle=f"""
+WITH cents0 AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_KM_K}
+),
+{",".join(_km_round_sql(i) for i in range(1, _KM_ROUNDS + 1)).lstrip(",")},
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT c.cid FROM cents{_KM_ROUNDS} c, q
+  ORDER BY {_cosine("duck", "c.cv", "q.qv")} DESC, c.cid LIMIT 2
+),
+afin AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine("duck", "e.embedding", "c.cv")} DESC, c.cid)
+             AS rk
+    FROM embeddings e, cents{_KM_ROUNDS} c
+  ) WHERE rk = 1
+)
+SELECT a.vec_id, a.cid AS centroid_id,
+       {_cosine("duck", "a.embedding", "q.qv")} AS cosine
+FROM afin a, q
+WHERE a.cid IN (SELECT cid FROM probe) AND a.vec_id <> 0
+ORDER BY cosine DESC, a.vec_id LIMIT 10
+""",
+    tags=("similarity", "ivf", "kmeans", "topk"),
+)
+def q_ivf_kmeans_topk(spark, sf_dir):
+    """Trained-IVF ANN end-to-end: fit 4 centroids with Lloyd's k-means
+    (``operators/kmeans.py::kmeans_fit`` — broadcast-centroid assign,
+    order-free 2^20-quantized exact means, deterministic lowest-id init),
+    coarse-quantize the corpus to the TRAINED centroids, probe the query's
+    2 nearest inverted lists, exact-cosine only within them, top-10.
+
+    This closes the seed-centroid shortcut of ``q_ivf_topk``: the oracle
+    unrolls the fixed 2 training rounds verbatim in SQL, so the whole
+    train→assign→probe→search pipeline is value-checked, not just the
+    final scan. Early convergence can't diverge from the unrolled oracle:
+    if round r's assignment equals round r-1's, the recomputed means are
+    identical, so fit's early-returned centroids match the oracle's.
+
+    Scale: centroids are k×dim doubles (always broadcast); training
+    shuffles only k×dim quantized partial sums per round (map-side
+    combine); the corpus is scanned once per round and never shuffled;
+    probe pruning drops ~(1 - 2/k) of the corpus before exact scoring;
+    top-k is a TakeOrdered. With lists stored bucketed-by-centroid the
+    probe filter becomes partition pruning."""
+    from video_data_pipeline_spark.operators.kmeans import assign_step, kmeans_fit
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(
+        e, _KM_K, vec_col="embedding", id_col="vec_id", max_iter=_KM_ROUNDS
+    )
+    q = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    probe = (
+        cents.crossJoin(F.broadcast(q))
+        .select("cid", F.expr(_cosine("spark", "cv", "qv")).alias("qcos"))
+        .orderBy(F.col("qcos").desc(), "cid")
+        .limit(2)
+        .select("cid")
+    )
+    assigned = assign_step(e, cents, "embedding", "vec_id")
+    return (
+        assigned.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.col("cid").alias("centroid_id"),
+            F.expr(_cosine("spark", "embedding", "qv")).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )
