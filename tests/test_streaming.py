@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from video_data_pipeline_spark.queries.registry import load_all
 from video_data_pipeline_spark.streaming.jobs import (
     read_events_stream,
@@ -121,3 +123,93 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # hour-0 window finalized with ONLY the on-time event; the late event
     # (event_id 4) was dropped by the watermark (h10 window still pending)
     assert sorted(rows.values()) == [1], rows
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked stream-stream view->click attribution equals the batch
+    join over the same events (the availableNow drain processes everything,
+    so no rows are watermark-dropped and the sets must match exactly)."""
+    from video_data_pipeline_spark.queries.registry import table
+    from video_data_pipeline_spark.streaming.jobs import stream_view_click_join
+
+    views = read_events_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    clicks = read_events_stream(spark, sf_dir).where(F.col("event_type") == "click")
+    out = run_to_completion(
+        stream_view_click_join(views, clicks),
+        "vc_join",
+        str(tmp_path / "ck_ssj"),
+        output_mode="append",
+    ).toPandas()
+
+    e = table(spark, sf_dir, "events")
+    v = e.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    batch = (
+        v.join(
+            c,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select("view_id", "click_id")
+        .toPandas()
+    )
+    assert len(out) == len(batch) > 0
+    got = set(zip(out["view_id"], out["click_id"]))
+    want = set(zip(batch["view_id"], batch["click_id"]))
+    assert got == want
+
+
+def test_streaming_dedup_restart_recovery(spark, tmp_path):
+    """State survives a restart: batch 1 marks fingerprints seen; after the
+    query stops, batch 2 arrives with overlapping fingerprints and a restart
+    from the SAME checkpoint must emit only the genuinely novel ones."""
+    import pandas as pd
+
+    from video_data_pipeline_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "in"
+    sink = tmp_path / "out"
+    src.mkdir()
+    ck = str(tmp_path / "ck_dedup")
+
+    pd.DataFrame(
+        {"fingerprint": ["a", "a", "b"], "__key__": ["k1", "k2", "k3"]}
+    ).to_parquet(src / "b1.parquet")
+
+    schema = "fingerprint string, __key__ string"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        q = (
+            streaming_dedup(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(str(sink)).toPandas()
+
+    first = drain()
+    assert sorted(first["fingerprint"]) == ["a", "b"]
+
+    # batch 2: 'a' and 'b' are dupes of recovered state; 'c' is novel
+    pd.DataFrame(
+        {"fingerprint": ["a", "b", "c", "c"], "__key__": ["k4", "k5", "k6", "k7"]}
+    ).to_parquet(src / "b2.parquet")
+    second = drain()
+    assert sorted(second["fingerprint"]) == ["a", "b", "c"]
+    novel = second[~second["fingerprint"].isin(first["fingerprint"])]
+    assert list(novel["fingerprint"]) == ["c"]
+    assert int(novel["n_new"].iloc[0]) == 2

@@ -134,11 +134,52 @@ def stream_sessionize(
     )
 
 
-def run_to_completion(df: DataFrame, name: str, checkpoint: str) -> DataFrame:
+def stream_view_click_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream INNER join: attribute each click to the
+    views by the same user in the preceding ``within`` interval.
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both ends, so Spark can size the join state and evict rows older
+    than watermark + interval — the canonical bounded-state shape for
+    stream-stream correlation at 100 TB/day (state is keyed by user_id,
+    uniform; no unbounded buffering on either side)."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+        F.col("event_id").alias("view_id"),
+    ).withWatermark("v_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("c_ts", watermark)
+    return v.join(
+        c,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("v_ts"))
+        & (F.col("c_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        F.unix_millis("v_ts").alias("view_ts_ms"),
+        F.unix_millis("c_ts").alias("click_ts_ms"),
+    )
+
+
+def run_to_completion(
+    df: DataFrame, name: str, checkpoint: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drive a streaming query over all available input and return the
-    result table (availableNow → terminates when the backlog drains)."""
+    result table (availableNow → terminates when the backlog drains).
+    Stream-stream joins require ``output_mode="append"``."""
     q = (
-        df.writeStream.outputMode("complete")
+        df.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(name)
         .option("checkpointLocation", checkpoint)
