@@ -494,3 +494,40 @@ def test_scd2_null_shift_detected(spark):
     old = [r for r in out if not r.is_current][0]
     assert (old.a, old.b, old.c) == ("x", None, "y")
     assert str(old.valid_to).startswith("2021-01-01")
+
+
+# ------------------------------------------------------- LSH bucket guard
+
+
+def test_lsh_pairs_bucket_cap_degenerate_corpus(spark):
+    """An all-identical corpus lands every doc in one bucket per band;
+    uncapped expansion is quadratic. With max_bucket_size=8 the pair count
+    collapses to C(8,2) and the Observation reports the oversized buckets
+    (every kept doc still pairs with the bucket minimum, so transitive
+    clustering is preserved for the capped members)."""
+    from pyspark.sql import Observation
+
+    from video_data_pipeline_spark.queries.dedup import lsh_pairs_from_bands
+
+    n = 50
+    # 4 bands, same band_key within each band for every doc (degenerate)
+    rows = [(d, b, f"key{b}") for d in range(n) for b in range(4)]
+    bands = spark.createDataFrame(rows, "doc_id bigint, band_idx int, band_key string")
+
+    obs = Observation("lsh_guard")
+    capped = lsh_pairs_from_bands(bands, max_bucket_size=8, observation=obs)
+    got = capped.collect()
+    assert len(got) == 8 * 7 // 2  # same 28 pairs in all 4 buckets, distinct'd
+    metrics = obs.get
+    assert metrics["n_buckets"] == 4
+    assert metrics["oversized_buckets"] == 4
+    assert metrics["max_bucket_size_seen"] == n
+    # every kept doc pairs with the bucket minimum (cluster connectivity)
+    assert {(a, b) for a, b in ((r.doc_a, r.doc_b) for r in got) if a == 0} == {
+        (0, d) for d in range(1, 8)
+    }
+    # uncapped telemetry path still works and emits the full expansion
+    obs2 = Observation("lsh_unguarded")
+    full = lsh_pairs_from_bands(bands, observation=obs2)
+    assert full.count() == n * (n - 1) // 2
+    assert obs2.get["oversized_buckets"] == 0

@@ -147,6 +147,49 @@ FROM bands a JOIN bands b
 """
 
 
+def lsh_pairs_from_bands(bands, max_bucket_size: int | None = None, observation=None):
+    """(doc_id, band_idx, band_key) → distinct candidate pairs (doc_a < doc_b).
+
+    Buckets form with ONE shuffle (groupBy band key — uniform md5, so
+    skew-free); pairs are generated inside each bucket with array
+    combinatorics instead of a self-join.
+
+    100 TB guard: in-bucket expansion is quadratic, so one pathological
+    bucket (e.g. a boilerplate page duplicated millions of times) can
+    dominate the job. ``max_bucket_size`` caps each bucket to its first N
+    ids (sorted — deterministic, and every kept doc still pairs with the
+    bucket's minimum, so downstream connected-components still merges the
+    over-cap members into one cluster via transitivity). Pass a
+    ``pyspark.sql.Observation`` to get per-run telemetry after the first
+    action: n_buckets / oversized_buckets / max_bucket_size_seen."""
+    buckets = (
+        bands.groupBy("band_idx", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    if observation is not None:
+        cap = max_bucket_size if max_bucket_size is not None else 1 << 62
+        buckets = buckets.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.size("ids") > cap).cast("long")).alias("oversized_buckets"),
+            F.max(F.size("ids")).alias("max_bucket_size_seen"),
+        )
+    if max_bucket_size is not None:
+        buckets = buckets.select(
+            "band_idx", "band_key", F.slice("ids", 1, max_bucket_size).alias("ids")
+        )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, x -> "
+                "transform(filter(ids, y -> y > x), y -> struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
 @query("q_minhash_lsh_pairs", oracle=_duck_lsh_pairs_sql(), tags=("dedup", "minhash", "join"))
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH candidate pairs: band the signature (4 bands × 2 rows),
@@ -155,8 +198,9 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     Single-pass plan: the signature row explodes into its 4 band keys (the
     md5 shingle pass runs once — no union of per-band branches), buckets
     form with ONE shuffle (groupBy band key, uniform md5 → skew-free), and
-    pairs are generated inside each bucket with array combinatorics instead
-    of a self-join (which would re-execute the signature subtree)."""
+    pairs are generated inside each bucket via :func:`lsh_pairs_from_bands`
+    (which also carries the 100 TB ``max_bucket_size`` guard — uncapped
+    here so the oracle SQL matches exactly; production calls pass a cap)."""
     sig = _spark_signatures(spark, sf_dir)
     band_keys = F.array(
         *[
@@ -175,20 +219,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     bands = sig.select(
         "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
     )
-    buckets = (
-        bands.groupBy("band_idx", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .where(F.size("ids") > 1)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ids, x -> "
-                "transform(filter(ids, y -> y > x), y -> struct(x AS doc_a, y AS doc_b))))"
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    return lsh_pairs_from_bands(bands)
 
 
 # ------------------------------------------------------------------ simhash
