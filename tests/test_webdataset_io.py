@@ -298,9 +298,65 @@ def test_gopen_scheme_table():
     assert url_scheme("s3://b/k.tar") == "s3"
     assert url_scheme("/abs/path.tar") == "file"
     with pytest.raises(ValueError, match="no gopen handler"):
-        gopen("gs://bucket/x.tar")
-    register_scheme("gs", lambda url, mode, **kw: io.BytesIO(b"fake"))
-    assert gopen("gs://bucket/x.tar").read() == b"fake"
+        gopen("zzz://bucket/x.tar")
+    register_scheme("zzz", lambda url, mode, **kw: io.BytesIO(b"fake"))
+    assert gopen("zzz://bucket/x.tar").read() == b"fake"
+
+
+def test_gopen_cli_schemes_roundtrip(tmp_path, monkeypatch):
+    """gs/ais handlers drive their CLI through the SIGPIPE-tolerant pipe
+    classes; stub `gsutil`/`ais` executables prove the full open→read and
+    write→close plumbing without cloud credentials."""
+    import os as _os
+    import stat
+
+    from video_data_pipeline_spark.sources.gopen import gopen
+
+    bindir = tmp_path / "bin"
+    bindir.mkdir()
+    store = tmp_path / "store"
+    store.mkdir()
+    # stub gsutil: `gsutil cat URL` reads store/<basename>; `gsutil cp - URL` writes it
+    (bindir / "gsutil").write_text(
+        "#!/bin/sh\n"
+        f'if [ "$1" = cat ]; then exec cat "{store}/$(basename "$2")"; fi\n'
+        f'if [ "$1" = cp ]; then exec cat > "{store}/$(basename "$3")"; fi\n'
+        "exit 64\n"
+    )
+    # stub ais: `ais get URL -` / `ais put - URL`
+    (bindir / "ais").write_text(
+        "#!/bin/sh\n"
+        f'if [ "$1" = get ]; then exec cat "{store}/$(basename "$2")"; fi\n'
+        f'if [ "$1" = put ]; then exec cat > "{store}/$(basename "$3")"; fi\n'
+        "exit 64\n"
+    )
+    for f in bindir.iterdir():
+        f.chmod(f.stat().st_mode | stat.S_IEXEC)
+    monkeypatch.setenv("PATH", f"{bindir}:{_os.environ['PATH']}")
+
+    with gopen("gs://bucket/shard1.tar", "wb") as w:
+        w.write(b"gs-bytes")
+    assert gopen("gs://bucket/shard1.tar").read() == b"gs-bytes"
+    with gopen("ais://bucket/shard2.tar", "wb") as w:
+        w.write(b"ais-bytes")
+    assert gopen("ais://bucket/shard2.tar").read() == b"ais-bytes"
+
+
+def test_gopen_curl_scheme_real_binary(tmp_path):
+    """sftp/ftps/scp route through curl; exercise the exact command shape
+    against curl's file:// support (read path) — a real curl subprocess,
+    no server needed."""
+    import shutil
+
+    import pytest as _pytest
+
+    from video_data_pipeline_spark.sources.gopen import _gopen_curl
+
+    if shutil.which("curl") is None:
+        _pytest.skip("curl not installed")
+    p = tmp_path / "payload.bin"
+    p.write_bytes(b"via-curl")
+    assert _gopen_curl(f"file://{p}", "rb").read() == b"via-curl"
 
 
 def test_member_level_gz_decode(spark, tmp_path):

@@ -18,9 +18,18 @@ Supported out of the box:
   supported for S3-compatible stores); writes buffer and ``put_object``
   on close
 
-Other reference schemes (``gs``, ``ais``, ``scp``...) have no client in
-this environment; :func:`register_scheme` lets deployments add them
-without patching (the reference's ``gopen_schemes[proto] = handler``).
+- ``gs`` — ``gsutil cat`` / ``gsutil cp -`` subprocess pipes (reference
+  ``gopen_gsutil``, gopen.py:248-274)
+- ``ais`` — ``ais get .. -`` / ``ais put - ..`` pipes (reference
+  ``gopen_ais``, gopen.py:277-303)
+- ``sftp`` / ``ftps`` / ``scp`` — ``curl`` pipes, read and PUT-write
+  (reference routes these through ``gopen_curl``, gopen.py:196-222)
+
+The CLI-backed handlers only construct their command pipe at open() —
+no import-time dependency — so executors that lack the binary fail at
+first read with the command line in the error. :func:`register_scheme`
+lets deployments override any of these (the reference's
+``gopen_schemes[proto] = handler``).
 """
 
 from __future__ import annotations
@@ -187,12 +196,55 @@ def _gopen_s3(
     raise ValueError(f"s3: unsupported mode {mode!r}")
 
 
+def _shell_quote(url: str) -> str:
+    import shlex
+
+    return shlex.quote(url)
+
+
+def _gopen_gs(url: str, mode: str, **kw):
+    """Google Cloud Storage via the gsutil CLI (reference gopen.py:248-274;
+    pipe semantics identical to ``pipe:`` URLs, SIGPIPE-tolerant)."""
+    q = _shell_quote(url)
+    if mode.startswith("r"):
+        return _PipeReader(f"gsutil cat {q}")
+    if mode.startswith("w"):
+        return _PipeWriter(f"gsutil cp - {q}")
+    raise ValueError(f"gs: unsupported mode {mode!r}")
+
+
+def _gopen_ais(url: str, mode: str, **kw):
+    """AIStore via the ais CLI (reference gopen.py:277-303)."""
+    q = _shell_quote(url)
+    if mode.startswith("r"):
+        return _PipeReader(f"ais get {q} -")
+    if mode.startswith("w"):
+        return _PipeWriter(f"ais put - {q}")
+    raise ValueError(f"ais: unsupported mode {mode!r}")
+
+
+def _gopen_curl(url: str, mode: str, **kw):
+    """curl-backed transfer for sftp/ftps/scp (reference gopen.py:196-222:
+    ``curl -f -s -L`` read, ``curl -f -s -X PUT -L -T -`` write)."""
+    q = _shell_quote(url)
+    if mode.startswith("r"):
+        return _PipeReader(f"curl -f -s -L {q}")
+    if mode.startswith("w"):
+        return _PipeWriter(f"curl -f -s -X PUT -L -T - {q}")
+    raise ValueError(f"curl: unsupported mode {mode!r}")
+
+
 GOPEN_SCHEMES: dict[str, Callable] = {
     "file": _gopen_file,
     "pipe": _gopen_pipe,
     "http": _gopen_http,
     "https": _gopen_http,
     "s3": _gopen_s3,
+    "gs": _gopen_gs,
+    "ais": _gopen_ais,
+    "sftp": _gopen_curl,
+    "ftps": _gopen_curl,
+    "scp": _gopen_curl,
 }
 
 
