@@ -127,3 +127,28 @@ def test_no_cartesian_products(spark, sf_dir):
         df = q.spark_fn(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, f"{name}: unplanned cartesian product"
+
+
+def test_q_ivf_kmeans_topk_corpus_never_shuffles(spark, sf_dir):
+    """The trained-IVF search phase must keep the ANN shape: centroids and
+    probe list broadcast to the corpus, final ranking a TakeOrdered — the
+    embeddings table itself is never exchange-partitioned for the search.
+    (Training shuffles only k×dim quantized partial sums — that exchange
+    is over the posexploded dims, bounded by k*dim rows after partial agg.)"""
+    plan = plan_of(spark, sf_dir, "q_ivf_kmeans_topk")
+    assert "TakeOrderedAndProject" in plan, "top-k lost its TakeOrdered"
+    assert plan.count("BroadcastExchange") >= 2, (
+        "centroids/probe/query must broadcast to the corpus"
+    )
+    # no sort-merge join anywhere: every join side is a broadcast
+    assert "SortMergeJoin" not in plan, "corpus got shuffle-joined"
+
+
+def test_q_ann_lsh_topk_is_broadcast_equi_join(spark, sf_dir):
+    """The crossJoin+filter formulation must compile to a broadcast HASH
+    join keyed on the bucket (BuildRight, 1-row side), not a nested-loop
+    over the corpus — the plan fact behind the r4/r5 'regression' triage."""
+    plan = plan_of(spark, sf_dir, "q_ann_lsh_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
