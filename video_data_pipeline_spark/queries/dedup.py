@@ -418,3 +418,57 @@ def q_dedup_clusters(spark, sf_dir):
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
     comp = connected_components(pairs, src="doc_a", dst="doc_b")
     return comp.select(F.col("node").alias("doc_id"), F.col("component").alias("cluster_id"))
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+WITH test_set AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents WHERE doc_id < 20
+),
+test_shingles AS (SELECT DISTINCT unnest(sh) AS s FROM test_set),
+corpus AS (
+  SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents WHERE doc_id >= 20
+)
+SELECT c.doc_id,
+       CASE WHEN EXISTS (
+         SELECT 1 FROM test_shingles t WHERE list_contains(c.sh, t.s)
+       ) THEN 1 ELSE 0 END AS contaminated
+FROM corpus c
+""",
+    tags=("dedup", "decontamination"),
+)
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    3-word shingle with a held-out test set (docs 0-19 stand in for the
+    benchmark; the standard n-gram-overlap rule of GPT-3 appendix C /
+    Gopher appendix).
+
+    Scale shape: the TEST SET is tiny (benchmarks are KBs, the corpus is
+    the 100 TB side), so its distinct shingles broadcast; the corpus
+    explodes its shingles per-row and LEFT-SEMI joins the broadcast —
+    the corpus never shuffles, and the flag is a groupBy on doc_id over
+    the semi-join hits (map-side combinable boolean max)."""
+    d = table(spark, sf_dir, "documents")
+    test_shingles = (
+        d.where(F.col("doc_id") < 20)
+        .select(F.explode(F.expr(_SPARK_SHINGLES)).alias("s"))
+        .distinct()
+    )
+    corpus = d.where(F.col("doc_id") >= 20).select(
+        "doc_id", F.expr(_SPARK_SHINGLES).alias("sh")
+    )
+    hits = (
+        corpus.select("doc_id", F.explode("sh").alias("s"))
+        .join(F.broadcast(test_shingles), "s", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("contaminated", F.lit(0)).alias("contaminated")
+        )
+    )

@@ -676,3 +676,77 @@ def q_curation_pipeline(spark, sf_dir):
         F.countDistinct("source").alias("n_sources"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@query(
+    "q_repetition_filter",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS w FROM documents
+),
+bigrams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(w) - 1), i -> w[i+1] || ' ' || w[i+2])) AS bg
+  FROM words WHERE len(w) >= 2
+),
+top_bg AS (
+  SELECT doc_id, MAX(cnt) AS top_bigram_count
+  FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT w.doc_id,
+       len(w.w) AS n_words,
+       1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w) AS dup_word_frac,
+       CAST(COALESCE(t.top_bigram_count, 0) AS DOUBLE)
+         / GREATEST(len(w.w) - 1, 1) AS top_bigram_frac,
+       CASE WHEN 1.0 - CAST(len(list_distinct(w.w)) AS DOUBLE) / len(w.w) <= 0.60
+             AND CAST(COALESCE(t.top_bigram_count, 0) AS DOUBLE)
+                   / GREATEST(len(w.w) - 1, 1) <= 0.05
+            THEN 1 ELSE 0 END AS keep
+FROM words w LEFT JOIN top_bg t ON w.doc_id = t.doc_id
+""",
+    tags=("text", "quality", "dedup"),
+)
+def q_repetition_filter(spark, sf_dir):
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    §A1.1 "repetitious text"): duplicate-word fraction and most-frequent-
+    bigram fraction, with the curation verdict as ``keep`` (thresholds
+    0.60 / 0.05, tuned to discriminate on the synthetic corpus — real
+    deployments use Gopher's published cutoffs per metric).
+
+    Plan shape for 100 TB: the distinct-word fraction is PER-ROW column
+    math (``array_distinct`` — no shuffle); only the top-bigram count
+    shuffles, keyed by (doc_id, bigram) then doc_id — both uniform
+    (bigram keys are near-unique), so the aggregation is skew-free and
+    map-side partials collapse the exploded rows before exchange."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.expr(_SPARK_TOKENS).alias("w"))
+    n_words = F.size("w")
+    bigrams = words.where(n_words >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))")
+        ).alias("bg"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "bg")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_bigram_count"))
+    )
+    dup_frac = 1.0 - F.size(F.array_distinct("w")).cast("double") / n_words
+    top_frac = F.coalesce(F.col("top_bigram_count"), F.lit(0)).cast(
+        "double"
+    ) / F.greatest(n_words - 1, F.lit(1))
+    return (
+        words.join(top_bg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n_words.alias("n_words"),
+            dup_frac.alias("dup_word_frac"),
+            top_frac.alias("top_bigram_frac"),
+            F.when((dup_frac <= 0.60) & (top_frac <= 0.05), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("keep"),
+        )
+    )
