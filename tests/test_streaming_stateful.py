@@ -40,3 +40,54 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
     assert set(rows) == {"A", "B", "C"}
     assert rows["B"].first_key == "k2"  # first occurrence won, k3 dropped
     assert rows["A"].n_new == 1 and rows["C"].n_new == 1
+
+
+def test_streaming_dedup_rocksdb_state_restart(spark, tmp_path):
+    """The dedup state machine is provider-agnostic: under the RocksDB
+    state store (the 100 TB configuration — disk-backed state, bounded
+    executor memory) first-seen suppression works and state survives a
+    restart from the checkpoint, exactly as with the default heap store."""
+    import pandas as pd
+
+    from video_data_pipeline_spark.streaming.stateful import (
+        streaming_dedup,
+        use_rocksdb_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    use_rocksdb_state(spark)
+    try:
+        src, sink, ck = tmp_path / "in", tmp_path / "out", str(tmp_path / "ck")
+        src.mkdir()
+        pd.DataFrame(
+            {"fingerprint": ["a", "a", "b"], "__key__": ["k1", "k2", "k3"]}
+        ).to_parquet(src / "b1.parquet")
+
+        def drain():
+            stream = spark.readStream.schema(
+                "fingerprint string, __key__ string"
+            ).parquet(str(src))
+            q = (
+                streaming_dedup(stream)
+                .writeStream.outputMode("append")
+                .format("parquet")
+                .option("path", str(sink))
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.read.parquet(str(sink)).toPandas()
+
+        assert sorted(drain()["fingerprint"]) == ["a", "b"]
+        pd.DataFrame(
+            {"fingerprint": ["b", "c"], "__key__": ["k4", "k5"]}
+        ).to_parquet(src / "b2.parquet")
+        out = drain()
+        assert sorted(out["fingerprint"]) == ["a", "b", "c"]  # only 'c' new
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")

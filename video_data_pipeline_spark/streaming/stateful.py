@@ -88,3 +88,26 @@ def streaming_dedup(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def use_rocksdb_state(spark) -> None:
+    """Switch stateful streaming queries to the RocksDB state store
+    (vs the default in-heap HDFSBackedStateStoreProvider).
+
+    The 100 TB rationale: dedup/session state grows with the key space,
+    and the heap-backed store keeps EVERY key of every active version in
+    executor memory — at billions of fingerprints that evicts the
+    executors long before the watermark evicts the state. RocksDB keeps
+    the working set on local SSD with incremental (changelog) version
+    checkpoints, bounding executor memory regardless of key cardinality.
+    Applies to queries STARTED after this call (the provider is read at
+    query start from the session conf)."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    # bound RocksDB memory usage across all state store instances on an
+    # executor (single shared block cache); modest cap — state lives on disk
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
+    )
