@@ -750,3 +750,78 @@ def q_repetition_filter(spark, sf_dir):
             .alias("keep"),
         )
     )
+
+
+# winnowing parameters: k-word grams, window w, modulus M, base B
+_WIN_K, _WIN_W, _WIN_M, _WIN_B = 4, 5, 2147483647, 131
+
+
+def _winnow_sql(dialect: str) -> str:
+    """Shared-arithmetic winnowing pipeline (Schleimer et al., SIGMOD'03
+    'Winnowing: Local Algorithms for Document Fingerprinting' — the MOSS
+    fingerprinting scheme). Rolling k-gram hash with per-step modular
+    folding (intermediates bounded by M*B < 2^39, exact in int64), then
+    the minimum of each w-window of k-gram hashes, deduplicated."""
+    k, w, M, B = _WIN_K, _WIN_W, _WIN_M, _WIN_B
+    if dialect == "spark":
+        wh = f"transform(split(trim(text), ' +'), s -> {'CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)'} % {M})"
+        fold = f"wh[i]"
+        for j in range(1, k):
+            fold = f"(({fold}) * {B} + wh[i+{j}]) % {M}"
+        kg = f"transform(sequence(0, size(wh) - {k}), i -> {fold})"
+        mins = f"transform(sequence(1, size(kg) - {w} + 1), i -> array_min(slice(kg, i, {w})))"
+        return wh, kg, mins
+    wh = f"list_transform(string_split_regex(trim(text), ' +'), s -> (('0x' || substr(md5(s), 1, 15))::BIGINT) % {M})"
+    fold = "wh[i+1]"
+    for j in range(1, k):
+        fold = f"(({fold}) * {B} + wh[i+{j+1}]) % {M}"
+    kg = f"list_transform(range(len(wh) - {k} + 1), i -> {fold})"
+    mins = f"list_transform(range(len(kg) - {w} + 1), i -> list_min(kg[i+1:i+{w}]))"
+    return wh, kg, mins
+
+
+_DWH, _DKG, _DMINS = _winnow_sql("duck")
+
+
+@query(
+    "q_winnow_fingerprints",
+    oracle=f"""
+WITH wh_t AS (SELECT doc_id, {_DWH} AS wh FROM documents),
+kg_t AS (SELECT doc_id, {_DKG} AS kg FROM wh_t WHERE len(wh) >= {_WIN_K}),
+mins_t AS (SELECT doc_id, {_DMINS} AS mins FROM kg_t WHERE len(kg) >= {_WIN_W})
+SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM mins_t
+""",
+    tags=("text", "dedup", "fingerprint"),
+)
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03): the
+    rolling-hash fingerprint family the md5 ``q_fingerprint`` can't give —
+    LOCAL fingerprints that survive partial edits, so two documents
+    sharing any sufficiently long passage share fingerprints.
+
+    Plan: entirely PER-ROW column math (word hash → modular-folded k-gram
+    rolling hash → w-window minima → distinct), one explode at the end —
+    no shuffle at all; at 100 TB the (fp, doc_id) output feeds the same
+    bucketed-pair machinery as MinHash bands (group by fp = uniform
+    hash key)."""
+    swh, skg, smins = _winnow_sql("spark")
+    d = table(spark, sf_dir, "documents")
+    # One withColumn per stage, each GUARDED with IF(...) instead of a
+    # where(): a Filter between the projections would be alias-substituted
+    # by predicate pushdown, inlining the producing HOF into every
+    # reference and re-running the md5 pass O(k*w) times per row (the
+    # q_hash_tokenize lesson). As a column chain, each non-cheap
+    # multiply-referenced stage is materialized once per row. The IF also
+    # avoids sequence(0, n<0), which would generate a DESCENDING range.
+    return (
+        d.withColumn("wh", F.expr(swh))
+        .withColumn(
+            "kg",
+            F.expr(f"IF(size(wh) >= {_WIN_K}, {skg}, CAST(array() AS ARRAY<BIGINT>))"),
+        )
+        .withColumn(
+            "mins",
+            F.expr(f"IF(size(kg) >= {_WIN_W}, {smins}, CAST(array() AS ARRAY<BIGINT>))"),
+        )
+        .select("doc_id", F.explode(F.array_distinct("mins")).alias("fp"))
+    )
