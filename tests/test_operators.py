@@ -315,6 +315,24 @@ def test_connected_components_warns_and_cleans_up(spark):
     from video_data_pipeline_spark.operators.components import connected_components
 
     spark.catalog.clearCache()
+    # baseline AFTER settling: earlier tests' GC-pending localCheckpoint
+    # blocks (kmeans, dedup clusters) may still be draining in this shared
+    # session — the leak assertion below is RELATIVE to this point
+    jsc = spark.sparkContext._jsc.sc()
+    jvm = spark.sparkContext._jvm
+    import gc
+    import time
+
+    def _settle(target: int) -> int:
+        for _ in range(30):
+            gc.collect()
+            jvm.System.gc()
+            if jsc.getPersistentRDDs().size() <= target:
+                break
+            time.sleep(0.5)
+        return jsc.getPersistentRDDs().size()
+
+    baseline = _settle(0)
     # path graph 0-1-2-3-4: diameter 4 > max_iter=1 -> partial + warning
     chain = _df(spark, [(i, i + 1) for i in range(4)], "src bigint, dst bigint")
     with _w.catch_warnings(record=True) as caught:
@@ -329,21 +347,11 @@ def test_connected_components_warns_and_cleans_up(spark):
     assert got == {i: 0 for i in range(5)}
     assert not any("no convergence" in str(c.message) for c in caught)
     del out
-    import gc
-    import time
-
     # per-round localCheckpoint blocks are freed by the ContextCleaner once
     # the superseded DataFrames are GC'd (async) — poll with GC hints to
-    # prove nothing leaks permanently
-    jsc = spark.sparkContext._jsc.sc()
-    jvm = spark.sparkContext._jvm
-    for _ in range(30):
-        gc.collect()
-        jvm.System.gc()
-        if jsc.getPersistentRDDs().size() <= 2:
-            break
-        time.sleep(0.5)
-    assert jsc.getPersistentRDDs().size() <= 2
+    # prove THIS operator leaks nothing beyond the pre-test baseline
+    final = _settle(baseline + 2)
+    assert final <= baseline + 2, f"net leak: {baseline} -> {final} persistent RDDs"
 
 
 def test_connected_components_long_chain_no_lineage_blowup(spark):
