@@ -110,3 +110,31 @@ def test_cbors_non_map_sample_raises(spark, tmp_path):
 
     with pytest.raises(Exception, match="expected map"):
         cbors_to_samples(spark, str(shard)).collect()
+
+
+def test_cbor_roundtrip_property():
+    """Property: any nesting of supported types round-trips exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalars = (
+        st.integers(min_value=-(2**63), max_value=2**64 - 1)
+        | st.binary(max_size=64)
+        | st.text(max_size=64)
+        | st.booleans()
+        | st.none()
+        | st.floats(allow_nan=False)
+    )
+    values = st.recursive(
+        scalars,
+        lambda children: st.lists(children, max_size=4)
+        | st.dictionaries(st.text(max_size=8), children, max_size=4),
+        max_leaves=20,
+    )
+
+    @given(values)
+    @settings(max_examples=200, deadline=None)
+    def check(obj):
+        assert cbor_load(io.BytesIO(cbor_encode(obj))) == obj
+
+    check()

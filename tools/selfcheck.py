@@ -107,6 +107,12 @@ def main() -> int:
 
     registry = load_all()
     only = set(args.only.split(",")) if args.only else None
+    if only:
+        unknown = only - set(registry)
+        if unknown:
+            print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+            print(f"registry has: {sorted(registry)[:10]} ...", file=sys.stderr)
+            return 2
 
     spark = get_spark("selfcheck")
     con = duckdb.connect()
