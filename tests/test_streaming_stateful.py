@@ -91,3 +91,97 @@ def test_streaming_dedup_rocksdb_state_restart(spark, tmp_path):
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage")
+
+
+def test_merge_sessions_pure():
+    from video_data_pipeline_spark.streaming.stateful import _merge_sessions
+
+    gap = 10
+    # two clusters separated by > gap
+    s = _merge_sessions([], [0, 5, 8, 30, 35], gap)
+    assert s == [[0, 8, 3], [30, 35, 2]]
+    # extending an open session
+    s = _merge_sessions(s, [40], gap)
+    assert s == [[0, 8, 3], [30, 40, 3]]
+    # new session far ahead
+    s = _merge_sessions(s, [100], gap)
+    assert s == [[0, 8, 3], [30, 40, 3], [100, 100, 1]]
+
+
+def test_streaming_sessionize_custom_event_time(spark, tmp_path):
+    """Batch 1 opens sessions; batch 2's far-future event advances the
+    watermark past end+gap, closing them. The custom operator must emit
+    each closed session exactly once with the exact (start, end, count)
+    of a batch sessionization over the same events."""
+    import datetime
+
+    import pandas as pd
+
+    from video_data_pipeline_spark.streaming.stateful import (
+        streaming_sessionize_custom,
+    )
+
+    def ts(minute, second=0):
+        return datetime.datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+    src, sink, ck = tmp_path / "in", tmp_path / "out", str(tmp_path / "ck")
+    src.mkdir()
+    # user 1: two sessions (gap 30 min): events at 0-10 min, then 50-55 min
+    # user 2: one session at 5-8 min
+    b1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2, 1, 1],
+            "ts": [ts(0), ts(4), ts(10), ts(5), ts(8), ts(50), ts(55)],
+        }
+    )
+    b1["ts"] = b1["ts"].astype("datetime64[us]")
+    b1.to_parquet(src / "b1.parquet")
+
+    def drain():
+        stream = spark.readStream.schema("user_id bigint, ts timestamp").parquet(
+            str(src)
+        )
+        q = (
+            streaming_sessionize_custom(stream, gap="30 minutes", watermark="1 hour")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            return spark.read.parquet(str(sink)).toPandas()
+        except Exception:
+            return pd.DataFrame(
+                columns=["user_id", "session_start_ms", "session_end_ms", "n_events"]
+            )
+
+    import os
+    import time as _t
+
+    os.utime(src / "b1.parquet", (_t.time() - 60, _t.time() - 60))
+    first = drain()
+    # watermark after batch 1 = 55min - 1h < 0 → nothing closeable yet
+    assert len(first) == 0
+
+    # batch 2: a far-future event pushes the watermark to (10h - 1h) = 9h,
+    # closing every session from batch 1 AND its own
+    b2 = pd.DataFrame({"user_id": [3], "ts": [ts(600)]})
+    b2["ts"] = b2["ts"].astype("datetime64[us]")
+    b2.to_parquet(src / "b2.parquet")
+    second = drain()
+    got = {
+        (r.user_id, r.session_start_ms, r.session_end_ms, r.n_events)
+        for r in second.itertuples()
+    }
+
+    def ms(minute):
+        return int(ts(minute).replace(tzinfo=datetime.timezone.utc).timestamp() * 1000)
+
+    assert (1, ms(0), ms(10), 3) in got
+    assert (1, ms(50), ms(55), 2) in got
+    assert (2, ms(5), ms(8), 2) in got
+    # user 3's lone event is still open (watermark hasn't passed 10h+gap)
+    assert not any(u == 3 for u, *_ in got)

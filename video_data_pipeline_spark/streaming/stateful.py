@@ -111,3 +111,131 @@ def use_rocksdb_state(spark) -> None:
     spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true"
     )
+
+
+_SESS_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+# open sessions as parallel arrays (state must be a flat struct)
+_SESS_STATE_SCHEMA = (
+    "starts array<bigint>, ends array<bigint>, counts array<bigint>"
+)
+
+
+def _merge_sessions(sessions: list[list[int]], times: list[int], gap_ms: int):
+    """Merge sorted event times into gap-separated [start, end, count]
+    sessions (pure function — unit-testable without Spark)."""
+    for t in sorted(times):
+        if sessions and t - sessions[-1][1] <= gap_ms:
+            last = sessions[-1]
+            last[1] = max(last[1], t)
+            last[2] += 1
+        elif sessions and t < sessions[-1][0]:
+            # late event inside/before an open session's span: conservative
+            # fold into the earliest overlapping session
+            for s in sessions:
+                if t >= s[0] - gap_ms and t <= s[1] + gap_ms:
+                    s[0] = min(s[0], t)
+                    s[2] += 1
+                    break
+            else:
+                sessions.append([t, t, 1])
+                sessions.sort()
+        else:
+            sessions.append([t, t, 1])
+    return sessions
+
+
+def _make_sessionize_fn(gap_ms: int):
+    def _fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        wm = state.getCurrentWatermarkMs()
+        if state.exists:
+            starts, ends, counts = state.get
+            sessions = [[s, e, c] for s, e, c in zip(starts, ends, counts)]
+        else:
+            sessions = []
+        if not state.hasTimedOut:
+            times: list[int] = []
+            for pdf in pdfs:
+                times.extend(int(v) for v in pdf["ts_ms"])
+            sessions = _merge_sessions(sessions, times, gap_ms)
+        # a session is CLOSED once the watermark passes end + gap: no
+        # in-order event can extend it anymore
+        closed = [s for s in sessions if s[1] + gap_ms <= wm]
+        open_ = [s for s in sessions if s[1] + gap_ms > wm]
+        for s in closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_ms": [s[0]],
+                    "session_end_ms": [s[1]],
+                    "n_events": [s[2]],
+                }
+            )
+        if open_:
+            state.update(
+                (
+                    [s[0] for s in open_],
+                    [s[1] for s in open_],
+                    [s[2] for s in open_],
+                )
+            )
+            # wake up when the earliest open session becomes closeable
+            state.setTimeoutTimestamp(min(s[1] for s in open_) + gap_ms)
+        else:
+            state.remove()
+
+    return _fn
+
+
+def streaming_sessionize_custom(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Event-time sessionization as a CUSTOM stateful operator
+    (``applyInPandasWithState`` + ``EventTimeTimeout``) — the shape to
+    extend when per-session payload logic outgrows the built-in
+    ``session_window`` (e.g. carrying sampled events, per-session
+    features, or emit-on-update semantics).
+
+    State per user = the OPEN sessions (parallel arrays); a session is
+    emitted exactly once, when the watermark passes ``end + gap`` (no
+    in-order event can extend it). Timeouts re-fire the group when its
+    earliest open session becomes closeable even if no new events arrive.
+    State is bounded by the watermark exactly like the built-in operator;
+    with :func:`use_rocksdb_state` it lives on executor SSD."""
+    from pyspark.sql import functions as F
+
+    gap_ms = _interval_ms(gap)
+    ev = events.withWatermark(ts_col, watermark).select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.unix_millis(F.col(ts_col)).alias("ts_ms"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _make_sessionize_fn(gap_ms),
+        outputStructType=_SESS_OUT_SCHEMA,
+        stateStructType=_SESS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def _interval_ms(spec: str) -> int:
+    n, unit = spec.split()
+    mult = {
+        "millisecond": 1, "milliseconds": 1,
+        "second": 1000, "seconds": 1000,
+        "minute": 60_000, "minutes": 60_000,
+        "hour": 3_600_000, "hours": 3_600_000,
+        "day": 86_400_000, "days": 86_400_000,
+    }[unit.lower()]
+    return int(n) * mult
