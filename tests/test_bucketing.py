@@ -50,3 +50,29 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert sum(r.n for r in n) == spark.table("li_b").count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ivf_lists_partition_pruning(spark, sf_dir, tmp_path):
+    """The IVF scale story made physical: store the corpus PARTITIONED BY
+    its coarse-quantization cell (partitionBy(cid) at write), and a probe
+    of 2 lists becomes parquet PARTITION PRUNING — the scan reads only the
+    probed directories, so search cost scales with probed-list size, not
+    corpus size (q_ivf_kmeans_topk's docstring claim, proven on the plan)."""
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.operators.kmeans import assign_step, kmeans_fit
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(e, 4, vec_col="embedding", id_col="vec_id", max_iter=2)
+    assigned = assign_step(e, cents, "embedding", "vec_id")
+    out = str(tmp_path / "ivf_lists")
+    assigned.write.partitionBy("cid").parquet(out)
+
+    lists = spark.read.parquet(out)
+    probe = [r.cid for r in cents.orderBy("cid").limit(2).collect()]
+    probed = lists.where(F.col("cid").isin(probe))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cid" in plan.split("PartitionFilters")[1][:120]
+    # the pruned scan returns exactly the probed lists' rows
+    expected = assigned.where(F.col("cid").isin(probe)).count()
+    assert probed.count() == expected > 0
