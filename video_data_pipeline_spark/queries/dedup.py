@@ -472,3 +472,41 @@ def q_decontaminate(spark, sf_dir):
             "doc_id", F.coalesce("contaminated", F.lit(0)).alias("contaminated")
         )
     )
+
+
+def _duck_survivors_sql() -> str:
+    body = _duck_clusters_sql().strip().removeprefix("WITH RECURSIVE ")
+    ctes = body.split("SELECT node")[0].rstrip().rstrip(",")
+    return f"""
+WITH RECURSIVE {ctes},
+clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+WHERE c.doc_id IS NULL OR c.cluster_id = d.doc_id
+"""
+
+
+@query("q_dedup_survivors", oracle=_duck_survivors_sql(), tags=("dedup", "iterative"))
+def q_dedup_survivors(spark, sf_dir):
+    """The DEDUPLICATED CORPUS end-to-end: MinHash-LSH candidate pairs →
+    connected-components clusters → keep each cluster's min doc_id plus
+    every unclustered doc. This is the query a curation run actually
+    ships — the kept rows — composing three oracled stages
+    (q_minhash_lsh_pairs, q_dedup_clusters, and an anti-join survivor
+    selection) into one output.
+
+    Scale: the pair list and cluster map are tiny relative to the corpus
+    (near-dup rate × corpus), so the final survivor join BROADCASTS the
+    non-survivor set against the full documents scan — the 100 TB corpus
+    itself is never shuffled."""
+    from video_data_pipeline_spark.operators.components import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    losers = comp.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
