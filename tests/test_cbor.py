@@ -72,8 +72,13 @@ def test_cbor_stream_iteration_and_eof():
     assert list(cbor_iter(buf)) == [{"i": i} for i in range(5)]
     with pytest.raises(EOFError):
         cbor_load(io.BytesIO(b""))
-    with pytest.raises(EOFError):  # truncated item
+    # truncation is CORRUPTION, not EOF: cbor_iter must raise, not
+    # silently drop the partial trailing item
+    with pytest.raises(ValueError, match="truncated"):
         cbor_load(io.BytesIO(cbor_encode(b"x" * 100)[:-5]))
+    good = cbor_encode({"i": 1})
+    with pytest.raises(ValueError, match="truncated"):
+        list(cbor_iter(io.BytesIO(good + good[:-2])))
 
 
 def test_cbors_to_samples_datasource(spark, tmp_path):

@@ -106,6 +106,12 @@ def test_merge_sessions_pure():
     # new session far ahead
     s = _merge_sessions(s, [100], gap)
     assert s == [[0, 8, 3], [30, 40, 3], [100, 100, 1]]
+    # LATE event before an open session's start must extend its START
+    s = _merge_sessions(s, [22], gap)
+    assert s == [[0, 8, 3], [22, 40, 4], [100, 100, 1]]
+    # late event bridging two sessions merges them (counts add)
+    s = _merge_sessions(s, [14], gap)
+    assert s == [[0, 40, 8], [100, 100, 1]]
 
 
 def test_streaming_sessionize_custom_event_time(spark, tmp_path):

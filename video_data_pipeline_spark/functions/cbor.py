@@ -81,7 +81,10 @@ def _encode(obj, out: io.BytesIO) -> None:
 def _read_exact(stream, n: int) -> bytes:
     b = stream.read(n)
     if b is None or len(b) < n:
-        raise EOFError("truncated CBOR item")
+        # NOT EOFError: clean end-of-stream is only legal at an item
+        # boundary; mid-item exhaustion is corruption and must not
+        # terminate cbor_iter() silently (that would drop data)
+        raise ValueError("truncated CBOR item")
     return b
 
 
@@ -89,7 +92,8 @@ def cbor_load(stream):
     """Decode ONE CBOR item from a binary stream.
 
     Raises ``EOFError`` at clean end-of-stream (the loop-termination
-    contract of the reference's ``cbor.load`` usage) and on truncation."""
+    contract of the reference's ``cbor.load`` usage); a stream exhausted
+    MID-item raises ``ValueError`` — truncation is corruption, not EOF."""
     first = stream.read(1)
     if not first:
         raise EOFError("end of CBOR stream")
@@ -178,7 +182,6 @@ def _decode(initial: int, stream):
                 if k is _BREAK:
                     return d
                 d[k] = _decode(_read_exact(stream, 1)[0], stream)
-            return d
         for _ in range(arg):
             k = _decode(_read_exact(stream, 1)[0], stream)
             d[k] = _decode(_read_exact(stream, 1)[0], stream)

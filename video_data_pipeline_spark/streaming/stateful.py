@@ -128,27 +128,20 @@ _SESS_STATE_SCHEMA = (
 
 
 def _merge_sessions(sessions: list[list[int]], times: list[int], gap_ms: int):
-    """Merge sorted event times into gap-separated [start, end, count]
-    sessions (pure function — unit-testable without Spark)."""
-    for t in sorted(times):
-        if sessions and t - sessions[-1][1] <= gap_ms:
-            last = sessions[-1]
-            last[1] = max(last[1], t)
-            last[2] += 1
-        elif sessions and t < sessions[-1][0]:
-            # late event inside/before an open session's span: conservative
-            # fold into the earliest overlapping session
-            for s in sessions:
-                if t >= s[0] - gap_ms and t <= s[1] + gap_ms:
-                    s[0] = min(s[0], t)
-                    s[2] += 1
-                    break
-            else:
-                sessions.append([t, t, 1])
-                sessions.sort()
+    """Merge new event times into gap-separated [start, end, count]
+    sessions — a plain interval merge over (existing spans + point
+    events), so late/out-of-order events extend session STARTS as
+    correctly as ends (pure function — unit-testable without Spark)."""
+    items = [list(s) for s in sessions] + [[t, t, 1] for t in times]
+    items.sort()
+    out: list[list[int]] = []
+    for it in items:
+        if out and it[0] - out[-1][1] <= gap_ms:
+            out[-1][1] = max(out[-1][1], it[1])
+            out[-1][2] += it[2]
         else:
-            sessions.append([t, t, 1])
-    return sessions
+            out.append(it)
+    return out
 
 
 def _make_sessionize_fn(gap_ms: int):
