@@ -191,3 +191,47 @@ def test_streaming_sessionize_custom_event_time(spark, tmp_path):
     assert (2, ms(5), ms(8), 2) in got
     # user 3's lone event is still open (watermark hasn't passed 10h+gap)
     assert not any(u == 3 for u, *_ in got)
+
+
+def test_merge_sessions_incremental_equals_batch_property():
+    """Invariant behind exactly-once emission: merging event times in ANY
+    batch split order yields the same sessions as one single-shot merge —
+    so micro-batch boundaries can never change session structure."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from video_data_pipeline_spark.streaming.stateful import _merge_sessions
+
+    gap = 10
+
+    @given(
+        st.lists(st.integers(min_value=0, max_value=500), min_size=1, max_size=40),
+        st.data(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def check(times, data):
+        n_splits = data.draw(st.integers(min_value=1, max_value=4))
+        cut_points = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(min_value=0, max_value=len(times)),
+                    min_size=n_splits - 1,
+                    max_size=n_splits - 1,
+                )
+            )
+        )
+        batches, prev = [], 0
+        for c in cut_points + [len(times)]:
+            batches.append(times[prev:c])
+            prev = c
+        incremental = []
+        for b in batches:
+            incremental = _merge_sessions(incremental, b, gap)
+        single = _merge_sessions([], times, gap)
+        assert incremental == single
+        # structure sanity: counts sum to n events, spans are gap-separated
+        assert sum(s[2] for s in single) == len(times)
+        for a, b2 in zip(single, single[1:]):
+            assert b2[0] - a[1] > gap
+
+    check()
