@@ -84,6 +84,31 @@ def main() -> None:
         timings[name] = round(sec, 3)
         total += sec
 
+    # pipeline throughput in the reference's own unit (samples/sec —
+    # webdataset-private/webdataset/bench.py:59-61): pack the documents
+    # table as caption metadata end-to-end through the tar sink. Reported
+    # alongside, NOT in the headline total (cross-round comparability).
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.plans.pack import pack_dataset
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    meta = docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id")).alias("video_path"),
+        F.col("text").alias("value"),
+    )
+    n_samples = meta.count()
+    pack_out = tempfile.mkdtemp(prefix="bench_pack_")
+    try:
+        t0 = time.time()
+        pack_dataset(meta, pack_out, samples_per_shard=500, hermetic=True).collect()
+        pack_sec = time.time() - t0
+    finally:
+        shutil.rmtree(pack_out, ignore_errors=True)
+
     lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     print(
         json.dumps(
@@ -96,6 +121,9 @@ def main() -> None:
                 "n_queries": len(HEADLINE),
                 "lineitem_rows": lineitem_rows,
                 "rows_per_sec_q01": round(lineitem_rows / timings["q01_pricing_summary"]),
+                "pack_samples": n_samples,
+                "pack_sec": round(pack_sec, 3),
+                "pack_samples_per_sec": round(n_samples / pack_sec),
             }
         )
     )
