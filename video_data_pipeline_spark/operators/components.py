@@ -17,7 +17,9 @@ Each round is two joins + one groupBy; the round result is truncated
 with ``localCheckpoint(eager=True)`` (``persist`` alone keeps the full
 logical plan, which embeds ~3 copies of the previous round's plan and
 grows ~3^rounds — the driver would OOM compiling round ~6's query).
-Checkpoint blocks are freed by the ContextCleaner when superseded.
+Superseded rounds' checkpoint blocks are unpersisted explicitly the
+moment the next round materializes, so executor storage stays at one
+round's footprint instead of waiting on driver GC + ContextCleaner.
 
 At 100 TB scale the edge list (near-dup pairs) is tiny relative to the
 corpus, so rounds are cheap; the log-round bound keeps the driver loop
@@ -33,6 +35,25 @@ import warnings
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _free_checkpoint_blocks(df: DataFrame) -> None:
+    """Immediately release a *superseded* localCheckpoint's storage blocks.
+
+    ``DataFrame.unpersist()`` only touches CacheManager entries, not the
+    RDD a localCheckpoint persisted; those blocks are otherwise freed only
+    when the driver GCs the DataFrame and the ContextCleaner drains its
+    queue. Over many rounds on a large cluster that lag pins executor
+    storage needlessly, so reach the LogicalRDD's underlying RDD and
+    unpersist it now. Best-effort: any internals drift degrades silently
+    to the GC path.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def connected_components(
@@ -99,6 +120,7 @@ def connected_components(
             .count()
         )
         labels.unpersist()
+        _free_checkpoint_blocks(labels)  # no-op for the round-0 cached labels
         labels = updated
         if changed == 0:
             converged = True

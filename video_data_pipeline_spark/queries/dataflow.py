@@ -412,3 +412,48 @@ def q_salted_agg(spark, sf_dir):
         "n",
         F.array_join(F.array_sort(F.array_distinct("statuses_raw")), ",").alias("statuses"),
     )
+
+
+@query(
+    "q_stratified_sample",
+    oracle=f"""
+WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tgt AS (SELECT MIN(n) AS m FROM counts),
+p AS (SELECT c.lang, LEAST(1.0, CAST(t.m AS DOUBLE) / CAST(c.n AS DOUBLE)) AS keep_p
+      FROM counts c, tgt t)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN p ON d.lang = p.lang
+WHERE {DUCK_HASH.format(x="concat('strat:', CAST(doc_id AS VARCHAR))")} / 1152921504606846976.0
+      < p.keep_p
+""",
+    tags=("sampling", "curation"),
+)
+def q_stratified_sample(spark, sf_dir):
+    """Stratified rebalancing downsample: equalize the language mixture to
+    the smallest language's count, the data-mixture step of LLM corpus
+    curation (each stratum kept with probability min-count/its-count). The
+    keep decision is ``stable_hash64('strat:', doc_id)/2^60 < p_lang`` —
+    pure per-row math, so retries and both engines agree bit-exactly
+    (q_rsample's Bernoulli rule, per-stratum rate).
+
+    Scale shape: the per-stratum counts are a map-side-combined groupBy
+    producing |langs| rows, which then BROADCAST back onto the corpus
+    scan — the 100 TB side is read, never shuffled, and the filter is
+    codegen'd column math. Changing the target mixture (e.g. to fixed
+    proportions) only changes the tiny broadcast side."""
+    from video_data_pipeline_spark.functions.hashing import stable_unit_uniform
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tgt = counts.agg(F.min("n").alias("m"))
+    p = counts.crossJoin(F.broadcast(tgt)).select(
+        "lang",
+        F.least(
+            F.lit(1.0), F.col("m").cast("double") / F.col("n").cast("double")
+        ).alias("keep_p"),
+    )
+    return (
+        d.join(F.broadcast(p), "lang")
+        .where(stable_unit_uniform("doc_id", "strat:") < F.col("keep_p"))
+        .select("doc_id", "lang", "source")
+    )

@@ -521,3 +521,80 @@ def q_ivf_kmeans_topk(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+_SEMDEDUP_TAU = 0.45  # prune threshold; synthetic 64-d embeddings peak ~0.51
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+WITH cents0 AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_KM_K}
+),
+{",".join(_km_round_sql(i) for i in range(1, _KM_ROUNDS + 1)).lstrip(",")},
+afin AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_cosine("duck", "e.embedding", "c.cv")} DESC, c.cid)
+             AS rk
+    FROM embeddings e, cents{_KM_ROUNDS} c
+  ) WHERE rk = 1
+),
+pruned AS (
+  SELECT DISTINCT b.vec_id
+  FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_cosine("duck", "a.embedding", "b.embedding")} >= {_SEMDEDUP_TAU}
+)
+SELECT f.vec_id, e.label, f.cid AS centroid_id
+FROM afin f JOIN embeddings e ON e.vec_id = f.vec_id
+WHERE f.vec_id NOT IN (SELECT vec_id FROM pruned)
+""",
+    tags=("similarity", "dedup", "kmeans", "semdedup"),
+)
+def q_semdedup(spark, sf_dir):
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, compute exact
+    pairwise cosine ONLY within each cluster, and prune every vector that
+    has a same-cluster neighbor with cosine ≥ τ and a smaller vec_id
+    (lowest id survives, matching the engine-wide survivor rule). Output
+    is the kept corpus: (vec_id, label, centroid_id).
+
+    Composes two already-oracled stages — ``kmeans_fit`` (the trained
+    centroids of q_ivf_kmeans_topk, bit-identical quantized means) and
+    ``assign_step`` — with an intra-cluster self-join; the oracle unrolls
+    the same Lloyd's rounds in SQL, so train→assign→pair→prune is
+    value-checked end-to-end.
+
+    Scale shape: this is exactly why SemDeDup clusters first — pairwise
+    work is O(Σ cᵢ²) within clusters instead of O(n²) overall, and the
+    cluster id is the one shuffle key of the self-join. At 100 TB the k
+    here grows to ~100k clusters (cᵢ ~ n/k stays bounded), centroids
+    still broadcast, and a giant cluster degrades gracefully via AQE
+    skew-split; an extra in-cluster LSH split (q_embedding_near_dup's
+    bucket key) bounds any residual quadratic term."""
+    from video_data_pipeline_spark.operators.kmeans import assign_step, kmeans_fit
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(e, _KM_K, vec_col="embedding", id_col="vec_id", max_iter=_KM_ROUNDS)
+    assigned = assign_step(e, cents, "embedding", "vec_id")
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(
+            F.expr(_cosine("spark", "a.embedding", "b.embedding")) >= _SEMDEDUP_TAU
+        )
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(pruned, "vec_id", "left_anti")
+        .join(e.select("vec_id", "label"), "vec_id")
+        .select("vec_id", "label", F.col("cid").alias("centroid_id"))
+    )
