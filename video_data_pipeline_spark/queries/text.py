@@ -825,3 +825,74 @@ def q_winnow_fingerprints(spark, sf_dir):
         )
         .select("doc_id", F.explode(F.array_distinct("mins")).alias("fp"))
     )
+
+
+# ---------------------------------------------------------------- PII redaction
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+1-\d{3}-\d{4}"
+_PII_IP = r"\b(\d{1,3}\.){3}\d{1,3}\b"
+
+# deterministic PII injection: the synthetic corpus contains no PII, so both
+# engines append identical fake contact strings derived from doc_id; the
+# redaction kernel itself (the regexes + replacement order) is what's tested
+_SPARK_PII_TEXT = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING), '@mail.example or ',"
+    " '+1-555-', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+    " ' from 10.', CAST(doc_id % 200 AS STRING), '.0.1')"
+)
+_DUCK_PII_TEXT = (
+    "concat(text, ' contact user', CAST(doc_id AS VARCHAR), '@mail.example or ',"
+    " '+1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),"
+    " ' from 10.', CAST(doc_id % 200 AS VARCHAR), '.0.1')"
+)
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_DUCK_PII_TEXT} AS txt FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(txt,
+         '{_PII_EMAIL}', '<EMAIL>', 'g'),
+         '\\+1-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g'),
+         '{_PII_IP}', '<IP>', 'g') AS redacted,
+       len(regexp_extract_all(txt, '{_PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(txt, '\\+1-\\d{{3}}-\\d{{4}}')) AS n_phones,
+       len(regexp_extract_all(txt, '{_PII_IP}')) AS n_ips
+FROM t
+""",
+    tags=("text", "curation", "pii"),
+)
+def q_pii_redact(spark, sf_dir):
+    """PII redaction, the scrub step of corpus curation: replace emails,
+    phone numbers, and IPv4 addresses with typed placeholder tokens and
+    count what was removed (the audit metric a redaction job reports).
+    Patterns are restricted to the Java-regex ∩ RE2 common subset (no
+    lookaround), so Spark and the DuckDB oracle agree byte-for-byte.
+
+    The synthetic corpus has no PII, so both engines first append
+    identical fake contact strings derived from doc_id — the kernel under
+    test is the redaction itself, on real scan input.
+
+    Scale shape: pure per-row codegen'd string ops on the corpus scan —
+    no shuffle, no UDF; counts are computed pre-redaction so the audit
+    can't drift from the scrub."""
+    d = table(spark, sf_dir, "documents")
+    txt = d.select("doc_id", F.expr(_SPARK_PII_TEXT).alias("txt"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("txt"), F.lit(_PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE),
+            F.lit("<PHONE>"),
+        ),
+        F.lit(_PII_IP),
+        F.lit("<IP>"),
+    )
+    return txt.select(
+        "doc_id",
+        red.alias("redacted"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PII_EMAIL), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PII_PHONE), F.lit(0))).alias("n_phones"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PII_IP), F.lit(0))).alias("n_ips"),
+    )
