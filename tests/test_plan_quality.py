@@ -152,3 +152,35 @@ def test_q_ann_lsh_topk_is_broadcast_equi_join(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q_stratified_sample_broadcasts_rates_not_corpus(spark, sf_dir):
+    """The per-language keep rates (|langs| rows) must broadcast back onto
+    the corpus scan; a shuffle join here would shuffle the 100 TB side on
+    a 5-value skewed key."""
+    plan = plan_of(spark, sf_dir, "q_stratified_sample")
+    assert "BroadcastHashJoin" in plan, "rate join lost its broadcast"
+    assert "SortMergeJoin" not in plan, "corpus is being shuffled on lang"
+
+
+def test_q_pii_redact_stays_codegen_no_shuffle(spark, sf_dir):
+    """Redaction is per-row string math on the scan: no exchange, no Python
+    UDF, and the whole projection inside WholeStageCodegen."""
+    plan = plan_of(spark, sf_dir, "q_pii_redact")
+    assert "Exchange" not in plan, "redaction plan acquired a shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+        "redaction fell out of JVM codegen into a Python UDF"
+    )
+    # executedPlan.toString renders a codegen'd stage as a '*(n)' prefix
+    assert plan.lstrip().startswith("*("), "projection not in WholeStageCodegen"
+
+
+def test_q_semdedup_pairs_join_keyed_on_cluster(spark, sf_dir):
+    """SemDeDup's quadratic stage must stay scoped: the self-join's equi-key
+    is the cluster id (cosine ≥ τ evaluated post-join), and the survivor
+    selection is a broadcast anti-join — the corpus-sized side is never
+    the build side."""
+    plan = plan_of(spark, sf_dir, "q_semdedup")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert "CartesianProduct" not in plan, "semdedup pair stage went all-pairs"
+    assert "LeftAnti" in plan, "survivor selection lost its anti-join"

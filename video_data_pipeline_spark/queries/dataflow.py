@@ -446,14 +446,14 @@ def q_stratified_sample(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
     tgt = counts.agg(F.min("n").alias("m"))
-    p = counts.crossJoin(F.broadcast(tgt)).select(
+    rates = counts.crossJoin(F.broadcast(tgt)).select(
         "lang",
         F.least(
             F.lit(1.0), F.col("m").cast("double") / F.col("n").cast("double")
         ).alias("keep_p"),
     )
     return (
-        d.join(F.broadcast(p), "lang")
+        d.join(F.broadcast(rates), "lang")
         .where(stable_unit_uniform("doc_id", "strat:") < F.col("keep_p"))
         .select("doc_id", "lang", "source")
     )
