@@ -235,3 +235,54 @@ def test_merge_sessions_incremental_equals_batch_property():
             assert b2[0] - a[1] > gap
 
     check()
+
+
+def test_streaming_lsh_pairs_components_match_batch(spark, tmp_path, sf_dir):
+    """streaming_lsh_pairs emits anchor-star pairs per band bucket; the
+    guarantee is that connected components over them EQUAL the batch
+    operator's clusters (star and clique connect the same vertex set in
+    every bucket). Run the real documents table through two micro-batches
+    and check exactly that, plus cross-batch anchor persistence."""
+    from video_data_pipeline_spark.operators.components import connected_components
+    from video_data_pipeline_spark.queries.dedup import q_minhash_lsh_pairs
+    from video_data_pipeline_spark.streaming.stateful import streaming_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    half = docs.count() // 2
+    src = tmp_path / "src"
+    src.mkdir()
+    docs.where(F.col("doc_id") < half).toPandas().to_parquet(src / "b1.parquet")
+    docs.where(F.col("doc_id") >= half).toPandas().to_parquet(src / "b2.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_lsh_pairs(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("lsh_pairs_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql(
+        "SELECT DISTINCT doc_a, doc_b FROM lsh_pairs_out"
+    )
+    batch = q_minhash_lsh_pairs(spark, sf_dir)
+
+    def labels(pairs):
+        comp = connected_components(pairs, src="doc_a", dst="doc_b")
+        return {r.node: r.component for r in comp.collect()}
+
+    sl, bl = labels(streamed), labels(batch)
+    assert sl == bl, "streaming star-components diverge from batch clusters"
+    # cross-batch state: at least one emitted pair must span the two
+    # micro-batches with a batch-1 anchor (doc_a < half <= doc_b)
+    spans = streamed.where(
+        (F.col("doc_a") < half) & (F.col("doc_b") >= half)
+    ).count()
+    assert spans > 0, "no cross-batch pair — anchor state did not persist"

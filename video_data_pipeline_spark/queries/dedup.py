@@ -83,13 +83,13 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
-def _spark_shingle_hashes(spark, sf_dir):
-    """doc_id + shingle-hash array, with each expensive step materialized as
-    a column so nothing re-evaluates inside lambdas (a split() referenced
-    textually inside a higher-order function re-runs per element; an
-    attribute reference is bound once per row)."""
-    d = table(spark, sf_dir, "documents")
-    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(F.expr("size(w) >= 3"))
+def shingle_hashes(docs):
+    """(doc_id, text, ...) → doc_id + shingle-hash array. Pure column math
+    (works on batch AND streaming frames), with each expensive step
+    materialized as a column so nothing re-evaluates inside lambdas (a
+    split() referenced textually inside a higher-order function re-runs
+    per element; an attribute reference is bound once per row)."""
+    words = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(F.expr("size(w) >= 3"))
     shingles = words.select(
         "doc_id",
         F.expr(
@@ -101,9 +101,9 @@ def _spark_shingle_hashes(spark, sf_dir):
     )
 
 
-def _spark_signatures(spark, sf_dir):
-    """doc_id + mh0..mh{k-1}, computing the md5 shingle pass exactly once."""
-    base = _spark_shingle_hashes(spark, sf_dir)
+def signatures(docs):
+    """(doc_id, text, ...) → doc_id + mh0..mh{k-1}, one md5 shingle pass."""
+    base = shingle_hashes(docs)
     return base.select(
         "doc_id",
         *[
@@ -111,6 +111,37 @@ def _spark_signatures(spark, sf_dir):
             for j in range(_N_HASHES)
         ],
     )
+
+
+def minhash_bands(docs):
+    """(doc_id, text, ...) → (doc_id, band_idx, band_key): the LSH banding
+    of the MinHash signature (4 bands × 2 rows, band_key = band md5).
+    Pure column math — the shared front half of batch
+    :func:`q_minhash_lsh_pairs` and streaming ``streaming_lsh_pairs``."""
+    sig = signatures(docs)
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"mh{_BAND_ROWS * b + r}").cast("string")
+                        for r in range(_BAND_ROWS)
+                    ],
+                )
+            )
+            for b in range(_N_HASHES // _BAND_ROWS)
+        ]
+    )
+    return sig.select("doc_id", F.posexplode(band_keys).alias("band_idx", "band_key"))
+
+
+def _spark_shingle_hashes(spark, sf_dir):
+    return shingle_hashes(table(spark, sf_dir, "documents"))
+
+
+def _spark_signatures(spark, sf_dir):
+    return signatures(table(spark, sf_dir, "documents"))
 
 
 def _duck_signatures_sql() -> str:
@@ -201,24 +232,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     pairs are generated inside each bucket via :func:`lsh_pairs_from_bands`
     (which also carries the 100 TB ``max_bucket_size`` guard — uncapped
     here so the oracle SQL matches exactly; production calls pass a cap)."""
-    sig = _spark_signatures(spark, sf_dir)
-    band_keys = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"mh{_BAND_ROWS * b + r}").cast("string")
-                        for r in range(_BAND_ROWS)
-                    ],
-                )
-            )
-            for b in range(_N_HASHES // _BAND_ROWS)
-        ]
-    )
-    bands = sig.select(
-        "doc_id", F.posexplode(band_keys).alias("band_idx", "band_key")
-    )
+    bands = minhash_bands(table(spark, sf_dir, "documents"))
     return lsh_pairs_from_bands(bands)
 
 

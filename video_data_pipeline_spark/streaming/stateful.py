@@ -232,3 +232,86 @@ def _interval_ms(spec: str) -> int:
         "day": 86_400_000, "days": 86_400_000,
     }[unit.lower()]
     return int(n) * mult
+
+
+# ------------------------------------------------------- streaming LSH dedup
+
+_LSH_OUT_SCHEMA = StructType(
+    [
+        StructField("band_key", StringType()),
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+    ]
+)
+_LSH_STATE_SCHEMA = StructType([StructField("anchor", LongType())])
+
+
+def _make_lsh_anchor_fn(ttl_ms: int | None):
+    def _fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        ids: list[int] = []
+        for pdf in pdfs:
+            ids.extend(int(v) for v in pdf["doc_id"])
+        if not ids:
+            return
+        ids = sorted(set(ids))
+        if state.exists:
+            (anchor,) = state.get
+        else:
+            anchor = ids[0]
+            state.update((anchor,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        out = [d for d in ids if d != anchor]
+        if out:
+            yield pd.DataFrame(
+                {
+                    "band_key": [key[0]] * len(out),
+                    "doc_a": [min(anchor, d) for d in out],
+                    "doc_b": [max(anchor, d) for d in out],
+                }
+            )
+
+    return _fn
+
+
+def streaming_lsh_pairs(
+    docs: DataFrame,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs over a DOCUMENT STREAM — the
+    streaming twin of ``q_minhash_lsh_pairs``, sharing its exact banding
+    front half (``queries/dedup.py::minhash_bands``, pure column math).
+
+    State per band bucket = the bucket's ANCHOR (first doc_id seen, min
+    within the first batch); every later doc in the bucket emits one
+    (anchor, doc) pair, across micro-batches. This is a STAR per bucket
+    rather than the batch operator's clique — linear state and linear
+    emission instead of quadratic — and it preserves exactly what dedup
+    needs: within every bucket the star connects the same vertex set as
+    the clique, so connected components over the emitted pairs equal the
+    batch clusters (proven in tests). Pairs may repeat across bands /
+    batches; downstream takes ``.distinct()`` (or components, which is
+    multiplicity-insensitive).
+
+    100 TB continuous-ingest shape: the shuffle key is the uniform band
+    md5 (skew-free); state is one long per bucket (vs the batch job's
+    full bucket arrays), RocksDB-backed via :func:`use_rocksdb_state`;
+    ``ttl_ms`` bounds retention the same way as :func:`streaming_dedup` —
+    keep e.g. 24 h of buckets online while the nightly batch job owns
+    the long tail."""
+    from video_data_pipeline_spark.queries.dedup import minhash_bands
+
+    bands = minhash_bands(docs)
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return bands.groupBy("band_key").applyInPandasWithState(
+        _make_lsh_anchor_fn(ttl_ms),
+        outputStructType=_LSH_OUT_SCHEMA,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
