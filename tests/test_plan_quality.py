@@ -184,3 +184,29 @@ def test_q_semdedup_pairs_join_keyed_on_cluster(spark, sf_dir):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
     assert "CartesianProduct" not in plan, "semdedup pair stage went all-pairs"
     assert "LeftAnti" in plan, "survivor selection lost its anti-join"
+
+
+def test_q_stable_split_no_join_single_agg_exchange(spark, sf_dir):
+    """Split assignment is per-row codegen'd math on the scan — no join
+    anywhere, and the only exchange is the final tiny groupBy (which must
+    keep its map-side partial aggregate so the corpus pre-combines)."""
+    plan = plan_of(spark, sf_dir, "q_stable_split")
+    assert not re.search(r"Join|CartesianProduct", plan), "split plan acquired a join"
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        "groupBy lost map-side combine"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q_duplicate_ngrams_single_shuffle_partial_agg(spark, sf_dir):
+    """Span detection is generate+explode on the scan and ONE groupBy
+    shuffle; map-side partial aggregation must survive (it is what absorbs
+    boilerplate-hot spans at scale), and nothing falls out to Python."""
+    plan = plan_of(spark, sf_dir, "q_duplicate_ngrams")
+    assert not re.search(r"Join|CartesianProduct", plan), "ngram plan acquired a join"
+    assert plan.count("Exchange") == 1, plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        "groupBy lost map-side combine"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -457,3 +457,44 @@ def q_stratified_sample(spark, sf_dir):
         .where(stable_unit_uniform("doc_id", "strat:") < F.col("keep_p"))
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "q_stable_split",
+    oracle=f"""
+WITH assigned AS (
+  SELECT lang, n_chars,
+         CASE WHEN {DUCK_HASH.format(x="concat('split:', CAST(doc_id AS VARCHAR))")}
+                   / 1152921504606846976.0 < 0.8 THEN 'train'
+              WHEN {DUCK_HASH.format(x="concat('split:', CAST(doc_id AS VARCHAR))")}
+                   / 1152921504606846976.0 < 0.9 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents)
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM assigned GROUP BY split, lang
+""",
+    tags=("sampling", "curation"),
+)
+def q_stable_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (80/10/10) keyed by
+    ``stable_hash64('split:', doc_id)`` — the split survives re-runs,
+    repartitions, AND corpus growth (a new document never moves an old one
+    between splits, unlike ``randomSplit`` or modulo-of-row-number). The
+    output is the per-(split, lang) audit table a curation run reports.
+
+    Scale shape: the assignment is pure codegen'd column math on the scan
+    (no shuffle, no join); the only exchange is the final map-side-combined
+    groupBy producing |splits|x|langs| rows. The 100 TB corpus is read
+    exactly once and never shuffled."""
+    from video_data_pipeline_spark.functions.hashing import stable_unit_uniform
+
+    d = table(spark, sf_dir, "documents")
+    u = stable_unit_uniform("doc_id", "split:")
+    assigned = d.select(
+        "lang",
+        "n_chars",
+        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+    )
+    return assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
+    )

@@ -524,3 +524,62 @@ def q_dedup_survivors(spark, sf_dir):
     return d.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# ------------------------------------------------------------------ exact-substring spans
+
+_NG = 8  # span length in words; long enough that sharing one is near-proof of copying
+
+
+def _duck_dup_ngrams_sql() -> str:
+    idx = " || ' ' || ".join(f"w[i+{k}]" for k in range(1, _NG + 1))
+    return f"""
+WITH t AS (SELECT doc_id, {_DUCK_WORDS} AS w FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(range(len(w) - {_NG - 1}), i -> {idx}))) AS ngram
+  FROM t WHERE len(w) >= {_NG}
+)
+SELECT ngram, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+FROM g GROUP BY ngram HAVING COUNT(*) >= 2
+"""
+
+
+@query("q_duplicate_ngrams", oracle=_duck_dup_ngrams_sql(), tags=("dedup", "substring"))
+def q_duplicate_ngrams(spark, sf_dir):
+    """Cross-document repeated span detection: word 8-grams (``_NG``) that occur
+    in >= 2 DISTINCT documents — the signal behind exact-substring
+    deduplication (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better": repeated 50-token spans are memorization
+    fuel; the span length is a parameter). Spans are deduplicated
+    per-document first, so the group count IS the distinct-document count.
+
+    Scale shape: n-gram generation is per-row column math (one split(),
+    one transform over an index sequence — no re-evaluation inside the
+    lambda); the single shuffle is the groupBy on the span text, whose
+    key distribution is corpus-frequency — at 100 TB group on
+    ``md5(ngram)`` with ``any_value(ngram)`` instead to bound shuffle-key
+    bytes at 32/row regardless of span length. A boilerplate-heavy corpus
+    concentrates a few spans; AQE skew-join handling does not apply to
+    aggregates, but map-side partial aggregation absorbs exactly that
+    case (hot spans pre-combine to one row per map task)."""
+    d = table(spark, sf_dir, "documents")
+    terms = ", ".join(f"w[i+{k}]" for k in range(_NG))
+    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(
+        F.expr(f"size(w) >= {_NG}")
+    )
+    ngrams = words.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(0, size(w) - {_NG}), i -> concat_ws(' ', {terms}))"
+                )
+            )
+        ).alias("ngram"),
+    )
+    return (
+        ngrams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .where(F.col("n_docs") >= 2)
+    )
