@@ -539,3 +539,62 @@ def test_lsh_pairs_bucket_cap_degenerate_corpus(spark):
     full = lsh_pairs_from_bands(bands, observation=obs2)
     assert full.count() == n * (n - 1) // 2
     assert obs2.get["oversized_buckets"] == 0
+
+
+# ---------------------------------------------------------- stable_split
+
+
+def test_stable_split_growth_stability(spark):
+    """The split-assignment contract: adding new rows NEVER moves an
+    existing row between splits (the property row_number/randomSplit
+    schemes lack), and fractions land within a loose tolerance."""
+    from video_data_pipeline_spark.operators.sampling import stable_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    small = spark.range(0, 400).select("id", stable_split("id", fr))
+    grown = spark.range(0, 1000).select("id", stable_split("id", fr))
+    a = dict(small.collect())
+    b = dict(grown.collect())
+    assert all(b[k] == v for k, v in a.items()), "corpus growth moved a row's split"
+    from collections import Counter
+
+    c = Counter(b.values())
+    assert 0.7 < c["train"] / 1000 < 0.9
+    assert c["train"] + c["val"] + c["test"] == 1000
+
+
+def test_stable_split_single_fraction_and_order(spark):
+    from video_data_pipeline_spark.operators.sampling import stable_split
+
+    one = spark.range(5).select(stable_split("id", {"all": 1.0})).collect()
+    assert {r.split for r in one} == {"all"}
+    # un-normalized weights behave like their normalized form
+    w = spark.range(0, 500).select("id", stable_split("id", {"a": 8, "b": 1, "c": 1}))
+    n = spark.range(0, 500).select(
+        "id", stable_split("id", {"a": 0.8, "b": 0.1, "c": 0.1})
+    )
+    assert w.collect() == n.collect()
+
+
+# ---------------------------------------------------------- duplicate ngrams
+
+
+def test_duplicate_ngrams_counts_distinct_docs(spark, tmp_path):
+    """A span repeated INSIDE one document counts once; only spans shared
+    by >= 2 distinct documents surface."""
+    from video_data_pipeline_spark.queries.dedup import q_duplicate_ngrams
+
+    span = "a b c d e f g h"
+    rows = [
+        (1, f"{span} x y z {span}", "en", "s0", 10),  # internal repeat: one vote
+        (2, f"zz {span} tail words here now", "en", "s0", 10),
+        (3, "totally different words with no shared span at all", "en", "s1", 10),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    d = tmp_path / "docs"
+    df.write.parquet(str(d / "documents.parquet"))
+    out = {r.ngram: r for r in q_duplicate_ngrams(spark, str(d)).collect()}
+    assert span in out
+    assert out[span].n_docs == 2 and out[span].first_doc == 1
+    # nothing from the unshared doc
+    assert all("totally" not in k for k in out)

@@ -75,3 +75,32 @@ def uniform_sample_positions(rn: Column, n: Column, k: int) -> Column:
     i = F.ceil(rnk / n)  # smallest i with floor(i*n/k) >= rn
     picked = F.floor(i * n / F.lit(k)) == rn
     return (n <= F.lit(k)) | picked
+
+
+def stable_split(
+    key: Column | str,
+    fractions: dict[str, float],
+    seed: str = "split:",
+) -> Column:
+    """Deterministic dataset-split assignment column: maps each row to a
+    split label with probability proportional to ``fractions`` (insertion
+    order defines the interval layout), keyed by ``hash(seed, key)``.
+
+    Unlike ``DataFrame.randomSplit`` (plan-dependent, changes across
+    retries/repartitions) or modulo-of-row-number (adding a row shifts
+    every later row's split), the assignment is a pure function of the
+    row's key — re-runs reproduce it and corpus growth never moves an
+    existing row between splits. Pure Catalyst expression: codegen'd on
+    the scan, no shuffle.
+    """
+    total = float(sum(fractions.values()))
+    u = stable_unit_uniform(key, seed)
+    expr = None
+    acc = 0.0
+    labels = list(fractions)
+    for label in labels[:-1]:
+        acc += fractions[label] / total
+        cond = u < F.lit(acc)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = F.lit(labels[-1])
+    return (expr.otherwise(last) if expr is not None else last).alias("split")

@@ -486,14 +486,13 @@ def q_stable_split(spark, sf_dir):
     (no shuffle, no join); the only exchange is the final map-side-combined
     groupBy producing |splits|x|langs| rows. The 100 TB corpus is read
     exactly once and never shuffled."""
-    from video_data_pipeline_spark.functions.hashing import stable_unit_uniform
+    from video_data_pipeline_spark.operators.sampling import stable_split
 
     d = table(spark, sf_dir, "documents")
-    u = stable_unit_uniform("doc_id", "split:")
     assigned = d.select(
         "lang",
         "n_chars",
-        F.when(u < 0.8, "train").when(u < 0.9, "val").otherwise("test").alias("split"),
+        stable_split("doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}),
     )
     return assigned.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
