@@ -556,10 +556,11 @@ def q_duplicate_ngrams(spark, sf_dir):
 
     Scale shape: n-gram generation is per-row column math (one split(),
     one transform over an index sequence — no re-evaluation inside the
-    lambda); the single shuffle is the groupBy on the span text, whose
-    key distribution is corpus-frequency — at 100 TB group on
-    ``md5(ngram)`` with ``any_value(ngram)`` instead to bound shuffle-key
-    bytes at 32/row regardless of span length. A boilerplate-heavy corpus
+    lambda); the single shuffle is the groupBy on the span text. (Grouping
+    on ``md5(ngram)`` instead only pays off when the span text is NOT
+    needed downstream — carrying it back via ``any_value(ngram)`` ships
+    strictly more bytes than keying on the text; measured equal at sf0.1.)
+    A boilerplate-heavy corpus
     concentrates a few spans; AQE skew-join handling does not apply to
     aggregates, but map-side partial aggregation absorbs exactly that
     case (hot spans pre-combine to one row per map task)."""
