@@ -52,6 +52,9 @@ HEADLINE = [
     "q_sessionize",
     "q_window_tumbling",
     "q_asof_join",
+    # curation (round 5+: splits + exact-substring spans)
+    "q_stable_split",
+    "q_duplicate_ngrams",
 ]
 
 

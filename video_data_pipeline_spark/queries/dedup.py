@@ -443,12 +443,12 @@ WITH test_set AS (
 test_shingles AS (SELECT DISTINCT unnest(sh) AS s FROM test_set),
 corpus AS (
   SELECT doc_id, {_DUCK_SHINGLES} AS sh FROM documents WHERE doc_id >= 20
-)
+),
+corpus_shingles AS (SELECT doc_id, unnest(list_distinct(sh)) AS s FROM corpus),
+hits AS (SELECT DISTINCT cs.doc_id FROM corpus_shingles cs JOIN test_shingles t USING (s))
 SELECT c.doc_id,
-       CASE WHEN EXISTS (
-         SELECT 1 FROM test_shingles t WHERE list_contains(c.sh, t.s)
-       ) THEN 1 ELSE 0 END AS contaminated
-FROM corpus c
+       CASE WHEN h.doc_id IS NULL THEN 0 ELSE 1 END AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
 """,
     tags=("dedup", "decontamination"),
 )
