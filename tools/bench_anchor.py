@@ -1,0 +1,84 @@
+"""Refresh the quiet bench anchor (BENCH_BASELINE_r{N}.json).
+
+Runs `bench.py` N times back-to-back on an otherwise-idle machine and
+records per-query min/median plus the raw runs — the ambient band that
+`tools/bench_trend.py` uses to separate real regressions from sandbox
+noise (rounds 2-4 each burned a task chasing ±25% ambient drift).
+
+Usage:
+    python tools/bench_anchor.py --round 5 [--runs 3] [--out BENCH_BASELINE_r5.json]
+
+Run this ONLY when nothing else is on the machine (no sweeps, no tests);
+a concurrent job inflates the band and hides real regressions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+PURPOSE = (
+    "Quiet-environment bench anchor at sf0.1, local[32], {runs} consecutive runs "
+    "with nothing else on the machine. Compare driver BENCH_r{{N}}.json against the "
+    "per-query 'median' here; ambient sandbox noise is min..max across runs "
+    "(typically +-25%), so only deltas beyond that band are real regressions."
+)
+
+
+def one_run() -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "bench.py")],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=ROOT,
+    )
+    # bench.py prints exactly one JSON line on stdout (warnings go to stderr)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--round", type=int, required=True)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    runs = [one_run() for _ in range(args.runs)]
+    names = list(runs[0]["queries"])
+    per_q = {
+        q: {
+            "min": min(r["queries"][q] for r in runs),
+            "median": round(statistics.median(r["queries"][q] for r in runs), 3),
+            "runs": [r["queries"][q] for r in runs],
+        }
+        for q in names
+    }
+    payload = {
+        "round": args.round,
+        "purpose": PURPOSE.format(runs=args.runs),
+        "headline_total": {
+            "runs": [r["value"] for r in runs],
+            "median": round(statistics.median(r["value"] for r in runs), 3),
+        },
+        "sf": runs[0]["sf"],
+        "n_queries": len(names),
+        "queries": per_q,
+    }
+    out = args.out or os.path.join(ROOT, f"BENCH_BASELINE_r{args.round}.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"wrote {out}: total median {payload['headline_total']['median']}s "
+          f"over {args.runs} runs, {len(names)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
