@@ -59,6 +59,9 @@ def main() -> int:
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
         .config("spark.sql.shuffle.partitions", "32")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # 32 concurrent parquet writer tasks buffer row groups in the one
+        # local-mode JVM; the 1g default heap OOMs at --factor 100
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .appName("scale_up")
         .getOrCreate()
     )
