@@ -91,16 +91,38 @@ def test_batched_partial_dropped(spark):
 
 def test_global_index_leaves_no_cached_rdds(spark):
     """The offsets pre-pass persists transiently; after the query completes
-    nothing may stay cached in the session (VERDICT r1 'What's wrong' #4)."""
+    it may not ADD anything to the session's cached RDDs (VERDICT r1
+    'What's wrong' #4). Compared against a before-snapshot rather than
+    global emptiness: earlier tests' localCheckpoint blocks are released
+    asynchronously by the ContextCleaner, and their lingering entries are
+    not this operator's leak."""
+    import gc
+    import time
+
     spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def cached_ids() -> set:
+        gc.collect()  # drive the ContextCleaner queue for dead DataFrames
+        m = jsc.getPersistentRDDs()
+        it = m.keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
+
+    before = cached_ids()
     df = spark.range(50)
     df.transform(batched(["id"], n=8, partial=False)).collect()
     from video_data_pipeline_spark.operators.batching import global_index
 
     df.transform(global_index(["id"])).collect()
-    jsc = spark.sparkContext._jsc.sc()
-    cached = jsc.getPersistentRDDs()
-    assert cached.isEmpty(), f"leaked cached RDDs: {cached}"
+    for _ in range(10):  # async cleanup: settle up to ~5s before judging
+        leaked = cached_ids() - before
+        if not leaked:
+            break
+        time.sleep(0.5)
+    assert not leaked, f"leaked cached RDD ids: {leaked}"
 
 
 def test_batched_exactly_one_preaction(spark, monkeypatch):

@@ -43,7 +43,19 @@ def get_spark(
         # local mode: driver is the only JVM; give it headroom if available
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast policy, two tiers: the STATIC threshold decides from
+        # size ESTIMATES (compressed parquet bytes x column pruning), which
+        # underestimate in-memory hash-relation size ~5-10x and GROW with
+        # the data — at 100x bench scale a 15M-row fact slipped under 64 MB
+        # and a 65 s broadcast build resulted. AQE cannot demote a static
+        # broadcast, so keep the static tier conservative (true dimensions
+        # only) and let AQE's runtime-accurate threshold promote anything
+        # that's genuinely small once its real shuffle bytes are known.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(16 * 1024 * 1024))
+        .config(
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            str(64 * 1024 * 1024),
+        )
         .config(
             "spark.sql.warehouse.dir",
             os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/vdps-warehouse"),
