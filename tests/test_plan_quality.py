@@ -210,3 +210,17 @@ def test_q_duplicate_ngrams_single_shuffle_partial_agg(spark, sf_dir):
         "groupBy lost map-side combine"
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_broadcast_policy_is_two_tier(spark):
+    """The static (estimate-based) broadcast threshold must stay below the
+    AQE (runtime-accurate) one: size estimates underestimate in-memory
+    hash-relation size ~5-10x and grow with the data, and AQE cannot
+    demote a statically-chosen broadcast (measured: a 15M-row fact chose
+    broadcast at 100x scale and spent 65s building the hash table)."""
+    static = int(spark.conf.get("spark.sql.autoBroadcastJoinThreshold").rstrip("b"))
+    adaptive = int(
+        spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold").rstrip("b")
+    )
+    assert static == 16 * 1024 * 1024, static
+    assert adaptive == 64 * 1024 * 1024, adaptive
