@@ -52,9 +52,11 @@ HEADLINE = [
     "q_sessionize",
     "q_window_tumbling",
     "q_asof_join",
-    # curation (round 5+: splits + exact-substring spans)
+    # curation (round 5+: splits + exact-substring spans + scoring)
     "q_stable_split",
     "q_duplicate_ngrams",
+    "q_dsir_weights",
+    "q_unigram_logprob",
 ]
 
 

@@ -212,6 +212,46 @@ def test_q_duplicate_ngrams_single_shuffle_partial_agg(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_q_dsir_weights_ratio_table_broadcasts(spark, sf_dir):
+    """DSIR's per-bucket log-ratio table is capacity-bounded (1024 rows no
+    matter the corpus) and must broadcast onto the doc-bucket counts; the
+    final doc_id join must stay LEFT (sub-2-token docs keep weight 0); and
+    the feature explode must pre-combine map-side before its shuffles."""
+    plan = plan_of(spark, sf_dir, "q_dsir_weights")
+    assert "BroadcastHashJoin" in plan, "bucket ratio join lost its broadcast"
+    assert "LeftOuter" in plan, "doc_id backfill join lost LEFT semantics"
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        "feature groupBy lost map-side combine"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q_dsir_resample_topk_is_tree_reduce(spark, sf_dir):
+    """Gumbel top-k selection must plan as TakeOrderedAndProject (tree
+    reduce) — a global Sort of the corpus into one partition would be the
+    100 TB failure mode of ORDER BY + LIMIT."""
+    plan = plan_of(spark, sf_dir, "q_dsir_resample")
+    assert "TakeOrderedAndProject" in plan, "top-k lost its TakeOrdered tree-reduce"
+    assert "rangepartitioning" not in plan.lower(), "corpus is being globally sorted"
+
+
+def test_q_unigram_logprob_lm_join_keyed_on_term(spark, sf_dir):
+    """The unigram LM is vocabulary-sized (scale-growing): scoring must be
+    a term-keyed equi-join chosen by stats/AQE — never a cartesian — with
+    map-side partial aggregation on both count stages, and the only
+    force-broadcasts are the 1-row totals."""
+    plan = plan_of(spark, sf_dir, "q_unigram_logprob")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,80}term", plan), (
+        "LM scoring join is not keyed on term"
+    )
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), (
+        "LM/doc-term groupBy lost map-side combine"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_broadcast_policy_is_two_tier(spark):
     """The static (estimate-based) broadcast threshold must stay below the
     AQE (runtime-accurate) one: size estimates underestimate in-memory

@@ -1,0 +1,324 @@
+"""Corpus-curation scoring queries: DSIR importance weights + LM scoring.
+
+Two pretraining-data selection stages from the curation literature that the
+reference's pack/tokenize pipeline feeds into but does not itself provide:
+
+- ``q_dsir_weights``: Data Selection via Importance Resampling (Xie et al.
+  2023) — hashed-bigram bag-of-features importance weights
+  ``log p_target(doc) - log p_raw(doc)`` under two smoothed categorical
+  models over a fixed bucket space.
+- ``q_unigram_logprob``: CCNet-style (Wenzek et al. 2020) language-model
+  scoring — train a unigram LM on a trusted slice, score every document's
+  per-token cross-entropy; low-perplexity docs are "clean" keepers.
+
+Determinism contract (registry header): the only transcendental (``ln``) is
+evaluated on a *small, bounded* table (1024 DSIR buckets / the LM vocab),
+rounded to 1e-4-nat fixed point, and CAST to BIGINT; per-document scores are
+then exact integer sums, so Spark and DuckDB agree bit-for-bit regardless of
+aggregation order. A raw float fold over per-doc features would be
+order-sensitive; an integer fold is not.
+
+Scale design (100 TB):
+- DSIR bucket stats are capacity-bounded (1024 rows no matter the corpus) —
+  the one force-broadcast in this module, and the only safe kind.
+- The unigram LM is vocabulary-sized (scale-growing) — it is NEVER
+  broadcast; scoring is a term-keyed shuffle join, same shape as
+  ``q_tfidf_top_terms``.
+- Everything else is explode → partial-agg'd groupBy — map-side combine
+  keeps the shuffle proportional to distinct (doc, feature), not tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.common import SPARK_HASH
+from video_data_pipeline_spark.queries.registry import query, table
+
+_SPARK_TOKENS = "split(trim(text), ' +')"
+_DUCK_TOKENS = "string_split_regex(trim(text), ' +')"
+
+# Word bigrams from the token array. Spark's transform() lambda index is
+# 0-based (pair = toks[i+1], toks[i+2] in 1-based element_at terms); DuckDB's
+# list_transform index is 1-based (pair = l[i], l[i+1]).
+_SPARK_BIGRAMS = (
+    f"CASE WHEN size({_SPARK_TOKENS}) < 2 THEN array() "
+    f"ELSE transform(slice({_SPARK_TOKENS}, 1, size({_SPARK_TOKENS}) - 1), "
+    f"(w, i) -> concat(w, ' ', element_at({_SPARK_TOKENS}, i + 2))) END"
+)
+_DUCK_BIGRAMS = (
+    f"CASE WHEN len({_DUCK_TOKENS}) < 2 THEN [] "
+    f"ELSE list_transform(list_slice({_DUCK_TOKENS}, 1, len({_DUCK_TOKENS}) - 1), "
+    f"(w, i) -> concat(w, ' ', ({_DUCK_TOKENS})[i + 1])) END"
+)
+
+_N_BUCKETS = 1024
+_FIXED_POINT = 10000  # 1e-4-nat resolution; see module docstring
+
+_DUCK_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+# Shared oracle CTE chain: every document scored (sub-2-token docs at 0).
+_DUCK_DSIR_SCORED = f"""
+WITH feats AS (
+  SELECT doc_id, lang = 'en' AS is_tgt,
+         ({_DUCK_HASH.format(x="bg")}) % {_N_BUCKETS} AS bucket
+  FROM (SELECT doc_id, lang, unnest({_DUCK_BIGRAMS}) AS bg FROM documents)
+),
+bucket_stats AS (
+  SELECT bucket,
+         COUNT(*) AS r_cnt,
+         COUNT(*) FILTER (is_tgt) AS t_cnt
+  FROM feats GROUP BY bucket
+),
+bucket_totals AS (
+  SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM bucket_stats
+),
+bucket_lr AS (
+  SELECT bucket,
+         CAST(ROUND(ln(((t_cnt + 1.0) * (bt.r_tot + {_N_BUCKETS}))
+                       / ((r_cnt + 1.0) * (bt.t_tot + {_N_BUCKETS})))
+                    * {_FIXED_POINT}) AS BIGINT) AS lr_micro
+  FROM bucket_stats, bucket_totals bt
+),
+doc_bucket AS (
+  SELECT doc_id, bucket, COUNT(*) AS cnt FROM feats GROUP BY doc_id, bucket
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+         CAST(SUM(d.cnt * b.lr_micro) AS BIGINT) AS weight_micro
+  FROM doc_bucket d JOIN bucket_lr b ON d.bucket = b.bucket
+  GROUP BY d.doc_id
+),
+scored_full AS (
+  SELECT doc_id,
+         COALESCE(n_bigrams, 0) AS n_bigrams,
+         COALESCE(weight_micro, 0) AS weight_micro
+  FROM (SELECT doc_id FROM documents) LEFT JOIN scored USING (doc_id)
+)
+"""
+
+_RESAMPLE_K = 100
+
+
+def _dsir_scored_full(spark, sf_dir):
+    """Every document scored: (doc_id, n_bigrams, weight_micro) — the
+    Spark twin of the ``scored_full`` oracle CTE. See q_dsir_weights.
+
+    The bucket statistics are derived FROM the (doc, bucket) counts, not
+    from a second pass over the exploded features: both consumers then
+    share one canonical ``Exchange hashpartitioning(doc_id, is_tgt,
+    bucket)`` subtree, which ReuseExchange computes once — the corpus is
+    exploded and md5-hashed a single time (a naive two-groupBy form keyed
+    differently re-hashed every bigram twice: 2.3x slower at sf0.1)."""
+    d = table(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_tgt"),
+        F.explode(F.expr(_SPARK_BIGRAMS)).alias("bg"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        (F.expr(SPARK_HASH.format(x="bg")) % _N_BUCKETS).alias("bucket"),
+    )
+    # is_tgt is constant per doc_id; adding it to the key changes nothing
+    # about cardinality but lets the bucket rollup below reuse this exchange
+    doc_bucket_t = feats.groupBy("doc_id", "is_tgt", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = doc_bucket_t.groupBy("bucket").agg(
+        F.sum("cnt").alias("r_cnt"),
+        F.sum(F.when(F.col("is_tgt"), F.col("cnt")).otherwise(0)).alias("t_cnt"),
+    )
+    tot = stats.agg(F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot"))
+    lr = stats.join(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                ((F.col("t_cnt") + 1.0) * (F.col("r_tot") + _N_BUCKETS))
+                / ((F.col("r_cnt") + 1.0) * (F.col("t_tot") + _N_BUCKETS))
+            )
+            * _FIXED_POINT
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    scored = (
+        doc_bucket_t.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lr_micro")).alias("weight_micro"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("weight_micro", F.lit(0)).alias("weight_micro"),
+        )
+    )
+
+
+@query(
+    "q_dsir_weights",
+    oracle=_DUCK_DSIR_SCORED
+    + """
+SELECT doc_id, n_bigrams, weight_micro, weight_micro > 0 AS keep
+FROM scored_full
+""",
+    tags=("curation", "dsir", "dedup-adjacent"),
+)
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights over hashed bigram features.
+
+    Target distribution = the ``lang = 'en'`` slice; raw = the whole pool
+    (target included, as in the paper). Features are word bigrams hashed
+    into a fixed 1024-bucket space; the per-bucket log-ratio
+    ``ln((t+1)/(T+B)) - ln((r+1)/(R+B))`` is precomputed on the bounded
+    bucket table in 1e-4-nat fixed point, so each document's weight is an
+    exact BIGINT dot product. ``keep`` marks docs more target-like than the
+    pool (weight > 0) — the resampling step then samples keepers.
+
+    Plan: one explode, two partial-agg'd groupBys sharing the exploded
+    child, a FORCE-broadcast of the 1024-row ratio table (capacity-bounded
+    — the only class of table we ever force), and a doc_id-keyed left join
+    back to documents to keep sub-2-token docs at weight 0.
+    """
+    return _dsir_scored_full(spark, sf_dir).withColumn(
+        "keep", F.col("weight_micro") > 0
+    )
+
+
+@query(
+    "q_dsir_resample",
+    oracle=_DUCK_DSIR_SCORED
+    + f"""
+SELECT doc_id, weight_micro,
+       CAST(ROUND(-ln(-ln(({_DUCK_HASH.format(
+           x="concat('dsir:', CAST(doc_id AS VARCHAR))")} + 0.5)
+           / 1152921504606846976.0)) * {_FIXED_POINT}) AS BIGINT) AS gumbel_micro,
+       weight_micro + CAST(ROUND(-ln(-ln(({_DUCK_HASH.format(
+           x="concat('dsir:', CAST(doc_id AS VARCHAR))")} + 0.5)
+           / 1152921504606846976.0)) * {_FIXED_POINT}) AS BIGINT) AS key_micro
+FROM scored_full
+ORDER BY key_micro DESC, doc_id
+LIMIT {_RESAMPLE_K}
+""",
+    tags=("curation", "dsir", "sampling"),
+)
+def q_dsir_resample(spark, sf_dir):
+    """DSIR step 2 — Gumbel top-k importance *resampling* (Xie et al. 2023
+    §2; Gumbel-max gives exact sampling-without-replacement ∝ softmax of
+    the weights). The Gumbel noise is deterministic — ``-ln(-ln(u))`` with
+    ``u = (stable_hash64('dsir:', doc_id) + 0.5) / 2^60`` — so selection
+    survives retries and re-runs; like every log here it is rounded to
+    1e-4-nat fixed point, making the sort key an exact BIGINT sum
+    (temperature τ = 1: key = weight + τ·gumbel).
+
+    Plan: the scored pipeline (see q_dsir_weights) plus pure per-row
+    column math and a global top-k via TakeOrderedAndProject — a
+    tree-reduce, never a single-partition sort of the corpus.
+    """
+    scored = _dsir_scored_full(spark, sf_dir)
+    u = (
+        F.expr(SPARK_HASH.format(x="concat('dsir:', CAST(doc_id AS STRING))")) + 0.5
+    ) / float(1 << 60)
+    g = F.round(-F.log(-F.log(u)) * _FIXED_POINT).cast("bigint")
+    return (
+        scored.select(
+            "doc_id",
+            "weight_micro",
+            g.alias("gumbel_micro"),
+            (F.col("weight_micro") + g).alias("key_micro"),
+        )
+        .orderBy(F.col("key_micro").desc(), "doc_id")
+        .limit(_RESAMPLE_K)
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS term
+  FROM documents WHERE length(trim(text)) > 0
+),
+lm AS (
+  SELECT term, COUNT(*) AS c FROM words WHERE lang = 'en' GROUP BY term
+),
+totals AS (
+  SELECT SUM(c) AS n, COUNT(*) AS v FROM lm
+),
+lm_lp AS (
+  SELECT term,
+         CAST(ROUND(ln((c + 1.0) / (t.n + t.v)) * {_FIXED_POINT}) AS BIGINT) AS lp_micro
+  FROM lm, totals t
+),
+doc_terms AS (
+  SELECT doc_id, term, COUNT(*) AS cnt FROM words GROUP BY doc_id, term
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(d.cnt * COALESCE(l.lp_micro,
+             CAST(ROUND(ln(1.0 / (t.n + t.v)) * {_FIXED_POINT}) AS BIGINT))) AS BIGINT)
+           AS logprob_micro
+  FROM doc_terms d LEFT JOIN lm_lp l ON d.term = l.term, totals t
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_tokens, logprob_micro,
+       CAST(-logprob_micro AS DOUBLE)
+         / (CAST(n_tokens AS DOUBLE) * {_FIXED_POINT}) AS xent_nats
+FROM scored
+""",
+    tags=("curation", "lm", "quality"),
+)
+def q_unigram_logprob(spark, sf_dir):
+    """CCNet-style LM scoring: unigram model on the trusted ``lang='en'``
+    slice, add-one smoothing over (N + V), every non-empty doc scored.
+
+    ``lp_micro`` per vocab term is fixed-point (1e-4 nat) BIGINT, computed
+    once on the vocabulary table; out-of-vocabulary terms get the floor
+    probability ``1/(N+V)``. Each doc's log-prob is then an exact integer
+    sum; ``xent_nats`` (the CCNet filter statistic) is one deterministic
+    double division at the end.
+
+    Plan: the LM is vocabulary-sized — scale-growing — so scoring is a
+    term-keyed SHUFFLE join (never broadcast; same policy as
+    ``q_tfidf_top_terms``); the 1-row totals are a broadcast nested-loop
+    cross, which is a constant, not a cartesian.
+    """
+    d = table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    words = d.select("doc_id", "lang", F.explode(F.expr(_SPARK_TOKENS)).alias("term"))
+    lm = words.where(F.col("lang") == "en").groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = lm.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    lp = F.round(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * _FIXED_POINT)
+    lm_lp = (
+        lm.join(F.broadcast(totals))
+        .select("term", lp.cast("bigint").alias("lp_micro"))
+    )
+    oov = F.round(F.log(1.0 / (F.col("n") + F.col("v"))) * _FIXED_POINT).cast("bigint")
+    doc_terms = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    scored = (
+        doc_terms.join(lm_lp, "term", "left")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.coalesce("lp_micro", oov)).alias("logprob_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "logprob_micro",
+        (
+            (-F.col("logprob_micro")).cast("double")
+            / (F.col("n_tokens").cast("double") * _FIXED_POINT)
+        ).alias("xent_nats"),
+    )
