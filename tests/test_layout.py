@@ -1,0 +1,119 @@
+"""Z-order layout: prove the multi-column data-skipping claim on disk.
+
+``write_zordered`` exists to make parquet min/max stats prune scans on BOTH
+interleaved columns. This test writes the same events two ways — z-ordered
+on (user, minute) vs plain time-sorted — then replays a mixed workload of
+user-range and time-range predicates against the file-level stats. The
+z-layout must touch strictly fewer files overall: time-sorting already wins
+time queries, but makes every user query read 100% of the data.
+"""
+
+from __future__ import annotations
+
+import glob
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.operators.layout import write_zordered, zvalue
+from video_data_pipeline_spark.queries.registry import table
+
+N_FILES = 8
+
+
+def _file_stats(path, cols):
+    """[(lo, hi) per col] for each data file (single row group at test size)."""
+    out = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        lo_hi = []
+        for c in cols:
+            i = names.index(c)
+            los, his = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(i).statistics
+                los.append(st.min)
+                his.append(st.max)
+            lo_hi.append((min(los), max(his)))
+        out.append(lo_hi)
+    return out
+
+
+def _files_touched(stats, boxes):
+    """How many (file, box) pairs overlap — files a stats-pruning reader
+    must open across the workload."""
+    n = 0
+    for box in boxes:
+        for lo_hi in stats:
+            if all(not (hi < blo or lo > bhi) for (lo, hi), (blo, bhi) in zip(lo_hi, box)):
+                n += 1
+    return n
+
+
+def test_write_zordered_prunes_mixed_workload(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor((F.col("ts").cast("long") - 1704067200) / 60)
+        .cast("bigint")
+        .alias("minute"),
+    )
+    z_path, t_path = str(tmp_path / "zorder"), str(tmp_path / "bytime")
+
+    # write_zordered range-normalizes both dims to 8 bits internally
+    write_zordered(ev, z_path, "user_id", "minute", bits=8, num_files=N_FILES)
+    ev.repartitionByRange(N_FILES, "minute").sortWithinPartitions("minute").write.mode(
+        "overwrite"
+    ).parquet(t_path)
+
+    # same data both layouts
+    n = ev.count()
+    assert spark.read.parquet(z_path).count() == n
+    assert spark.read.parquet(t_path).count() == n
+
+    z_stats = _file_stats(z_path, ["user_id", "minute"])
+    t_stats = _file_stats(t_path, ["user_id", "minute"])
+    assert len(z_stats) > 1 and len(t_stats) > 1, "need multiple files to prune"
+
+    # mixed workload: 8 user-range queries + 8 time-range queries, each
+    # 1/8 of its dimension, full range on the other
+    u_lo = min(lo for (lo, _), _ in z_stats)
+    u_hi = max(hi for (_, hi), _ in z_stats)
+    m_lo = min(lo for _, (lo, _) in z_stats)
+    m_hi = max(hi for _, (_, hi) in z_stats)
+    uw = max(1, (u_hi - u_lo + 1) // 8)
+    mw = max(1, (m_hi - m_lo + 1) // 8)
+    boxes = [
+        ((u_lo + i * uw, u_lo + (i + 1) * uw - 1), (m_lo, m_hi)) for i in range(8)
+    ] + [((u_lo, u_hi), (m_lo + i * mw, m_lo + (i + 1) * mw - 1)) for i in range(8)]
+
+    z_touch = _files_touched(z_stats, boxes)
+    t_touch = _files_touched(t_stats, boxes)
+    assert z_touch < t_touch, (
+        f"z-order layout touched {z_touch} file-box pairs, "
+        f"time-sorted touched {t_touch} — no skipping win"
+    )
+
+
+def test_zvalue_orders_like_interleave(spark):
+    """zvalue is the exact Morton number: spot-check against a Python
+    reference on the full 6-bit grid."""
+    df = spark.range(64).select(
+        (F.col("id") % 8).alias("a"), (F.col("id") / 8).cast("bigint").alias("b")
+    )
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.withColumn("z", zvalue("a", "b", 3)).collect()
+    }
+
+    def ref(a, b):
+        z = 0
+        for i in range(3):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    for a in range(8):
+        for b in range(8):
+            assert got[(a, b)] == ref(a, b)

@@ -236,6 +236,15 @@ def test_q_dsir_resample_topk_is_tree_reduce(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower(), "corpus is being globally sorted"
 
 
+def test_q_zorder_span_pure_codegen_single_agg(spark, sf_dir):
+    """The Morton interleave must stay integer column math in codegen — no
+    UDF, no join — with only the final map-combined groupBy exchanging."""
+    plan = plan_of(spark, sf_dir, "q_zorder_span")
+    assert not re.search(r"Join|CartesianProduct", plan), "zorder plan acquired a join"
+    assert plan.count("Exchange") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q_unigram_logprob_lm_join_keyed_on_term(spark, sf_dir):
     """The unigram LM is vocabulary-sized (scale-growing): scoring must be
     a term-keyed equi-join chosen by stats/AQE — never a cartesian — with

@@ -497,3 +497,61 @@ def q_stable_split(spark, sf_dir):
     return assigned.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars")
     )
+
+
+from video_data_pipeline_spark.operators.layout import zvalue, zvalue_sql  # noqa: E402
+
+_Z_EPOCH = 1704067200  # 2024-01-01T00:00:00Z — start of the events window
+
+
+@query(
+    "q_zorder_span",
+    oracle=f"""
+WITH z AS (
+  SELECT user_id,
+         date_diff('minute', TIMESTAMP '2024-01-01', ts) AS minute,
+         {zvalue_sql("(user_id >> 3)",
+                     "(date_diff('minute', TIMESTAMP '2024-01-01', ts) >> 8)", 8)}
+           AS zv
+  FROM events
+)
+SELECT zv >> 8 AS z_bucket,
+       COUNT(*) AS n_events,
+       MIN(user_id) AS user_lo, MAX(user_id) AS user_hi,
+       MIN(minute) AS minute_lo, MAX(minute) AS minute_hi
+FROM z GROUP BY z_bucket
+""",
+    tags=("layout", "zorder"),
+)
+def q_zorder_span(spark, sf_dir):
+    """Morton (Z-order) clustering audit over events: normalize
+    (user_id, minute-of-window) to 8 bits each — Morton only mixes
+    dimensions of comparable bit width, so each column is range-scaled
+    first (user >> 3: 0..2047 ids; minute >> 8: a 30-day window) —
+    interleave into one BIGINT, bucket by the top z bits, and report each
+    bucket's bounding rectangle. Tight rectangles in BOTH dimensions are
+    what make a z-sorted layout prune row groups for combined user+time
+    predicates — the multi-column data-skipping story a single-column sort
+    cannot give (see operators/layout.py; ``write_zordered`` materializes
+    this clustering as parquet).
+
+    The interleave is ~4 int ops per bit of pure codegen'd column math (no
+    UDF, no shuffle before the final map-combined groupBy); the oracle runs
+    the identical bit arithmetic via ``zvalue_sql``.
+    """
+    ev = table(spark, sf_dir, "events")
+    minute = F.floor((F.col("ts").cast("long") - F.lit(_Z_EPOCH)) / 60).cast("bigint")
+    z = ev.select(
+        "user_id",
+        minute.alias("minute"),
+        zvalue(F.shiftright(F.col("user_id"), 3), F.shiftright(minute, 8), 8).alias(
+            "zv"
+        ),
+    )
+    return z.groupBy(F.shiftright("zv", 8).alias("z_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("user_lo"),
+        F.max("user_id").alias("user_hi"),
+        F.min("minute").alias("minute_lo"),
+        F.max("minute").alias("minute_hi"),
+    )
