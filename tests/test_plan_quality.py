@@ -236,6 +236,18 @@ def test_q_dsir_resample_topk_is_tree_reduce(spark, sf_dir):
     assert "rangepartitioning" not in plan.lower(), "corpus is being globally sorted"
 
 
+def test_q_dedup_incremental_band_keyed_join(spark, sf_dir):
+    """Incoming-vs-index probing must stay an equi-join on the uniform band
+    key (skew-free), never a cartesian; the doc_id subset filters must sit
+    below the signature computation so each side hashes only its slice."""
+    plan = plan_of(spark, sf_dir, "q_dedup_incremental")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,120}band", plan), (
+        "incremental probe join not keyed on the band key"
+    )
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_q_zorder_span_pure_codegen_single_agg(spark, sf_dir):
     """The Morton interleave must stay integer column math in codegen — no
     UDF, no join — with only the final map-combined groupBy exchanging."""

@@ -584,3 +584,62 @@ def q_duplicate_ngrams(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("first_doc"))
         .where(F.col("n_docs") >= 2)
     )
+
+
+# ------------------------------------------------------------ incremental
+
+
+def _duck_incremental_sql() -> str:
+    sig = _duck_signatures_sql()
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(CAST(mh{_BAND_ROWS * b} AS VARCHAR) || ',' || CAST(mh{_BAND_ROWS * b + 1} AS VARCHAR)) AS band_key "
+        f"FROM sig"
+        for b in range(_N_HASHES // _BAND_ROWS)
+    )
+    return f"""
+WITH sig AS ({sig}),
+bands AS ({band_rows}),
+new_b AS (SELECT * FROM bands WHERE doc_id % 10 = 7),
+old_b AS (SELECT * FROM bands WHERE doc_id % 10 <> 7)
+SELECT n.doc_id, MIN(o.doc_id) AS first_match,
+       COUNT(DISTINCT o.doc_id) AS n_candidates
+FROM new_b n JOIN old_b o
+  ON n.band_idx = o.band_idx AND n.band_key = o.band_key
+GROUP BY n.doc_id
+"""
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=_duck_incremental_sql(),
+    tags=("dedup", "minhash", "incremental"),
+)
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup check: an INCOMING batch (docs with
+    ``doc_id % 10 = 7``, ~10%) probed against the band INDEX of the
+    already-ingested corpus — the shape of real continuous ingestion,
+    where the index is a persisted table the batch joins against and the
+    historical corpus is never re-hashed (here both sides derive from the
+    one test table; the doc_id filters sit below the md5 pass, so each
+    side hashes only its own subset — one full pass total).
+
+    Per incoming doc: the earliest colliding historical doc (min id — the
+    survivor it would merge into) and how many distinct historical docs
+    collide on any band. Join is keyed on the uniform band md5 → skew-free
+    shuffle; at production scale the incoming side is batch-sized and AQE
+    broadcasts it against the big index."""
+    bands = minhash_bands(table(spark, sf_dir, "documents"))
+    new_b = bands.where(F.col("doc_id") % 10 == 7)
+    old_b = (
+        bands.where(F.col("doc_id") % 10 != 7)
+        .withColumnRenamed("doc_id", "old_id")
+    )
+    return (
+        new_b.join(old_b, ["band_idx", "band_key"])
+        .groupBy("doc_id")
+        .agg(
+            F.min("old_id").alias("first_match"),
+            F.countDistinct("old_id").alias("n_candidates"),
+        )
+    )
