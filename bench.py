@@ -38,6 +38,7 @@ HEADLINE = [
     "q_lsh_buckets",
     "q_ann_lsh_topk",
     "q_embedding_near_dup",
+    "q_pq_adc_topk",
     # stateful packing / chunking (the reference pipelines' core)
     "q_bin_packing",
     "q_shard_rolling",
@@ -57,6 +58,8 @@ HEADLINE = [
     "q_duplicate_ngrams",
     "q_dsir_weights",
     "q_unigram_logprob",
+    "q_dedup_incremental",
+    "q_zorder_span",
 ]
 
 

@@ -598,3 +598,184 @@ def q_semdedup(spark, sf_dir):
         .join(e.select("vec_id", "label"), "vec_id")
         .select("vec_id", "label", F.col("cid").alias("centroid_id"))
     )
+
+
+# ---------------------------------------------------------------- PQ
+
+# Product quantization (Jégou et al., TPAMI 2011): split the 64-dim vector
+# into 4 subspaces of 16 dims, quantize each against an 8-entry codebook →
+# 4 small codes per vector (here 4 × 3 bits vs 64 × 4 B raw: the storage
+# tier that makes billion-scale ANN fit in memory). Codebooks are seeded
+# from the first _PQ_K corpus vectors' slices (same convention as the IVF
+# seed centroids; kmeans_fit can refine them identically).
+_PQ_M = 4          # subspaces
+_PQ_SUB = 16       # dims per subspace (= _DIM / _PQ_M)
+_PQ_K = 8          # codebook entries per subspace
+
+
+def _l2sq(dialect: str, a: str, b: str) -> str:
+    """Strict sequential squared-L2 — identical fold order in both engines."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, "
+            f"(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_transform(range(len({a})), "
+        f"i -> ({a}[i+1]::DOUBLE - {b}[i+1]::DOUBLE) * ({a}[i+1]::DOUBLE - {b}[i+1]::DOUBLE)), "
+        f"(x, y) -> x + y)"
+    )
+
+
+def _duck_pq_codes_sql() -> str:
+    ms = ", ".join(str(m) for m in range(_PQ_M))
+    return f"""
+slices AS (
+  SELECT vec_id, m, list_slice(embedding, m * {_PQ_SUB} + 1, (m + 1) * {_PQ_SUB}) AS sv
+  FROM embeddings, unnest([{ms}]) AS t(m)
+),
+cents AS (
+  SELECT m, vec_id AS k, sv AS cv FROM slices WHERE vec_id < {_PQ_K}
+),
+codes AS (
+  SELECT vec_id, m, k AS code, d AS qerr FROM (
+    SELECT s.vec_id, s.m, c.k, {_l2sq("duck", "s.sv", "c.cv")} AS d,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_l2sq("duck", "s.sv", "c.cv")} ASC, c.k) AS rk
+    FROM slices s JOIN cents c ON s.m = c.m
+  ) WHERE rk = 1
+)
+"""
+
+
+def _spark_pq_codes(spark, sf_dir):
+    """(vec_id, m, code, qerr): per-subspace nearest codebook entry.
+
+    Pure plan: one explode into (vec, subspace, slice), a broadcast join
+    with the M×K codebook (32 rows — capacity-bounded), argmin via
+    window. The corpus never shuffles except the tiny window by
+    (vec_id, m) — which Catalyst runs on the exploded rows co-located by
+    the argmin window's partition key."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    slices = e.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+        "embedding",
+    ).select(
+        "vec_id",
+        "m",
+        F.expr(f"slice(embedding, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("sv"),
+    )
+    cents = slices.where(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("k"), F.col("sv").alias("cv")
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.col("d").asc(), F.col("k"))
+    return (
+        slices.join(F.broadcast(cents), "m")
+        .select("vec_id", "m", "k", F.expr(_l2sq("spark", "sv", "cv")).alias("d"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "m", F.col("k").alias("code"), F.col("d").alias("qerr"))
+    )
+
+
+@query(
+    "q_pq_encode",
+    oracle=f"""
+WITH {_duck_pq_codes_sql().strip()}
+SELECT vec_id, m AS subspace, code, qerr FROM codes
+""",
+    tags=("similarity", "pq"),
+)
+def q_pq_encode(spark, sf_dir):
+    """PQ encoding: each vector's 4 subspace slices quantized to their
+    nearest codebook entry (argmin squared-L2, k-tie-break), with the
+    per-subspace quantization error. 64 floats → 4 codes: the ~64×
+    compression that lets a 100 TB embedding corpus live as a scannable
+    code table. Codebook is M×K = 32 rows, force-broadcast
+    (capacity-bounded); distances are strict sequential folds so both
+    engines agree bitwise."""
+    return _spark_pq_codes(spark, sf_dir).select(
+        "vec_id", F.col("m").alias("subspace"), "code", "qerr"
+    )
+
+
+@query(
+    "q_pq_adc_topk",
+    oracle=f"""
+WITH {_duck_pq_codes_sql().strip()},
+qs AS (SELECT m, sv AS qv FROM slices WHERE vec_id = 0),
+lut AS (
+  SELECT c.m, c.k, {_l2sq("duck", "q.qv", "c.cv")} AS d
+  FROM cents c JOIN qs q ON c.m = q.m
+),
+scored AS (
+  SELECT cd.vec_id,
+         MAX(CASE WHEN cd.m = 0 THEN l.d END) AS d0,
+         MAX(CASE WHEN cd.m = 1 THEN l.d END) AS d1,
+         MAX(CASE WHEN cd.m = 2 THEN l.d END) AS d2,
+         MAX(CASE WHEN cd.m = 3 THEN l.d END) AS d3
+  FROM codes cd JOIN lut l ON cd.m = l.m AND cd.code = l.k
+  GROUP BY cd.vec_id
+)
+SELECT vec_id, ((d0 + d1) + d2) + d3 AS adc_dist
+FROM scored WHERE vec_id <> 0
+ORDER BY adc_dist ASC, vec_id LIMIT 10
+""",
+    tags=("similarity", "pq", "topk"),
+)
+def q_pq_adc_topk(spark, sf_dir):
+    """PQ asymmetric-distance (ADC) top-10: the query's exact slices are
+    compared to the CODEBOOK once (a 32-entry lookup table), then the
+    whole corpus is scored by LUT join on its codes — raw embeddings are
+    never touched at query time, which is the entire PQ bargain at scale.
+
+    Determinism: the 4 per-subspace distances are pivoted to fixed columns
+    (MAX-of-one) and added in a fixed order — a groupBy SUM of doubles
+    would be aggregation-order-dependent across engines. Plan: codes
+    (corpus-sized) join the broadcast 32-row LUT, one map-combined pivot
+    agg, TakeOrdered 10."""
+    codes = _spark_pq_codes(spark, sf_dir)
+    e = table(spark, sf_dir, "embeddings")
+    qs = (
+        e.where(F.col("vec_id") == 0)
+        .select(
+            F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+            "embedding",
+        )
+        .select("m", F.expr(f"slice(embedding, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("qv"))
+    )
+    cents = (
+        e.where(F.col("vec_id") < _PQ_K)
+        .select(
+            F.col("vec_id").alias("k"),
+            F.explode(F.array(*[F.lit(m) for m in range(_PQ_M)])).alias("m"),
+            "embedding",
+        )
+        .select("m", "k", F.expr(f"slice(embedding, m * {_PQ_SUB} + 1, {_PQ_SUB})").alias("cv"))
+    )
+    lut = cents.join(F.broadcast(qs), "m").select(
+        F.col("m").alias("lm"), "k", F.expr(_l2sq("spark", "qv", "cv")).alias("d")
+    )
+    pivots = [
+        F.max(F.when(F.col("m") == m, F.col("d"))).alias(f"d{m}") for m in range(_PQ_M)
+    ]
+    scored = (
+        codes.join(
+            F.broadcast(lut),
+            (F.col("m") == F.col("lm")) & (F.col("code") == F.col("k")),
+        )
+        .select("vec_id", "m", "d")
+        .groupBy("vec_id")
+        .agg(*pivots)
+    )
+    adc = ((F.col("d0") + F.col("d1")) + F.col("d2")) + F.col("d3")
+    return (
+        scored.where(F.col("vec_id") != 0)
+        .select("vec_id", adc.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), "vec_id")
+        .limit(10)
+    )
