@@ -1,0 +1,108 @@
+"""Scalable exact heavy hitters: Misra-Gries candidates + exact recount.
+
+The naive way to find items with frequency > phi*N is a full
+``groupBy(item).count()`` — one shuffle whose width is the item
+CARDINALITY, which at 100 TB (token streams, URL logs) can be billions of
+distinct keys, almost all of which are irrelevant cold tail. The classic
+two-phase alternative keeps the shuffle proportional to the number of
+*candidates* instead:
+
+1. **Candidate phase** (``mapInPandas``, no shuffle): each partition runs a
+   Misra-Gries summary with ``k`` counters. MG's merge guarantee [Misra &
+   Gries 1982; Agarwal et al., "Mergeable Summaries", PODS'12] is that any
+   item with global frequency > N/(k+1) appears in at least one partition's
+   summary output, because per-partition undercount is at most
+   n_p/(k+1) and the bounds are additive under merging. Choosing
+   ``k >= ceil(1/phi)`` therefore makes the union of per-partition outputs
+   a SUPERSET of the true heavy hitters. Output size is at most
+   ``k * num_partitions`` rows — tiny, independent of cardinality.
+2. **Recount phase** (one narrow shuffle): the candidate set (deduplicated,
+   broadcast) filters the stream; only candidate rows are counted exactly,
+   and the exact counts are filtered against the exact total ``N``
+   (computed as a broadcast scalar, not a driver action).
+
+The result is EXACT — MG's approximation error only ever enlarges the
+candidate set; the recount removes false positives and the superset
+guarantee means there are no false negatives.
+
+Reference parity: the reference's pipelines count token/key frequencies by
+full materialized dicts on one node (e.g. the index stage's per-shard count
+maps, /root/reference/index/index_tar.py); this operator is the
+distributed-exact form of the same question.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def misra_gries(values: Iterator, k: int) -> dict:
+    """Classic k-counter Misra-Gries summary of an iterable (pure Python,
+    unit-testable without Spark). Guarantees: every item with frequency
+    > n/(k+1) is present, and present counts undercount true frequency by
+    at most n/(k+1)."""
+    counters: dict = {}
+    for v in values:
+        if v in counters:
+            counters[v] += 1
+        elif len(counters) < k:
+            counters[v] = 1
+        else:
+            # decrement-all step; drop zeros
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return counters
+
+
+def heavy_hitters(
+    items: DataFrame,
+    col: str = "item",
+    phi: float = 0.01,
+    k: int | None = None,
+) -> DataFrame:
+    """Items occurring in more than ``phi`` fraction of ``items`` rows, with
+    their EXACT counts: columns ``(item, cnt)``.
+
+    ``k`` (Misra-Gries counters per partition) defaults to ``ceil(2/phi)``
+    — the guarantee only needs ``1/phi``; the factor 2 halves the
+    undercount so the candidate set stays close to the true answer and the
+    recount join stays small.
+    """
+    if k is None:
+        k = math.ceil(2.0 / phi)
+    if k < math.ceil(1.0 / phi):
+        raise ValueError(f"k={k} breaks the superset guarantee for phi={phi}")
+
+    src = items.select(F.col(col).cast("string").alias("item"))
+
+    out_schema = T.StructType([T.StructField("item", T.StringType())])
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # one MG summary across ALL batches of the partition (a per-batch
+        # summary would weaken the error bound to per-batch n)
+        counters = misra_gries(
+            (v for pdf in batches for v in pdf["item"].tolist()), k
+        )
+        yield pd.DataFrame({"item": sorted(counters)})
+
+    candidates = src.mapInPandas(_mg, schema=out_schema).distinct()
+    total = src.agg(F.count(F.lit(1)).alias("total"))
+    return (
+        src.join(F.broadcast(candidates), "item")
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt").cast("double") > F.col("total").cast("double") * phi)
+        .select("item", "cnt")
+    )

@@ -322,3 +322,36 @@ def q_unigram_logprob(spark, sf_dir):
             / (F.col("n_tokens").cast("double") * _FIXED_POINT)
         ).alias("xent_nats"),
     )
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+WITH t AS (SELECT unnest({_DUCK_TOKENS}) AS item FROM documents),
+c AS (SELECT item, COUNT(*) AS cnt FROM t GROUP BY item)
+SELECT item, cnt
+FROM c, (SELECT SUM(cnt) AS total FROM c)
+WHERE CAST(cnt AS DOUBLE) > CAST(total AS DOUBLE) * 0.01
+ORDER BY cnt DESC, item
+""",
+    tags=("text", "heavy-hitters", "sketch"),
+)
+def q_heavy_hitters(spark, sf_dir):
+    """EXACT corpus heavy hitters (tokens with > 1% frequency) via the
+    Misra-Gries candidate + recount operator (:mod:`operators.heavy`).
+
+    The oracle is the naive full groupBy — correct but cardinality-wide.
+    The Spark plan instead shuffles only MG candidates (<= k rows per
+    partition, independent of vocabulary size) plus the exact recount of
+    those candidates; at 100 TB with a billion-key vocabulary the naive
+    form shuffles every distinct token, this form shuffles the survivors.
+    Results are identical: MG with k >= 1/phi counters per partition is a
+    guaranteed superset of the true heavy hitters, and the recount is
+    exact."""
+    from video_data_pipeline_spark.operators.heavy import heavy_hitters
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.expr(_SPARK_TOKENS)).alias("item"))
+    return heavy_hitters(toks, col="item", phi=0.01).orderBy(
+        F.col("cnt").desc(), "item"
+    )

@@ -67,6 +67,7 @@ def load_all() -> dict[str, Query]:
         relational,
         relational2,
         relational3,
+        relational4,
         similarity,
         text,
         timeseries,

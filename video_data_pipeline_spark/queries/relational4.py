@@ -1,0 +1,218 @@
+"""Relational coverage, part 4: the remaining TPC-H plan shapes.
+
+The reduced test schema has no partsupp table and no l_shipmode /
+commit-date columns, so these analogs re-target the same PLAN SHAPES onto
+the columns that exist:
+
+- Q11 "important stock" -> ``q11_important_parts``: per-group aggregate
+  filtered against a GLOBAL scalar aggregate (broadcast scalar subquery).
+- Q12 "shipmode priority" -> ``q12_priority_lateness``: fact-fact join with
+  conditional (CASE) aggregation into parallel counters.
+- Q16 "parts/supplier relationship" -> ``q16_supplier_part_counts``:
+  COUNT(DISTINCT) grouping over a fact-derived relationship pair set.
+- Q20 "excess availability" -> ``q20_dominant_shippers``: two-level
+  aggregation (pair totals re-aggregated to group totals) joined back to
+  flag dominant contributors.
+
+Scale notes are per-query; every shape here avoids driver actions and
+keeps its shuffles keyed on uniform TPC-H keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.common import SQL_ONE, dec, one, sql_dec
+from video_data_pipeline_spark.queries.registry import query, table
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+WITH pv AS (
+  SELECT l_partkey,
+         SUM({sql_dec('l_extendedprice')} * ({SQL_ONE} - {sql_dec('l_discount')}))
+           AS value_dec
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+FROM pv, (SELECT SUM(value_dec) AS total_dec, COUNT(*) AS n_parts FROM pv)
+WHERE CAST(value_dec AS DOUBLE) * n_parts > CAST(total_dec AS DOUBLE) * 1.5
+ORDER BY part_value DESC, l_partkey LIMIT 100
+""",
+    tags=("agg", "tpch", "scalar-subquery"),
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11-style important parts: parts whose discounted revenue
+    exceeds 1.5x the mean per-part revenue. (Q11's fixed global fraction
+    returns the empty set as the part table grows — a mean-relative
+    threshold is the scale-invariant form of the same shape.)
+
+    Plan shape: ONE aggregation subtree (per-part decimal sums) reused for
+    both the rows and the global total — the total re-aggregates the
+    per-part result (tiny: |parts| rows), never rescans lineitem, and
+    reaches the filter as a broadcast 1-row cross join, Spark's scalar-
+    subquery shape. The threshold compare is division-free (value*n >
+    1.5*total) on exact-decimal-derived doubles — decimal AVG rounding
+    differs across engines, double multiply does not. 100 TB: one
+    uniform-key shuffle on l_partkey + a 1-row broadcast; the second agg
+    is proportional to distinct parts."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_extendedprice") * (one() - dec("l_discount"))).alias("value_dec")
+    )
+    total = per_part.agg(
+        F.sum("value_dec").alias("total_dec"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_dec").cast("double") * F.col("n_parts")
+            > F.col("total_dec").cast("double") * 1.5
+        )
+        .select("l_partkey", F.col("value_dec").cast("double").alias("part_value"))
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q12_priority_lateness",
+    oracle="""
+SELECT l.l_returnflag,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY l.l_returnflag
+""",
+    tags=("join", "tpch", "conditional-agg"),
+)
+def q12_priority_lateness(spark, sf_dir):
+    """TPC-H Q12-style: among LATE lines (shipped >60 days after the order
+    date — the reduced schema's lateness signal, as in q21), how many came
+    from high- vs low-priority orders, per return flag.
+
+    Plan shape: fact-fact equi-join on orderkey with the lateness predicate
+    as a join residual, then conditional aggregation — two CASE counters in
+    ONE pass, never two filtered sub-aggregations union'd. Both inputs
+    project to 2-3 columns before the join (ReadSchema stays narrow); the
+    3-group result makes the final agg a map-side-combine near-no-op."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_returnflag"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    oracle="""
+WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+FROM ps JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#1' AND p.p_type NOT LIKE 'PROMO%'
+  AND p.p_size IN (1, 5, 9, 15, 20, 25, 30, 35)
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+    tags=("join", "tpch", "count-distinct"),
+)
+def q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16-style supplier/part relationship counts. The schema has no
+    partsupp table, so the relationship set is derived from the fact table
+    (DISTINCT (l_partkey, l_suppkey)) — on real data that derived pair set
+    is exactly what partsupp materializes.
+
+    Plan shape: the DISTINCT and the part join both hash on l_partkey, so
+    the pair-set exchange is reusable into the join; the dimension filters
+    (brand/type/size) prune part BEFORE the join. COUNT(DISTINCT suppkey)
+    is Spark's expand-based two-phase distinct aggregate — no driver-side
+    set. part is scale-growing: no broadcast hint, AQE decides."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").startswith("PROMO")
+        & F.col("p_size").isin(1, 5, 9, 15, 20, 25, 30, 35)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ps = li.distinct()
+    return (
+        ps.join(p, ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_dominant_shippers",
+    oracle=f"""
+WITH sq AS (
+  SELECT l_partkey, l_suppkey, SUM({sql_dec('l_quantity')}) AS supp_qty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), pt AS (
+  SELECT l_partkey, SUM(supp_qty) AS part_qty, COUNT(*) AS n_supp
+  FROM sq GROUP BY l_partkey
+)
+SELECT s.s_suppkey, s.s_name, COUNT(*) AS dominated_parts
+FROM sq
+JOIN pt ON pt.l_partkey = sq.l_partkey
+JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+WHERE CAST(supp_qty AS DOUBLE) * n_supp > 4 * CAST(part_qty AS DOUBLE)
+GROUP BY s.s_suppkey, s.s_name
+ORDER BY dominated_parts DESC, s.s_suppkey LIMIT 20
+""",
+    tags=("agg", "tpch", "two-level-agg"),
+)
+def q20_dominant_shippers(spark, sf_dir):
+    """TPC-H Q20-style excess-share detection: suppliers who shipped more
+    than 4x their FAIR SHARE of some part's total shipped quantity, ranked
+    by how many parts they dominate (availqty doesn't exist in the reduced
+    schema; shipped-quantity share is the analogous dominance signal, and
+    the fair-share-relative threshold stays non-degenerate as the
+    supplier-per-part fan-in grows with scale). The compare is
+    division-free on exact-decimal-derived doubles.
+
+    Plan shape: two-LEVEL aggregation — exact decimal pair sums
+    (l_partkey, l_suppkey), re-aggregated per part, then a self-join of
+    the two levels on l_partkey. The pair agg's exchange hash-partitions
+    on (partkey, suppkey); the per-part re-agg and the join re-key on
+    partkey — the re-agg input is |distinct pairs|, not |lineitem|, so the
+    second shuffle is already reduced. Supplier names resolve last on the
+    tiny dominant set (AQE broadcast)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    sq = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("supp_qty")
+    )
+    pt = sq.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty"), F.count(F.lit(1)).alias("n_supp")
+    )
+    return (
+        sq.join(pt, "l_partkey")
+        .where(
+            F.col("supp_qty").cast("double") * F.col("n_supp")
+            > 4 * F.col("part_qty").cast("double")
+        )
+        .join(s, sq.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("dominated_parts"))
+        .orderBy(F.col("dominated_parts").desc(), "s_suppkey")
+        .limit(20)
+    )
