@@ -41,10 +41,15 @@ _DUCK_TOKENS = "string_split_regex(trim(text), ' +')"
 # Word bigrams from the token array. Spark's transform() lambda index is
 # 0-based (pair = toks[i+1], toks[i+2] in 1-based element_at terms); DuckDB's
 # list_transform index is 1-based (pair = l[i], l[i+1]).
-_SPARK_BIGRAMS = (
-    f"CASE WHEN size({_SPARK_TOKENS}) < 2 THEN array() "
-    f"ELSE transform(slice({_SPARK_TOKENS}, 1, size({_SPARK_TOKENS}) - 1), "
-    f"(w, i) -> concat(w, ' ', element_at({_SPARK_TOKENS}, i + 2))) END"
+# The Spark form operates on a pre-materialized `toks` COLUMN, never inline
+# `split(...)`: Catalyst does not CSE a split referenced inside a lambda, so
+# an inline form re-splits the document once per element — O(tokens^2) per
+# doc (the q_hash_tokenize lesson, queries/text.py:72-92; fixing it here cut
+# q_dsir_weights ~4.5s -> see test/bench notes).
+_SPARK_BIGRAMS_OVER_TOKS = (
+    "CASE WHEN size(toks) < 2 THEN array() "
+    "ELSE transform(slice(toks, 1, size(toks) - 1), "
+    "(w, i) -> concat(w, ' ', element_at(toks, i + 2))) END"
 )
 _DUCK_BIGRAMS = (
     f"CASE WHEN len({_DUCK_TOKENS}) < 2 THEN [] "
@@ -105,32 +110,50 @@ def _dsir_scored_full(spark, sf_dir):
     """Every document scored: (doc_id, n_bigrams, weight_micro) — the
     Spark twin of the ``scored_full`` oracle CTE. See q_dsir_weights.
 
-    The bucket statistics are derived FROM the (doc, bucket) counts, not
-    from a second pass over the exploded features: both consumers then
-    share one canonical ``Exchange hashpartitioning(doc_id, is_tgt,
-    bucket)`` subtree, which ReuseExchange computes once — the corpus is
-    exploded and md5-hashed a single time (a naive two-groupBy form keyed
-    differently re-hashed every bigram twice: 2.3x slower at sf0.1)."""
+    Aggregation topology, chosen by measurement: a (doc_id, bucket)
+    pre-aggregate is an anti-optimization here — real bigrams rarely
+    repeat a bucket within one document (≈6% reduction at sf0.1), so that
+    "combine" step is a full-width high-cardinality shuffle paid several
+    times over. Instead every consumer aggregates the exploded stream
+    straight to its OWN low-cardinality key, where map-side combine
+    actually bites:
+
+    - bucket stats: groupBy(bucket) — ≤1024 groups, shuffle is ~1024 rows
+      per task regardless of corpus size;
+    - per-doc scores: broadcast the 1024-row ratio table onto the stream,
+      groupBy(doc_id) — |docs| groups, tokens-per-doc-fold reduction;
+    - scalar totals: computed from `documents` WITHOUT exploding —
+      total bigrams per doc is just greatest(size(toks)-1, 0) — so the
+      1-row broadcast never re-derives the explode+md5 subtree.
+
+    Net: the corpus is exploded+md5-hashed twice (stats pass, scoring
+    pass) and every shuffle after partial aggregation is tiny. This
+    replaced the shared-pre-aggregate form (3 evaluations of a ~no-op
+    combine): ~4.5s -> ~1.3s at sf0.1."""
     d = table(spark, sf_dir, "documents")
-    feats = d.select(
+    toks = d.select(
         "doc_id",
         (F.col("lang") == "en").alias("is_tgt"),
-        F.explode(F.expr(_SPARK_BIGRAMS)).alias("bg"),
+        F.expr(_SPARK_TOKENS).alias("toks"),
+    )
+    feats = toks.select(
+        "doc_id",
+        "is_tgt",
+        F.explode(F.expr(_SPARK_BIGRAMS_OVER_TOKS)).alias("bg"),
     ).select(
         "doc_id",
         "is_tgt",
         (F.expr(SPARK_HASH.format(x="bg")) % _N_BUCKETS).alias("bucket"),
     )
-    # is_tgt is constant per doc_id; adding it to the key changes nothing
-    # about cardinality but lets the bucket rollup below reuse this exchange
-    doc_bucket_t = feats.groupBy("doc_id", "is_tgt", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    stats = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("r_cnt"),
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("t_cnt"),
     )
-    stats = doc_bucket_t.groupBy("bucket").agg(
-        F.sum("cnt").alias("r_cnt"),
-        F.sum(F.when(F.col("is_tgt"), F.col("cnt")).otherwise(0)).alias("t_cnt"),
+    n_bg = F.greatest(F.size("toks") - 1, F.lit(0)).cast("bigint")
+    tot = toks.agg(
+        F.sum(n_bg).alias("r_tot"),
+        F.sum(F.when(F.col("is_tgt"), n_bg).otherwise(0)).alias("t_tot"),
     )
-    tot = stats.agg(F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot"))
     lr = stats.join(F.broadcast(tot)).select(
         "bucket",
         F.round(
@@ -144,11 +167,11 @@ def _dsir_scored_full(spark, sf_dir):
         .alias("lr_micro"),
     )
     scored = (
-        doc_bucket_t.join(F.broadcast(lr), "bucket")
+        feats.join(F.broadcast(lr), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.sum("cnt").alias("n_bigrams"),
-            F.sum(F.col("cnt") * F.col("lr_micro")).alias("weight_micro"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("lr_micro").alias("weight_micro"),
         )
     )
     return (
