@@ -52,11 +52,17 @@ def interval_join(
     """
     if width <= 0:
         raise ValueError("width must be positive")
-    p = points.withColumn(
-        _BUCKET, F.floor(F.col(point_col).cast("bigint") / F.lit(width))
-    )
-    lo_b = F.floor(F.col(lo_col).cast("bigint") / F.lit(width))
-    hi_b = F.floor(F.col(hi_col).cast("bigint") / F.lit(width))
+
+    def bucket_of(col: str) -> Column:
+        # exact floor division in pure bigint arithmetic: double-based
+        # floor(a/b) silently loses ulps past 2^53, and `div` alone
+        # truncates toward zero for negative axes (pre-epoch timestamps,
+        # signed offsets); a - pmod(a, b) is the exact floor multiple.
+        return F.expr(f"(({col}) - pmod(({col}), {width})) div {width}")
+
+    p = points.withColumn(_BUCKET, bucket_of(point_col))
+    lo_b = bucket_of(lo_col)
+    hi_b = bucket_of(hi_col)
     guarded_hi = F.when(
         hi_b - lo_b <= F.lit(max_span), hi_b
     ).otherwise(

@@ -260,3 +260,67 @@ def q_daily_type_matrix(spark, sf_dir):
         cnt("error").alias("errors"),
         cnt("signup").alias("signups"),
     )
+
+
+_W6H_MS = 6 * 3600 * 1000
+_PAD_MS = 30 * 60 * 1000
+_HOT_K = 10
+
+
+@query(
+    "q_interval_join",
+    oracle=f"""
+WITH wc AS (
+  SELECT epoch_ms(ts) // {_W6H_MS} AS w, COUNT(*) AS cnt
+  FROM events GROUP BY 1
+),
+hot AS (
+  SELECT w, w * {_W6H_MS} - {_PAD_MS} AS lo,
+         (w + 1) * {_W6H_MS} + {_PAD_MS} - 1 AS hi
+  FROM wc ORDER BY cnt DESC, w LIMIT {_HOT_K}
+)
+SELECT h.w AS hot_window, COUNT(*) AS n_events,
+       COUNT(DISTINCT e.user_id) AS n_users
+FROM hot h JOIN events e ON epoch_ms(e.ts) BETWEEN h.lo AND h.hi
+GROUP BY h.w
+""",
+    tags=("timeseries", "range-join"),
+)
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval RANGE join with no equi key: every event matched
+    against the top-{K} busiest 6-hour windows, each padded by 30 minutes
+    on both sides (so intervals overlap and an event can land in two).
+
+    A bare ``ON ts BETWEEN lo AND hi`` join plans as
+    BroadcastNestedLoopJoin — per-row probing, the 100 TB cliff. The
+    :func:`operators.rangejoin.interval_join` form discretizes time into
+    interval-sized buckets, explodes each interval to the ~2 buckets it
+    overlaps, and equi-joins on the bucket id with BETWEEN as a residual —
+    a plain hash join that scales with |events| + |intervals|, no
+    per-row probing, no dedup needed (each matching pair meets in exactly
+    one bucket). The 10-interval build side is trivially broadcast here;
+    the same plan holds when intervals are millions (maintenance windows,
+    ad campaigns, flagged spans) where the nested loop would be O(n*m).
+    """
+    from video_data_pipeline_spark.operators.rangejoin import interval_join
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id", F.unix_millis("ts").alias("pt_ms")
+    )
+    wc = e.groupBy(F.expr(f"pt_ms div {_W6H_MS}").alias("w")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hot = (
+        wc.orderBy(F.col("cnt").desc(), "w")
+        .limit(_HOT_K)
+        .select(
+            "w",
+            (F.col("w") * _W6H_MS - _PAD_MS).alias("lo"),
+            ((F.col("w") + 1) * _W6H_MS + _PAD_MS - 1).alias("hi"),
+        )
+    )
+    joined = interval_join(e, hot, "pt_ms", "lo", "hi", width=_W6H_MS)
+    return joined.groupBy(F.col("w").alias("hot_window")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
