@@ -324,3 +324,143 @@ def q_interval_join(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+_WEEK_MS = 7 * 24 * 3600 * 1000
+
+
+@query(
+    "q_funnel",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events
+),
+staged AS (
+  SELECT user_id, event_type, ts_ms,
+         MIN(CASE WHEN event_type = 'view' THEN ts_ms END)
+           OVER (PARTITION BY user_id ORDER BY ts_ms
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fv
+  FROM e
+),
+staged2 AS (
+  SELECT user_id, event_type, ts_ms, fv,
+         MIN(CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                  THEN ts_ms END)
+           OVER (PARTITION BY user_id ORDER BY ts_ms
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS fqc
+  FROM staged
+)
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT CASE WHEN event_type = 'view'
+                           THEN user_id END) AS n_viewed,
+       COUNT(DISTINCT CASE WHEN event_type = 'click' AND fv IS NOT NULL
+                           THEN user_id END) AS n_clicked_after_view,
+       COUNT(DISTINCT CASE WHEN event_type = 'purchase' AND fqc IS NOT NULL
+                           THEN user_id END) AS n_purchased_after_click
+FROM staged2
+""",
+    tags=("timeseries", "funnel", "window"),
+)
+def q_funnel(spark, sf_dir):
+    """Strictly-ordered 3-stage funnel (view -> click -> purchase): how many
+    users progressed through each stage IN ORDER (a click only counts after
+    a view, a purchase only after a qualified click).
+
+    The scalable sequence-match shape: NO per-stage self-joins (the naive
+    funnel is k-1 joins over the event table) — one shuffle by user_id,
+    then two running-min window passes over the SAME (partition, order), so
+    Catalyst reuses the sort, then a single global conditional
+    count-distinct. Strict precedence uses a RANGE frame ending at
+    ``1 PRECEDING`` on epoch-ms, which is tie-safe: two events sharing a
+    millisecond never count as preceding each other (a ROWS frame would
+    order ties arbitrarily and diverge between engines)."""
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ts_ms")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ms")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    staged = e.withColumn(
+        "fv", F.min(F.when(F.col("event_type") == "view", F.col("ts_ms"))).over(w)
+    )
+    staged2 = staged.withColumn(
+        "fqc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & F.col("fv").isNotNull(),
+                F.col("ts_ms"),
+            )
+        ).over(w),
+    )
+    return staged2.agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count_distinct(
+            F.when(F.col("event_type") == "view", F.col("user_id"))
+        ).alias("n_viewed"),
+        F.count_distinct(
+            F.when(
+                (F.col("event_type") == "click") & F.col("fv").isNotNull(),
+                F.col("user_id"),
+            )
+        ).alias("n_clicked_after_view"),
+        F.count_distinct(
+            F.when(
+                (F.col("event_type") == "purchase") & F.col("fqc").isNotNull(),
+                F.col("user_id"),
+            )
+        ).alias("n_purchased_after_click"),
+    )
+
+
+@query(
+    "q_retention",
+    oracle=f"""
+WITH uw AS (
+  SELECT DISTINCT user_id, epoch_ms(ts) // {_WEEK_MS} AS wk FROM events
+),
+act AS (SELECT wk, COUNT(*) AS n_active FROM uw GROUP BY wk),
+ret AS (
+  SELECT a.wk, COUNT(*) AS n_retained
+  FROM uw a JOIN uw b ON b.user_id = a.user_id AND b.wk = a.wk + 1
+  GROUP BY a.wk
+)
+SELECT act.wk, act.n_active,
+       CAST(COALESCE(ret.n_retained, 0) AS BIGINT) AS n_retained,
+       CAST(COALESCE(ret.n_retained, 0) AS DOUBLE)
+         / CAST(act.n_active AS DOUBLE) AS retention
+FROM act LEFT JOIN ret ON ret.wk = act.wk
+""",
+    tags=("timeseries", "cohort", "self-join"),
+)
+def q_retention(spark, sf_dir):
+    """Week-over-week cohort retention: of the users active in week w, how
+    many were also active in week w+1.
+
+    Plan shape: one DISTINCT projection of (user, week) — the only pass
+    over raw events — then a self equi-join of that reduced set on
+    (user_id, shifted week) and two tiny per-week aggregations. The
+    |users x weeks| intermediate is orders of magnitude smaller than the
+    event stream, so the self-join never touches raw data; the ratio is
+    one deterministic double division."""
+    e = table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.expr(f"unix_millis(ts) div {_WEEK_MS}").alias("wk")
+    ).distinct()
+    act = uw.groupBy("wk").agg(F.count(F.lit(1)).alias("n_active"))
+    nxt = uw.select("user_id", (F.col("wk") - 1).alias("wk"))
+    ret = (
+        uw.join(nxt, ["user_id", "wk"])
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return act.join(ret, "wk", "left").select(
+        "wk",
+        "n_active",
+        F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+        (
+            F.coalesce("n_retained", F.lit(0)).cast("double")
+            / F.col("n_active").cast("double")
+        ).alias("retention"),
+    )
