@@ -26,6 +26,7 @@ HEADLINE = [
     "q10_returned_revenue",
     "q18_large_orders",
     "q04_priority_count",
+    "q11_important_parts",
     "q_topk_per_group",
     "q_running_revenue",
     # dedup family
@@ -53,6 +54,9 @@ HEADLINE = [
     "q_sessionize",
     "q_window_tumbling",
     "q_asof_join",
+    "q_interval_join",
+    "q_funnel",
+    "q_retention",
     # curation (round 5+: splits + exact-substring spans + scoring)
     "q_stable_split",
     "q_duplicate_ngrams",
@@ -60,6 +64,7 @@ HEADLINE = [
     "q_unigram_logprob",
     "q_dedup_incremental",
     "q_zorder_span",
+    "q_heavy_hitters",
 ]
 
 

@@ -213,3 +213,43 @@ def test_streaming_dedup_restart_recovery(spark, tmp_path):
     novel = second[~second["fingerprint"].isin(first["fingerprint"])]
     assert list(novel["fingerprint"]) == ["c"]
     assert int(novel["n_new"].iloc[0]) == 2
+
+
+def test_stream_interval_assign_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static bucketed range join: streaming assignment of events to
+    static hot windows equals the batch interval_join aggregate."""
+    from video_data_pipeline_spark.operators.rangejoin import interval_join
+    from video_data_pipeline_spark.queries.registry import table
+    from video_data_pipeline_spark.streaming.jobs import stream_interval_assign
+
+    width = 6 * 3600 * 1000
+    e = table(spark, sf_dir, "events").select(F.unix_millis("ts").alias("pt_ms"))
+    intervals = (
+        e.groupBy(F.expr(f"pt_ms div {width}").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(5)
+        .select(
+            "w",
+            (F.col("w") * width - 1800000).alias("lo"),
+            ((F.col("w") + 1) * width + 1799999).alias("hi"),
+        )
+    )
+    intervals.persist().count()  # static side: materialize once
+    stream = read_events_stream(spark, sf_dir)
+    out = run_to_completion(
+        stream_interval_assign(stream, intervals, width),
+        "interval_assign",
+        str(tmp_path / "ck_ivj"),
+    ).toPandas()
+    batch = (
+        interval_join(e, intervals, "pt_ms", "lo", "hi", width=width)
+        .groupBy(F.col("w").alias("hot_window"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .toPandas()
+    )
+    intervals.unpersist()
+    a = out.sort_values("hot_window").reset_index(drop=True)
+    b = batch.sort_values("hot_window").reset_index(drop=True)
+    assert (a["hot_window"].values == b["hot_window"].values).all()
+    assert (a["n_events"].values == b["n_events"].values).all()

@@ -207,3 +207,28 @@ def stream_sliding_counts(
             "n_events",
         )
     )
+
+
+def stream_interval_assign(
+    events: DataFrame,
+    intervals: DataFrame,
+    width: int,
+) -> DataFrame:
+    """Stream-static RANGE join: assign each incoming event to every
+    interval of a static table containing it (maintenance windows, flagged
+    spans, campaign windows), then count per interval.
+
+    Uses the same bucketed :func:`operators.rangejoin.interval_join` as the
+    batch query — the interval side is static so its bucket explosion is
+    planned once, and the stream side only adds a per-row bucket id before
+    a plain stream-static equi-join (fully stateless: no watermark or join
+    state needed, unlike stream-stream). Counting per interval is a
+    streaming aggregation; drive it in ``complete`` mode (or add a
+    watermark upstream for append sinks)."""
+    from video_data_pipeline_spark.operators.rangejoin import interval_join
+
+    pts = events.select(F.unix_millis("ts").alias("pt_ms"))
+    joined = interval_join(pts, intervals, "pt_ms", "lo", "hi", width=width)
+    return joined.groupBy(F.col("w").alias("hot_window")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
