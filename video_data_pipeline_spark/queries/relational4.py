@@ -21,6 +21,7 @@ keeps its shuffles keyed on uniform TPC-H keys.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from video_data_pipeline_spark.queries.common import SQL_ONE, dec, one, sql_dec
 from video_data_pipeline_spark.queries.registry import query, table
@@ -215,4 +216,51 @@ def q20_dominant_shippers(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("dominated_parts"))
         .orderBy(F.col("dominated_parts").desc(), "s_suppkey")
         .limit(20)
+    )
+
+
+@query(
+    "q_grouped_quantiles",
+    oracle="""
+WITH ranked AS (
+  SELECT p_brand, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice, p_partkey) AS rn,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n
+  FROM part
+)
+SELECT p_brand, pct, p_retailprice AS price
+FROM ranked, (SELECT unnest([25, 50, 75]) AS pct)
+WHERE rn = (pct * n + 99) // 100
+""",
+    tags=("window", "orderstat", "quantile"),
+)
+def q_grouped_quantiles(spark, sf_dir):
+    """Exact p25/p50/p75 retail price per brand in ONE ranking pass.
+
+    Order-statistic SELECTION (row at rank ceil(q*n)) instead of
+    interpolating percentiles: interpolation arithmetic differs across
+    engines, element selection cannot. The rank comparison is pure integer
+    math — ``(pct*n + 99) div 100`` is ceil without touching doubles. One
+    shuffle on p_brand (the window), then a 3-row explode and a codegen'd
+    filter; nothing global. The discrete-median query (q_median_price) is
+    the k=1 special case; this is the general multi-quantile form."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    ranked = p.select(
+        "p_brand",
+        "p_retailprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("p_brand")).alias("n"),
+    )
+    return (
+        ranked.select(
+            "p_brand",
+            "p_retailprice",
+            "rn",
+            "n",
+            F.explode(F.array(F.lit(25), F.lit(50), F.lit(75))).alias("pct"),
+        )
+        .where(F.col("rn") == F.expr("(pct * n + 99) div 100"))
+        .select("p_brand", "pct", F.col("p_retailprice").alias("price"))
     )
