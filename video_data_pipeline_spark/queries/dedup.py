@@ -643,3 +643,42 @@ def q_dedup_incremental(spark, sf_dir):
             F.countDistinct("old_id").alias("n_candidates"),
         )
     )
+
+
+@query(
+    "q_dedup_triangles",
+    oracle=f"""
+WITH pairs AS ({_duck_lsh_pairs_sql()}),
+tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT (SELECT COUNT(*) FROM tri) AS n_triangles,
+       (SELECT COUNT(*) FROM pairs) AS n_edges
+""",
+    tags=("dedup", "graph", "triangles"),
+)
+def q_dedup_triangles(spark, sf_dir):
+    """Triangle count over the MinHash-LSH near-dup pair graph — the
+    cluster-cohesion signal (triangle-dense neighborhoods are true
+    duplicate clusters; triangle-free stars are often hash collisions
+    worth re-verifying before transitive merging).
+
+    Canonical wedge-close shape: edges are already ordered (doc_a < doc_b,
+    distinct), so joining e1(a,b) x e2(b,c) builds each wedge a<b<c once
+    and the closure probe e3(a,c) counts each triangle exactly once —
+    never 6x-and-divide. Both joins are equi-joins on doc ids. At 100 TB
+    the edge list would be materialized once (checkpoint) before the
+    3-way self-reference, and vertices re-ordered by DEGREE instead of id
+    (wedges then bound by arboricity, Ortmann-style) — id order keeps the
+    oracle bit-exact here and the join shape identical."""
+    pairs = lsh_pairs_from_bands(minhash_bands(table(spark, sf_dir, "documents")))
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_tri.crossJoin(F.broadcast(n_edges))
