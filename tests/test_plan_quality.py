@@ -285,3 +285,60 @@ def test_broadcast_policy_is_two_tier(spark):
     )
     assert static == 16 * 1024 * 1024, static
     assert adaptive == 64 * 1024 * 1024, adaptive
+
+
+def test_q_funnel_single_user_exchange_no_self_join(spark, sf_dir):
+    """The funnel must stay a window pipeline: one hash exchange on user_id
+    shared by both stage passes (same partition+order -> one sort), and NO
+    joins — the naive k-stage funnel is k-1 self-joins of the event table."""
+    plan = plan_of(spark, sf_dir, "q_funnel")
+    assert "Join" not in plan, "funnel acquired a self-join"
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) >= 1
+    # both window passes + final agg: user_id is exchanged exactly once
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan
+
+
+def test_q_retention_self_join_on_reduced_set(spark, sf_dir):
+    """Retention self-joins the DISTINCT (user, week) projection, never raw
+    events: the join inputs must both be aggregates."""
+    plan = plan_of(spark, sf_dir, "q_retention")
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,80}user_id", plan), (
+        "retention self-join lost its (user_id, wk) equi keys"
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # every scan of raw events must feed the DISTINCT (user, wk) aggregate
+    # before anything joins: the (user_id, wk)-keyed exchange count equals
+    # the scan count (3 — Catalyst re-derives the projection per consumer
+    # rather than reusing the exchange; each is scan→distinct, never a join
+    # of raw rows)
+    scans = plan.count("Scan parquet")
+    assert scans == len(re.findall(r"hashpartitioning\(user_id#\d+L, wk", plan)), plan
+
+
+def test_q_heavy_hitters_candidates_broadcast_not_full_groupby(spark, sf_dir):
+    """The exact recount joins a BROADCAST candidate set onto the stream;
+    the Misra-Gries phase is mapInPandas (no shuffle before it). A plan
+    whose only aggregation is a full-vocabulary groupBy has silently
+    regressed to the naive form."""
+    plan = plan_of(spark, sf_dir, "q_heavy_hitters")
+    assert "BroadcastHashJoin" in plan, "candidate set no longer broadcast"
+    assert "MapInPandas" in plan, "Misra-Gries candidate phase missing"
+
+
+def test_q_interval_join_is_bucketed_equi_join(spark, sf_dir):
+    """The range join must stay a bucket-keyed equi-join with the BETWEEN
+    as residual — BroadcastNestedLoopJoin is the 100 TB cliff it exists
+    to avoid."""
+    plan = plan_of(spark, sf_dir, "q_interval_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+def test_q16_distinct_and_join_share_partkey_exchange(spark, sf_dir):
+    """Q16's pair-set DISTINCT hashes on (l_partkey, l_suppkey); the part
+    join re-keys on l_partkey. Both exchanges must carry the REDUCED pair
+    set, not raw lineitem rows twice."""
+    plan = plan_of(spark, sf_dir, "q16_supplier_part_counts")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"Scan parquet", plan)) == 2  # lineitem + part once each
