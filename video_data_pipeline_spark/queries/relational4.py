@@ -264,3 +264,82 @@ def q_grouped_quantiles(spark, sf_dir):
         .where(F.col("rn") == F.expr("(pct * n + 99) div 100"))
         .select("p_brand", "pct", F.col("p_retailprice").alias("price"))
     )
+
+
+_SCD2_T0 = "1990-01-01 00:00:00"
+_SCD2_CHANGE_TS = "1998-01-01 00:00:00"
+
+
+@query(
+    "q_scd2_lookup",
+    oracle=f"""
+WITH changed AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+  FROM customer WHERE c_custkey % 7 = 0
+),
+versions AS (
+  SELECT c.c_custkey, c.c_acctbal AS bal,
+         TIMESTAMP '{_SCD2_T0}' AS valid_from,
+         CASE WHEN ch.c_custkey IS NOT NULL
+              THEN TIMESTAMP '{_SCD2_CHANGE_TS}' END AS valid_to,
+         ch.c_custkey IS NULL AS is_current
+  FROM customer c LEFT JOIN changed ch ON ch.c_custkey = c.c_custkey
+  UNION ALL
+  SELECT c_custkey, new_bal, TIMESTAMP '{_SCD2_CHANGE_TS}', NULL, TRUE
+  FROM changed
+)
+SELECT v.is_current AS matched_current_version,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN versions v
+  ON v.c_custkey = o.o_custkey
+ AND v.valid_from <= o.o_orderdate
+ AND (v.valid_to IS NULL OR o.o_orderdate < v.valid_to)
+GROUP BY v.is_current
+""",
+    tags=("join", "scd2", "temporal"),
+)
+def q_scd2_lookup(spark, sf_dir):
+    """Point-in-time lookup against an SCD2 dimension: each order joins the
+    customer VERSION that was valid on its order date (not today's row).
+
+    The dimension history is built by :func:`operators.merge.scd2_apply`
+    (a deterministic synthetic change set: every 7th customer's balance
+    bumped at 1998-01-01); the oracle hand-writes the same version table in SQL,
+    so this row doubles as the operator's correctness gate. The temporal
+    probe is an equi-join on the surrogate key with the validity window as
+    a RESIDUAL predicate — per-key version counts are small (2 here, a few
+    dozen in real dimensions), so no interval bucketing is needed; the
+    bucketed :func:`operators.rangejoin.interval_join` is the fallback
+    when a "dimension" is keyless windows. One shuffle keyed on custkey;
+    versions are dim-sized, AQE broadcasts them."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    from video_data_pipeline_spark.operators.merge import scd2_apply
+
+    dim = c.select(
+        "c_custkey",
+        F.col("c_acctbal").alias("bal"),
+        F.lit(_SCD2_T0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    changes = c.where(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", (F.col("c_acctbal") + 100.0).alias("bal")
+    )
+    versions = scd2_apply(
+        dim, changes, on="c_custkey", change_ts=_SCD2_CHANGE_TS, tracked_cols=["bal"]
+    )
+    probe = o.join(
+        versions,
+        (F.col("c_custkey") == F.col("o_custkey"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return probe.groupBy(
+        F.col("is_current").alias("matched_current_version")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+    )
