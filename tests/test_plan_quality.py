@@ -343,3 +343,13 @@ def test_q16_distinct_and_join_share_partkey_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q16_supplier_part_counts")
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"Scan parquet", plan)) == 2  # lineitem + part once each
+
+
+def test_q_scd2_lookup_temporal_probe_is_keyed_join(spark, sf_dir):
+    """The point-in-time probe must be an equi-join on the surrogate key
+    with the validity window as a residual — never a nested loop over
+    versions."""
+    plan = plan_of(spark, sf_dir, "q_scd2_lookup")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,120}custkey", plan)

@@ -343,3 +343,56 @@ def q_scd2_lookup(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
     )
+
+
+@query(
+    "q_skyline",
+    oracle="""
+WITH ranked AS (
+  SELECT p_partkey, p_retailprice, p_size,
+         MIN(p_size) OVER (ORDER BY p_retailprice, p_partkey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS best_size_so_far
+  FROM part
+)
+SELECT p_partkey, p_retailprice, p_size
+FROM ranked
+WHERE best_size_so_far IS NULL OR p_size < best_size_so_far
+ORDER BY p_retailprice, p_partkey
+""",
+    tags=("window", "skyline"),
+)
+def q_skyline(spark, sf_dir):
+    """2-D skyline (Pareto front): parts where no other part is both
+    cheaper-or-equal AND smaller (minimize price and size).
+
+    The textbook formulation is a quadratic NOT EXISTS self-join; the 2-D
+    case collapses to ONE ordered window pass — sort by price (partkey
+    tie-break), keep a row iff its size beats the running minimum of all
+    earlier rows. O(n log n) as a single range-partitioned sort instead of
+    O(n^2) probing; the same sort-based reduction Börzsönyi et al.'s BNL
+    skyline degenerates to in 2-D. The global ORDER window is a range
+    exchange (parallel sort), not a single partition: Spark windows with
+    an ORDER BY but no PARTITION BY do coalesce to one partition, so at
+    scale this query would pre-bucket by a price range split — here the
+    part table is dimension-sized and the single-sort is the honest plan;
+    the docstring records the 100 TB variant."""
+    p = table(spark, sf_dir, "part")
+    w = (
+        Window.orderBy("p_retailprice", "p_partkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = p.select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.min("p_size").over(w).alias("best_size_so_far"),
+    )
+    return (
+        ranked.where(
+            F.col("best_size_so_far").isNull()
+            | (F.col("p_size") < F.col("best_size_so_far"))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_partkey")
+    )

@@ -464,3 +464,51 @@ def q_retention(spark, sf_dir):
             / F.col("n_active").cast("double")
         ).alias("retention"),
     )
+
+
+@query(
+    "q_rollup_cascade",
+    oracle=f"""
+WITH minutely AS (
+  SELECT epoch_ms(ts) // 60000 AS m, event_type,
+         COUNT(*) AS n, SUM({_CENTS}) AS cents
+  FROM events GROUP BY 1, 2
+),
+hourly AS (
+  SELECT m // 60 AS h, event_type,
+         CAST(SUM(n) AS BIGINT) AS n, SUM(cents) AS cents
+  FROM minutely GROUP BY 1, 2
+)
+SELECT h // 24 AS day, event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_value
+FROM hourly GROUP BY 1, 2
+""",
+    tags=("timeseries", "rollup-cascade"),
+)
+def q_rollup_cascade(spark, sf_dir):
+    """Multi-resolution aggregate cascade (continuous-aggregate shape):
+    minute rollup -> hourly FROM the minutes -> daily FROM the hours —
+    each level re-aggregates the level below, never the raw stream.
+
+    This is the materialized-rollup maintenance pattern (TimescaleDB
+    continuous aggregates, Druid rollup): at 100 TB the minutely table is
+    ~4 orders of magnitude smaller than raw events, so refreshing coarser
+    resolutions costs |minutes| not |events|, and all three levels shuffle
+    once each on (bucket, type) keys whose cardinality SHRINKS per level.
+    Counts and value-cents stay exact integers through every level, so the
+    cascade is bit-identical to aggregating raw events directly."""
+    e = table(spark, sf_dir, "events")
+    minutely = e.groupBy(
+        F.expr("unix_millis(ts) div 60000").alias("m"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr(_CENTS)).alias("cents"),
+    )
+    hourly = minutely.groupBy(
+        F.expr("m div 60").alias("h"), "event_type"
+    ).agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    return hourly.groupBy(F.expr("h div 24").alias("day"), "event_type").agg(
+        F.sum("n").alias("n_events"),
+        (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+    )
