@@ -21,6 +21,7 @@ and DuckDB oracle can't drift.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from video_data_pipeline_spark.queries.registry import query, table
 
@@ -144,12 +145,12 @@ def _spark_signatures(spark, sf_dir):
     return signatures(table(spark, sf_dir, "documents"))
 
 
-def _duck_signatures_sql() -> str:
+def _duck_signatures_sql(src: str = "documents") -> str:
     mh = ", ".join(
         f"{_minhash_from_base('duck', 'hs', j)} AS mh{j}" for j in range(_N_HASHES)
     )
     return (
-        f"WITH base AS (SELECT doc_id, {_DUCK_BASE} AS hs FROM documents "
+        f"WITH base AS (SELECT doc_id, {_DUCK_BASE} AS hs FROM {src} "
         f"WHERE len({_DUCK_WORDS}) >= 3) SELECT doc_id, {mh} FROM base"
     )
 
@@ -161,8 +162,8 @@ def q_minhash_signatures(spark, sf_dir):
     return _spark_signatures(spark, sf_dir)
 
 
-def _duck_lsh_pairs_sql() -> str:
-    sig = _duck_signatures_sql()
+def _duck_lsh_pairs_sql(src: str = "documents") -> str:
+    sig = _duck_signatures_sql(src)
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band_idx, "
         f"md5(CAST(mh{_BAND_ROWS * b} AS VARCHAR) || ',' || CAST(mh{_BAND_ROWS * b + 1} AS VARCHAR)) AS band_key "
@@ -648,7 +649,14 @@ def q_dedup_incremental(spark, sf_dir):
 @query(
     "q_dedup_triangles",
     oracle=f"""
-WITH pairs AS ({_duck_lsh_pairs_sql()}),
+WITH reps AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(lower(trim(text)))
+                              ORDER BY doc_id) AS rn
+    FROM documents) WHERE rn = 1
+),
+pairs AS ({_duck_lsh_pairs_sql("reps")}),
 tri AS (
   SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
   FROM pairs e1
@@ -661,10 +669,19 @@ SELECT (SELECT COUNT(*) FROM tri) AS n_triangles,
     tags=("dedup", "graph", "triangles"),
 )
 def q_dedup_triangles(spark, sf_dir):
-    """Triangle count over the MinHash-LSH near-dup pair graph — the
-    cluster-cohesion signal (triangle-dense neighborhoods are true
-    duplicate clusters; triangle-free stars are often hash collisions
-    worth re-verifying before transitive merging).
+    """Triangle count over the MinHash-LSH near-dup pair graph of
+    DISTINCT-content representatives — the cluster-cohesion signal
+    (triangle-dense neighborhoods are true duplicate clusters;
+    triangle-free stars are often hash collisions worth re-verifying
+    before transitive merging).
+
+    Exact duplicates are collapsed FIRST (min-doc_id representative per
+    content fingerprint): byte-identical copies form complete LSH cliques,
+    and a clique of c copies contributes ~c^3 wedges to the count for zero
+    information — at replication-heavy scale that cubic blowup is the
+    difference between seconds and hours (measured: the uncollapsed form
+    wedged a 10x replicated corpus into billions of rows). After
+    collapsing, graph size tracks DISTINCT content only.
 
     Canonical wedge-close shape: edges are already ordered (doc_a < doc_b,
     distinct), so joining e1(a,b) x e2(b,c) builds each wedge a<b<c once
@@ -674,7 +691,14 @@ def q_dedup_triangles(spark, sf_dir):
     3-way self-reference, and vertices re-ordered by DEGREE instead of id
     (wedges then bound by arboricity, Ortmann-style) — id order keeps the
     oracle bit-exact here and the join shape identical."""
-    pairs = lsh_pairs_from_bands(minhash_bands(table(spark, sf_dir, "documents")))
+    d = table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    reps = (
+        d.select("doc_id", "text", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    pairs = lsh_pairs_from_bands(minhash_bands(reps))
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
