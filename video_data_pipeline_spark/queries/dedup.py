@@ -683,14 +683,13 @@ def q_dedup_triangles(spark, sf_dir):
     wedged a 10x replicated corpus into billions of rows). After
     collapsing, graph size tracks DISTINCT content only.
 
-    Canonical wedge-close shape: edges are already ordered (doc_a < doc_b,
-    distinct), so joining e1(a,b) x e2(b,c) builds each wedge a<b<c once
-    and the closure probe e3(a,c) counts each triangle exactly once —
-    never 6x-and-divide. Both joins are equi-joins on doc ids. At 100 TB
-    the edge list would be materialized once (checkpoint) before the
-    3-way self-reference, and vertices re-ordered by DEGREE instead of id
-    (wedges then bound by arboricity, Ortmann-style) — id order keeps the
-    oracle bit-exact here and the join shape identical."""
+    Counting runs through :func:`operators.graph.count_triangles` with
+    DEGREE ordering (Ortmann/Chiba-Nishizeki): every edge re-orients from
+    its (degree, id)-smaller endpoint, bounding wedge work by O(|E|^1.5)
+    instead of hub-degree-squared, and each triangle still closes exactly
+    once — the count is orientation-invariant, so the SQL oracle (id-
+    ordered wedge-close) stays bit-exact. At 100 TB the edge list would
+    additionally be checkpointed once before the 3-way self-reference."""
     d = table(spark, sf_dir, "documents")
     w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
     reps = (
@@ -698,11 +697,9 @@ def q_dedup_triangles(spark, sf_dir):
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+    from video_data_pipeline_spark.operators.graph import count_triangles
+
     pairs = lsh_pairs_from_bands(minhash_bands(reps))
-    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = pairs.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
-    e3 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    n_tri = tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    n_tri = count_triangles(pairs, a="doc_a", b="doc_b", degree_order=True)
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_tri.crossJoin(F.broadcast(n_edges))
