@@ -113,3 +113,40 @@ def test_heavy_hitters_rejects_guarantee_breaking_k():
         # k below 1/phi voids the superset guarantee (checked before any
         # DataFrame work, so no session is needed)
         heavy_hitters(None, col="item", phi=0.01, k=10)  # needs >= 100
+
+
+def test_heavy_hitters_by_group_exact_on_skewed_groups(spark):
+    """Grouped variant: exact per-group answer on a heavily skewed group
+    mix (one group 20x the other), including group-local heavy hitters
+    that are globally rare."""
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.operators.heavy import heavy_hitters_by_group
+
+    big = spark.range(0, 20000, numPartitions=8).select(
+        F.lit("en").alias("g"),
+        F.when(F.col("id") % 5 == 0, F.lit("en_hot"))
+        .otherwise(F.concat(F.lit("t"), (F.col("id") % 4000).cast("string")))
+        .alias("item"),
+    )
+    small = spark.range(0, 1000, numPartitions=8).select(
+        F.lit("zh").alias("g"),
+        F.when(F.col("id") % 3 == 0, F.lit("zh_hot"))
+        .otherwise(F.concat(F.lit("z"), (F.col("id") % 500).cast("string")))
+        .alias("item"),
+    )
+    df = big.unionAll(small)
+    phi = 0.1
+    got = {
+        (r["g"], r["item"]): (r["cnt"], r["group_n"])
+        for r in heavy_hitters_by_group(df, "g", "item", phi=phi).collect()
+    }
+    exact = {}
+    totals = {r["g"]: r["n"] for r in df.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for r in df.groupBy("g", "item").agg(F.count(F.lit(1)).alias("cnt")).collect():
+        if r["cnt"] > totals[r["g"]] * phi:
+            exact[(r["g"], r["item"])] = (r["cnt"], totals[r["g"]])
+    assert got == exact
+    # zh_hot is ~1.6% of the GLOBAL stream but 33% of zh — a global-phi
+    # detector would have missed it
+    assert ("zh", "zh_hot") in got

@@ -106,3 +106,78 @@ def heavy_hitters(
         .where(F.col("cnt").cast("double") > F.col("total").cast("double") * phi)
         .select("item", "cnt")
     )
+
+
+def heavy_hitters_by_group(
+    items: DataFrame,
+    group_col: str,
+    col: str = "item",
+    phi: float = 0.01,
+    k: int | None = None,
+) -> DataFrame:
+    """Per-GROUP exact heavy hitters: items exceeding ``phi`` of their own
+    group's row count, with exact counts — ``(group, item, cnt, group_n)``.
+
+    Same two-phase scheme as :func:`heavy_hitters`, but the candidate
+    phase keeps one Misra-Gries summary PER (partition, group): the MG
+    bound applies per group (undercount ≤ n_pg/(k+1), additive over
+    partitions), so with ``k >= 1/phi`` the union is a superset of every
+    group's heavy hitters. No shuffle is needed to form candidates — the
+    stream is NOT re-partitioned by group, which is the point: a skewed
+    group column (one giant language, say) would make a groupBy-first
+    approach a straggler. Candidate memory is O(groups_per_partition * k);
+    suitable for dimension-cardinality groups (languages, event types),
+    not for per-user groups — those want the plain groupBy, which is
+    already keyed fine.
+
+    Recount joins broadcast candidates on (group, item) and compares
+    against per-group exact totals (an aggregate join, not a driver
+    action)."""
+    if k is None:
+        k = math.ceil(2.0 / phi)
+    if k < math.ceil(1.0 / phi):
+        raise ValueError(f"k={k} breaks the superset guarantee for phi={phi}")
+
+    src = items.select(
+        F.col(group_col).cast("string").alias("grp"),
+        F.col(col).cast("string").alias("item"),
+    )
+    out_schema = T.StructType(
+        [T.StructField("grp", T.StringType()), T.StructField("item", T.StringType())]
+    )
+
+    def _mg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        summaries: dict[str, dict] = {}
+        for pdf in batches:
+            for g, v in zip(pdf["grp"].tolist(), pdf["item"].tolist()):
+                counters = summaries.get(g)
+                if counters is None:
+                    counters = summaries[g] = {}
+                if v in counters:
+                    counters[v] += 1
+                elif len(counters) < k:
+                    counters[v] = 1
+                else:
+                    dead = []
+                    for key_ in counters:
+                        counters[key_] -= 1
+                        if counters[key_] == 0:
+                            dead.append(key_)
+                    for key_ in dead:
+                        del counters[key_]
+        rows = [(g, it) for g, counters in summaries.items() for it in counters]
+        rows.sort()
+        yield pd.DataFrame(rows, columns=["grp", "item"])
+
+    candidates = src.mapInPandas(_mg, schema=out_schema).distinct()
+    group_n = src.groupBy("grp").agg(F.count(F.lit(1)).alias("group_n"))
+    return (
+        src.join(F.broadcast(candidates), ["grp", "item"])
+        .groupBy("grp", "item")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(F.broadcast(group_n), "grp")
+        .where(F.col("cnt").cast("double") > F.col("group_n").cast("double") * phi)
+        .select(
+            F.col("grp").alias(group_col), F.col("item").alias(col), "cnt", "group_n"
+        )
+    )

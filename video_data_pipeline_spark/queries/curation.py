@@ -378,3 +378,39 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(toks, col="item", phi=0.01).orderBy(
         F.col("cnt").desc(), "item"
     )
+
+
+@query(
+    "q_heavy_hitters_by_lang",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, unnest({_DUCK_TOKENS}) AS item FROM documents
+),
+c AS (SELECT lang, item, COUNT(*) AS cnt FROM t GROUP BY lang, item),
+g AS (SELECT lang, CAST(SUM(cnt) AS BIGINT) AS group_n FROM c GROUP BY lang)
+SELECT c.lang, c.item, c.cnt, g.group_n
+FROM c JOIN g ON g.lang = c.lang
+WHERE CAST(c.cnt AS DOUBLE) > CAST(g.group_n AS DOUBLE) * 0.02
+ORDER BY c.lang, c.cnt DESC, c.item
+""",
+    tags=("text", "heavy-hitters", "per-group"),
+)
+def q_heavy_hitters_by_lang(spark, sf_dir):
+    """Per-LANGUAGE exact heavy hitters (tokens above 2% of their own
+    language's token count) via the grouped Misra-Gries operator.
+
+    Unlike the global q_heavy_hitters, the candidate phase here keeps one
+    MG summary per (partition, language) WITHOUT re-partitioning by
+    language — a skewed language mix (one dominant language is the norm
+    in web corpora) would make a groupBy-first pass a straggler, while
+    per-partition summaries stay balanced no matter the mix. Exactness
+    argument is per group: undercount ≤ n_(partition,lang)/(k+1), additive
+    across partitions, so k ≥ 1/φ keeps every language's true heavy
+    hitters in the candidate set; the recount is exact."""
+    from video_data_pipeline_spark.operators.heavy import heavy_hitters_by_group
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.expr(_SPARK_TOKENS)).alias("item"))
+    return heavy_hitters_by_group(
+        toks, group_col="lang", col="item", phi=0.02
+    ).orderBy("lang", F.col("cnt").desc(), "item")
