@@ -1,0 +1,159 @@
+"""Statistical aggregates with engine-portable determinism.
+
+Spark's ``corr``/``covar_samp``/``regr_slope`` and DuckDB's equivalents use
+different accumulation algorithms (pairwise/Welford updates in different
+orders), so their float outputs differ in the last ulps — unusable against
+a bit-exact oracle. The portable form is the textbook sufficient-statistics
+decomposition: accumulate n, Σx, Σy, Σxy, Σx², Σy² as EXACT integers
+(cents / unit counts), convert once to double, and evaluate the closed
+form with a fixed expression tree — every operation after the exact sums
+is a deterministic IEEE op identical in both engines.
+
+Overflow discipline: per-row products of cent-scaled values reach ~2.5e13;
+int64 sums of those overflow near 4e5 rows, so the Σ(y²)-class sums
+accumulate in DECIMAL(38,0) (exact integers with headroom to 1e38) and
+only the final scalar converts to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.registry import query, table
+
+_D38 = "decimal(38,0)"
+
+
+@query(
+    "q_corr_price_qty",
+    oracle="""
+WITH s AS (
+  SELECT l_returnflag,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sx,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sy,
+         CAST(SUM(CAST(CAST(round(l_quantity) AS BIGINT)
+              * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM(CAST(CAST(round(l_quantity) AS BIGINT)
+              * CAST(round(l_quantity) AS BIGINT) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS sxx,
+         CAST(SUM(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+              * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0)))
+              AS DECIMAL(38,0)) AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+          * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                 - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_qty_price
+FROM s
+""",
+    tags=("stats", "agg"),
+)
+def q_corr_price_qty(spark, sf_dir):
+    """Pearson correlation of quantity vs extended price per return flag,
+    via exact integer sufficient statistics.
+
+    NOT ``F.corr`` — built-in correlation accumulates floats in
+    engine-specific order (non-portable ulps). Here every aggregate is an
+    exact integer (quantities as units, prices as cents; the squared-cents
+    sums in DECIMAL(38,0) because they overflow int64 past ~4e5 rows), and
+    the closed form runs on doubles converted once from exact values —
+    both engines then execute the identical IEEE expression tree. One
+    map-side-combined shuffle; 3 groups."""
+    li = table(spark, sf_dir, "lineitem")
+    x = F.round("l_quantity").cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum((x * y).cast(_D38)).alias("sxy"),
+        F.sum((x * x).cast(_D38)).alias("sxx"),
+        F.sum((y * y).cast(_D38)).alias("syy"),
+    )
+    n_d = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        (
+            (n_d * sxy - sx * sy)
+            / (F.sqrt(n_d * sxx - sx * sx) * F.sqrt(n_d * syy - sy * sy))
+        ).alias("corr_qty_price"),
+    )
+
+
+@query(
+    "q_ols_trend",
+    oracle="""
+WITH daily AS (
+  SELECT event_type, epoch_ms(ts) // 86400000 AS day,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM events GROUP BY 1, 2
+),
+base AS (SELECT CAST(MIN(day) AS BIGINT) AS day0 FROM daily),
+s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(day - day0) AS BIGINT) AS sx,
+         CAST(SUM(cents) AS BIGINT) AS sy,
+         CAST(SUM(CAST((day - day0) * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxy,
+         CAST(SUM((day - day0) * (day - day0)) AS BIGINT) AS sxx
+  FROM daily, base GROUP BY event_type
+)
+SELECT event_type, n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 100.0
+         AS slope_per_day
+FROM s
+""",
+    tags=("stats", "timeseries", "regression"),
+)
+def q_ols_trend(spark, sf_dir):
+    """Per-event-type revenue trend: ordinary-least-squares slope of daily
+    value (in currency units/day) over the day index — "is this stream
+    growing?" as a closed-form aggregate, no ML library.
+
+    Two-level cascade: exact daily cent totals first (the shuffle that
+    matters, keyed (type, day)), then OLS sufficient statistics over the
+    tiny daily table with the day index rebased to MIN(day) (a broadcast
+    1-row scalar) so Σx² stays small. Same exact-integer-then-double
+    discipline as q_corr_price_qty."""
+    e = table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("unix_millis(ts) div 86400000").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    base = daily.agg(F.min("day").alias("day0"))
+    d = daily.crossJoin(F.broadcast(base)).withColumn(
+        "x", F.col("day") - F.col("day0")
+    )
+    s = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("cents").alias("sy"),
+        F.sum((F.col("x") * F.col("cents")).cast(_D38)).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        ((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) / 100.0).alias(
+            "slope_per_day"
+        ),
+    )
