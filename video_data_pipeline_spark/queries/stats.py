@@ -18,6 +18,7 @@ only the final scalar converts to double.
 from __future__ import annotations
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from video_data_pipeline_spark.queries.registry import query, table
 
@@ -156,4 +157,119 @@ def q_ols_trend(spark, sf_dir):
         ((n_d * sxy - sx * sy) / (n_d * sxx - sx * sx) / 100.0).alias(
             "slope_per_day"
         ),
+    )
+
+
+_FIXED_POINT = 10000  # 1e-4-nat fixed point, as in queries/curation.py
+
+
+@query(
+    "q_source_entropy",
+    oracle=f"""
+WITH t AS (
+  SELECT source, unnest(string_split_regex(trim(text), ' +')) AS w FROM documents
+),
+c AS (SELECT source, w, COUNT(*) AS cnt FROM t GROUP BY source, w),
+n AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS total FROM c GROUP BY source),
+s AS (
+  SELECT c.source,
+         CAST(SUM(c.cnt * CAST(ROUND(ln(c.cnt) * {_FIXED_POINT}) AS BIGINT))
+              AS BIGINT) AS sum_clnc_micro
+  FROM c GROUP BY c.source
+)
+SELECT n.source, n.total,
+       CAST(ROUND(ln(n.total) * {_FIXED_POINT}) AS BIGINT) / {_FIXED_POINT}.0
+         - CAST(s.sum_clnc_micro AS DOUBLE)
+           / (CAST(n.total AS DOUBLE) * {_FIXED_POINT}.0) AS entropy_nats
+FROM n JOIN s ON s.source = n.source
+""",
+    tags=("stats", "text", "entropy"),
+)
+def q_source_entropy(spark, sf_dir):
+    """Token-distribution Shannon entropy per document source — the
+    diversity diagnostic curation pipelines use to catch collapsed or
+    boilerplate-dominated sources (low entropy = one template repeated).
+
+    H = ln(N) - (1/N)·Σ c·ln(c), with every ln evaluated per DISTINCT
+    (source, token) count, rounded to 1e-4-nat fixed point, and folded as
+    an exact BIGINT sum (the curation-module discipline: transcendentals
+    only on bounded-cardinality tables, never inside a float fold). The
+    per-(source, token) table is vocabulary-sized — shuffle-aggregated,
+    never broadcast."""
+    d = table(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.expr("split(trim(text), ' +')")).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lnc = F.round(F.log("cnt") * _FIXED_POINT).cast("bigint")
+    s = c.groupBy("source").agg(
+        F.sum("cnt").alias("total"),
+        F.sum(F.col("cnt") * lnc).alias("sum_clnc_micro"),
+    )
+    lnn = F.round(F.log("total") * _FIXED_POINT).cast("bigint")
+    return s.select(
+        "source",
+        "total",
+        (
+            lnn / float(_FIXED_POINT)
+            - F.col("sum_clnc_micro").cast("double")
+            / (F.col("total").cast("double") * _FIXED_POINT)
+        ).alias("entropy_nats"),
+    )
+
+
+@query(
+    "q_revenue_gini",
+    oracle="""
+WITH cust AS (
+  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS i FROM cust
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(cents) AS BIGINT) AS sy,
+         CAST(SUM(CAST(i * cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS siy
+  FROM ranked
+)
+SELECT n,
+       2.0 * CAST(siy AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(sy AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE) AS gini
+FROM s
+""",
+    tags=("stats", "window", "inequality"),
+)
+def q_revenue_gini(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — the concentration
+    diagnostic for "is this corpus/revenue dominated by a few
+    contributors" (in curation: a few domains contributing most
+    documents). G = 2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n over ascending-sorted
+    exact cent totals with a deterministic rank tie-break.
+
+    The per-customer rollup is the real shuffle; the global rank runs on
+    the REDUCED per-customer table (dimension-sized; at larger scale the
+    rank would come from a two-pass range-partitioned sort — same
+    formula). Σ(i·y) accumulates in DECIMAL(38,0): rank × cents products
+    overflow int64 past ~10^6 well-heeled customers."""
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    ranked = cust.select("cents", F.row_number().over(w).alias("i"))
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sy"),
+        F.sum((F.col("i") * F.col("cents")).cast(_D38)).alias("siy"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "n",
+        (
+            2.0 * F.col("siy").cast("double") / (n_d * F.col("sy").cast("double"))
+            - (n_d + 1.0) / n_d
+        ).alias("gini"),
     )
