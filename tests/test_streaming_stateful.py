@@ -340,3 +340,35 @@ def test_streaming_dedup_tws_matches_legacy_api(spark, tmp_path):
     assert set(rows) == {"A", "B", "C"}
     assert rows["B"].first_key == "k2"
     assert rows["A"].n_new == 1 and rows["C"].n_new == 1
+
+
+def test_streaming_heavy_hitters_emit_once_at_crossing(spark, tmp_path):
+    """Counts accumulate across micro-batches; each item emits exactly
+    once, in the batch where it crosses the threshold."""
+    from video_data_pipeline_spark.streaming.stateful import streaming_heavy_hitters
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    # batch 1: a x3, b x1 ; batch 2: a x2 (already emitted), b x3 (crosses), c x1
+    pd.DataFrame({"item": ["a"] * 3 + ["b"]}).to_parquet(src / "b1.parquet")
+    pd.DataFrame({"item": ["a"] * 2 + ["b"] * 3 + ["c"]}).to_parquet(
+        src / "b2.parquet"
+    )
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_heavy_hitters(stream, min_count=3)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hh_out")
+        .option("checkpointLocation", str(tmp_path / "ck_hh"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.item: r.cnt for r in spark.sql("SELECT * FROM hh_out").collect()}
+    # a crossed in batch 1 at 3; b crossed in batch 2 at 4; c never crossed
+    assert rows == {"a": 3, "b": 4}

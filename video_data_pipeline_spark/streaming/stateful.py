@@ -387,3 +387,62 @@ def streaming_dedup_tws(
         outputMode="append",
         timeMode="none" if ttl_ms is None else "processingTime",
     )
+
+
+_HH_OUT_SCHEMA = StructType(
+    [
+        StructField("item", StringType()),
+        StructField("cnt", LongType()),
+    ]
+)
+_HH_STATE_SCHEMA = StructType(
+    [StructField("cnt", LongType()), StructField("emitted", LongType())]
+)
+
+
+def _make_hh_fn(min_count: int, ttl_ms: int | None):
+    def _fn(key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cnt, emitted = state.get if state.exists else (0, 0)
+        new = sum(len(pdf) for pdf in pdfs)
+        cnt += new
+        if not emitted and cnt >= min_count:
+            emitted = 1
+            yield pd.DataFrame({"item": [key[0]], "cnt": [cnt]})
+        state.update((cnt, emitted))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+
+    return _fn
+
+
+def streaming_heavy_hitters(
+    items: DataFrame,
+    item_col: str = "item",
+    min_count: int = 100,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch heavy-hitter detection: emit each item ONCE, in the
+    micro-batch where its cumulative count first reaches ``min_count``
+    (with the count at crossing).
+
+    The streaming complement of :mod:`operators.heavy`: batch uses a
+    relative threshold (phi of a known N); a stream has no final N, so the
+    streaming form uses the absolute-count trigger ops teams actually
+    alert on ("tell me when any key passes 10k"). State per key is two
+    BIGINTs, uniform-keyed; ``ttl_ms`` makes it a sliding-style detector
+    over recent history and bounds state like streaming_dedup's."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return items.groupBy(item_col).applyInPandasWithState(
+        _make_hh_fn(min_count, ttl_ms),
+        outputStructType=_HH_OUT_SCHEMA,
+        stateStructType=_HH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
