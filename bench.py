@@ -65,6 +65,9 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_zorder_span",
     "q_heavy_hitters",
+    # exact statistics
+    "q_corr_price_qty",
+    "q_source_entropy",
 ]
 
 
