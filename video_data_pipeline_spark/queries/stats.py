@@ -249,21 +249,47 @@ def q_revenue_gini(spark, sf_dir):
     documents). G = 2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n over ascending-sorted
     exact cent totals with a deterministic rank tie-break.
 
-    The per-customer rollup is the real shuffle; the global rank runs on
-    the REDUCED per-customer table (dimension-sized; at larger scale the
-    rank would come from a two-pass range-partitioned sort — same
-    formula). Σ(i·y) accumulates in DECIMAL(38,0): rank × cents products
-    overflow int64 past ~10^6 well-heeled customers."""
+    The global rank is a two-pass range-partitioned sort, NOT a
+    single-partition ORDER window (which Spark would coalesce to one
+    task): rows range-shuffle on (cents, o_custkey) — a total order, so
+    ranks are boundary-independent — each partition ranks locally, and
+    Σ(i·y) folds per partition as Σ(local_i·y) + offset·Σy where offset
+    is the cumulative row count of lower ranges (computed on the
+    ≤shuffle-partitions-row per-partition summary). One extra tiny
+    window over ~32 rows buys a rank that scales to billions of
+    customers. Σ(i·y) accumulates in DECIMAL(38,0): rank × cents
+    products overflow int64 past ~10^6 well-heeled customers."""
     o = table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
-    w = Window.orderBy("cents", "o_custkey")
-    ranked = cust.select("cents", F.row_number().over(w).alias("i"))
-    s = ranked.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("cents").alias("sy"),
-        F.sum((F.col("i") * F.col("cents")).cast(_D38)).alias("siy"),
+    ranged = cust.repartitionByRange("cents", "o_custkey").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    w_local = Window.partitionBy("pid").orderBy("cents", "o_custkey")
+    ranked = ranged.select(
+        "pid", "cents", F.row_number().over(w_local).alias("li")
+    )
+    per = ranked.groupBy("pid").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("cents").alias("sy_p"),
+        F.sum((F.col("li") * F.col("cents")).cast(_D38)).alias("sliy_p"),
+    )
+    # per has at most spark.sql.shuffle.partitions rows — the ordered
+    # window here is bounded, not data-sized
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offs = per.select(
+        "cnt",
+        "sy_p",
+        "sliy_p",
+        F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off"),
+    )
+    s = offs.agg(
+        F.sum("cnt").alias("n"),
+        F.sum("sy_p").alias("sy"),
+        F.sum(
+            F.col("sliy_p") + F.col("off").cast(_D38) * F.col("sy_p").cast(_D38)
+        ).cast(_D38).alias("siy"),
     )
     n_d = F.col("n").cast("double")
     return s.select(
