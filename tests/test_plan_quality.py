@@ -353,3 +353,18 @@ def test_q_scd2_lookup_temporal_probe_is_keyed_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,120}custkey", plan)
+
+
+def test_q_revenue_gini_rank_is_range_partitioned_not_global_window(spark, sf_dir):
+    """The Gini rank must be a two-pass range-partitioned sort: the
+    row_number window runs per range-partition (pid in its partition
+    spec), never as an unpartitioned ORDER window that coalesces the
+    whole customer dimension into one task. The only unpartitioned
+    window allowed is the bounded per-partition offsets fold."""
+    plan = plan_of(spark, sf_dir, "q_revenue_gini")
+    assert re.search(r"row_number\(\) windowspecdefinition\(pid#", plan), (
+        "rank window lost its pid partition spec (would run single-task)"
+    )
+    assert "rangepartitioning(cents" in plan.lower(), (
+        "range shuffle on (cents, custkey) missing"
+    )
