@@ -368,3 +368,56 @@ def test_q_revenue_gini_rank_is_range_partitioned_not_global_window(spark, sf_di
     assert "rangepartitioning(cents" in plan.lower(), (
         "range shuffle on (cents, custkey) missing"
     )
+
+
+def test_q_simhash_near_pairs_bucketed_equi_join_wide_keyspace(spark, sf_dir):
+    """The simhash pigeonhole join must be an EQUI-join on (chunk_idx,
+    chunk_value) — never a nested-loop — and the chunk key space must be
+    the widened 15-bit one (round-5 VERDICT #1: the old 16-bit signature
+    gave 4x16=64 join keys total, a cartesian bomb at 100x). Pins both
+    the plan shape and the runtime key cardinality."""
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.queries.dedup import (
+        _CHUNK_BITS,
+        _SIMHASH_BITS,
+        exact_dup_representatives,
+        simhash_chunks,
+    )
+    from video_data_pipeline_spark.queries.registry import table
+
+    assert _SIMHASH_BITS == 60 and _CHUNK_BITS == 15
+    plan = plan_of(spark, sf_dir, "q_simhash_near_pairs")
+    assert "NestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), (
+        "pigeonhole join is not an equi-join"
+    )
+    # runtime cardinality: distinct (c, chunk) keys must exceed the old
+    # 64-key ceiling by orders of magnitude even on the tiny test corpus
+    chunks = simhash_chunks(
+        exact_dup_representatives(table(spark, sf_dir, "documents"))
+    )
+    n_keys = chunks.select("c", "chunk").distinct().count()
+    assert n_keys > 200, f"chunk key space collapsed: {n_keys} distinct keys"
+    # and each doc contributes exactly 4 chunk rows
+    per_doc = chunks.groupBy("doc_id").count().agg(F.max("count")).first()[0]
+    assert per_doc == 4
+
+
+def test_q_jaccard_verified_pairs_sourced_from_lsh_not_self_join(spark, sf_dir):
+    """The verified-Jaccard query must take its pair list from the LSH
+    band buckets (the in-bucket combinatorics Generate) and attach shingle
+    sets by doc_id equi-joins — NEVER the exhaustive shingle self-join of
+    the math-oracle query (whose join would go quadratic on a common
+    shingle at corpus scale)."""
+    plan = plan_of(spark, sf_dir, "q_jaccard_verified_pairs")
+    assert "flatten(transform(ids" in plan, (
+        "pair source is not the LSH bucket combinatorics"
+    )
+    # the shingle arrays are joined per-doc, not exploded into an
+    # equi-join keyed on the shingle text
+    join_keys = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan)
+    assert join_keys, "no equi-joins found"
+    assert not any("shingle#" in j for j in join_keys), (
+        "shingle-keyed self-join leaked into the verified-pairs plan"
+    )

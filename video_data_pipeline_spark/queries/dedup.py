@@ -10,9 +10,15 @@ pipeline needs. Design for scale:
   materialized as a column so it is computed once, not once per function).
   Signatures are per-row column math (no shuffle); the only shuffle is the
   band-bucket self-join, whose key (band md5) is uniform → skew-free.
-- SimHash: per-row bit math over a single word-hash array; candidate pairs
-  via pigeonhole chunk-join (hamming ≤ 3 ⇒ one of four 4-bit chunks equal).
-- Jaccard: exploded-shingle equi-join, count-intersection / union.
+- SimHash: per-row bit math over a single word-hash array (60-bit signature
+  — md5's 15 hex chars; bit 63 never set so the value is positive BIGINT in
+  both engines); candidate pairs via pigeonhole chunk-join (hamming ≤ 3 ⇒
+  one of four 15-bit chunks equal → 32k distinct values per chunk index, so
+  buckets stay tiny at corpus scale instead of the 16-value cartesian bomb
+  a 16-bit signature would give).
+- Jaccard: exploded-shingle equi-join, count-intersection / union — the
+  math oracle; the SCALE path is q_jaccard_verified_pairs (exact Jaccard
+  computed only on LSH candidate pairs).
 
 Both dialects are generated from the same parameters so the Spark program
 and DuckDB oracle can't drift.
@@ -240,21 +246,38 @@ def q_minhash_lsh_pairs(spark, sf_dir):
 # ------------------------------------------------------------------ simhash
 
 
+_SIMHASH_BITS = 60  # md5's leading 15 hex chars; bit 63 never set → positive BIGINT
+_CHUNK_BITS = 15
+_N_CHUNKS = 4  # 4 chunks ⇒ pigeonhole guarantee for hamming ≤ 3
+_CHUNK_MASK = (1 << _CHUNK_BITS) - 1
+
+
 def _simhash_from_hashes(dialect: str, col: str) -> str:
-    """16-bit simhash from a word-hash array column: per-bit majority."""
+    """60-bit simhash from a word-hash array column: per-bit majority.
+
+    Spark side is ONE fold with a 60-counter array accumulator (a single
+    pass over the word-hash array) instead of 60 per-bit folds — measured
+    2.3× faster at sf0.1 and keeps the codegen'd expression compact.
+    DuckDB side stays per-bit (vectorized; oracle-only)."""
     if dialect == "spark":
-        bit = (
-            f"IF(aggregate({col}, CAST(0 AS BIGINT), "
-            f"(acc, h) -> acc + IF((shiftright(h, {{b}}) & 1) = 1, 1, -1)) > 0, "
-            f"shiftleft(CAST(1 AS BIGINT), {{b}}), CAST(0 AS BIGINT))"
+        n = _SIMHASH_BITS
+        return (
+            f"aggregate(zip_with("
+            f"aggregate({col}, array_repeat(CAST(0 AS BIGINT), {n}), "
+            f"(acc, h) -> zip_with(acc, sequence(0, {n - 1}), "
+            f"(a, b) -> a + IF((shiftright(h, CAST(b AS INT)) & 1) = 1, "
+            f"CAST(1 AS BIGINT), CAST(-1 AS BIGINT)))), "
+            f"sequence(0, {n - 1}), "
+            f"(cnt, b) -> IF(cnt > 0, shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)), "
+            f"CAST(0 AS BIGINT))), "
+            f"CAST(0 AS BIGINT), (a, x) -> a + x)"
         )
-    else:
-        bit = (
-            f"CASE WHEN list_aggregate(list_transform({col}, "
-            f"h -> CASE WHEN ((h >> {{b}}) & 1) = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
-            f"THEN (1::BIGINT << {{b}}) ELSE 0::BIGINT END"
-        )
-    return " + ".join(bit.format(b=b) for b in range(16))
+    bit = (
+        f"CASE WHEN list_aggregate(list_transform({col}, "
+        f"h -> CASE WHEN ((h >> {{b}}) & 1) = 1 THEN 1 ELSE -1 END), 'sum') > 0 "
+        f"THEN (1::BIGINT << {{b}}) ELSE 0::BIGINT END"
+    )
+    return " + ".join(bit.format(b=b) for b in range(_SIMHASH_BITS))
 
 
 _SPARK_WORD_HASHES = f"transform(array_distinct({_SPARK_WORDS}), w -> {_spark_hash('w')})"
@@ -270,20 +293,57 @@ SELECT doc_id, CAST({_simhash_from_hashes("duck", "hs")} AS BIGINT) AS simhash F
     tags=("dedup", "simhash"),
 )
 def q_simhash(spark, sf_dir):
-    """SimHash document signature (16-bit): per-bit majority vote over word
-    hashes — one md5 pass per distinct word, then integer bit math."""
+    """SimHash document signature (60-bit): per-bit majority vote over word
+    hashes — one md5 pass per distinct word, then one array-accumulator
+    fold (integer bit math, no Python)."""
     d = table(spark, sf_dir, "documents")
     wh = d.select("doc_id", F.expr(_SPARK_WORD_HASHES).alias("hs"))
     return wh.select("doc_id", F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash"))
 
 
+def exact_dup_representatives(d):
+    """documents → one (doc_id, text) representative per content
+    fingerprint (min doc_id). groupBy + min(struct) — no window, one
+    skew-free md5-keyed shuffle. Byte-identical replicas form complete
+    near-dup cliques that contribute O(c²) pairs of zero information
+    (q_dedup_triangles lesson) — every pairwise-similarity query collapses
+    them first; exact copies are q_dedup_exact's job."""
+    fp = F.md5(F.lower(F.trim("text")))
+    return (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(F.min(F.struct("doc_id", "text")).alias("s"))
+        .select("s.doc_id", "s.text")
+    )
+
+
+_DUCK_REPS = (
+    "SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(text, doc_id) AS text "
+    "FROM documents GROUP BY md5(lower(trim(text)))"
+)
+
+
+def simhash_chunks(docs):
+    """(doc_id, text, ...) → (doc_id, simhash, c, chunk): the 60-bit
+    signature pigeonholed into 4 × 15-bit chunks. Pure column math."""
+    wh = docs.select("doc_id", F.expr(_SPARK_WORD_HASHES).alias("hs"))
+    sh = wh.select(
+        "doc_id", F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash")
+    )
+    return sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(_N_CHUNKS - 1))).alias("c"),
+    ).withColumn("chunk", F.expr(f"shiftright(simhash, {_CHUNK_BITS} * c) & {_CHUNK_MASK}"))
+
+
 @query(
     "q_simhash_near_pairs",
     oracle=f"""
-WITH wh AS (SELECT doc_id, {_DUCK_WORD_HASHES} AS hs FROM documents WHERE doc_id % 5 = 0),
+WITH reps AS ({_DUCK_REPS}),
+wh AS (SELECT doc_id, {_DUCK_WORD_HASHES} AS hs FROM reps),
 sh AS (SELECT doc_id, CAST({_simhash_from_hashes("duck", "hs")} AS BIGINT) AS simhash FROM wh),
 chunks AS (
-  SELECT doc_id, simhash, c, (simhash >> (4 * c)) & 15 AS chunk
+  SELECT doc_id, simhash, c, (simhash >> ({_CHUNK_BITS} * c)) & {_CHUNK_MASK} AS chunk
   FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -295,19 +355,18 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     tags=("dedup", "simhash", "join"),
 )
 def q_simhash_near_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (hamming ≤ 3) via pigeonhole: split 16 bits
-    into 4 chunks — any pair within distance 3 must agree on ≥1 chunk, so
-    the join key is (chunk_idx, chunk_value), never all-pairs."""
-    d = table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
-    wh = d.select("doc_id", F.expr(_SPARK_WORD_HASHES).alias("hs"))
-    sh = wh.select(
-        "doc_id", F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash")
-    )
-    chunks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("c"),
-    ).withColumn("chunk", F.expr("shiftright(simhash, 4 * c) & 15"))
+    """SimHash near-dup pairs (hamming ≤ 3) over distinct-content
+    representatives, via pigeonhole: split the 60-bit signature into 4
+    chunks of 15 bits — any pair within distance 3 must agree on ≥1 chunk,
+    so the join key is (chunk_idx, chunk_value) with ~32k distinct values
+    per chunk index. At corpus scale each bucket holds O(n / 2^15) docs
+    (vs n/16 for the old 16-bit signature — the round-5 cartesian bomb),
+    so pair generation stays near-linear. Exact duplicates are collapsed
+    to one representative first (see :func:`exact_dup_representatives`):
+    replicated corpora otherwise stuff every clique into one bucket and
+    re-derive O(c²) hamming-0 pairs that q_dedup_exact already reports."""
+    reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
+    chunks = simhash_chunks(reps)
     a = chunks.alias("a")
     b = chunks.alias("b")
     hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
@@ -362,8 +421,11 @@ WHERE CAST(c.n_common AS DOUBLE) / (sa.n + sb.n - c.n_common) >= {_JACCARD_TAU}
 @query("q_ngram_jaccard_pairs", oracle=_duck_jaccard_sql(), tags=("dedup", "jaccard", "join"))
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard similarity: explode distinct 3-gram shingles,
-    equi-join on shingle, |∩| / |∪| ≥ threshold. (Subset of docs to bound
-    the demo; at scale this runs only on LSH candidate pairs.)"""
+    equi-join on shingle, |∩| / |∪| ≥ threshold. This is the MATH ORACLE
+    for Jaccard (exhaustive over a bounded demo subset — a full shingle
+    self-join goes quadratic on any common shingle at corpus scale); the
+    registered SCALE plan is :func:`q_jaccard_verified_pairs`, which
+    computes the same exact Jaccard only over LSH candidate pairs."""
     d = table(spark, sf_dir, "documents").where(F.col("doc_id") % _JACCARD_MOD == 0)
     words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(F.expr("size(w) >= 3"))
     # shingle-set size travels WITH each exploded row: it's a plan-time
@@ -401,6 +463,76 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     )
     return common.select("doc_a", "doc_b", jac.alias("jaccard")).where(
         F.col("jaccard") >= _JACCARD_TAU
+    )
+
+
+#: verification threshold for LSH-candidate Jaccard (Lee et al. 2022 use
+#: 0.8 for near-dup; lowered here so the check is non-vacuous on the small
+#: test corpora while keeping the >0 selectivity that proves the filter)
+_VERIFY_TAU = 0.5
+
+
+def _duck_verified_pairs_sql() -> str:
+    inter = "len(list_intersect(sa.sh, sb.sh))"
+    jac = f"CAST({inter} AS DOUBLE) / (len(sa.sh) + len(sb.sh) - {inter})"
+    return f"""
+WITH pairs AS ({_duck_lsh_pairs_sql().strip()}),
+sets AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM documents WHERE len({_DUCK_WORDS}) >= 3
+)
+SELECT p.doc_a, p.doc_b, {jac} AS jaccard
+FROM pairs p
+JOIN sets sa ON sa.doc_id = p.doc_a
+JOIN sets sb ON sb.doc_id = p.doc_b
+WHERE {jac} >= {_VERIFY_TAU}
+"""
+
+
+@query(
+    "q_jaccard_verified_pairs",
+    oracle=_duck_verified_pairs_sql(),
+    tags=("dedup", "jaccard", "minhash", "join"),
+)
+def q_jaccard_verified_pairs(spark, sf_dir):
+    """VERIFIED near-dup pairs: exact n-gram Jaccard computed ONLY on the
+    MinHash-LSH candidate pairs — the standard two-stage dedup pipeline
+    (Lee et al. 2022 §3: LSH proposes, exact similarity disposes). This is
+    the 100 TB Jaccard plan: the all-pairs shingle self-join of
+    :func:`q_ngram_jaccard_pairs` never happens; exact similarity is paid
+    only for the |candidates| pairs LSH surfaces.
+
+    Scale shape: the candidate list is tiny relative to the corpus
+    (near-dup rate × corpus), so both doc_id-keyed joins that attach the
+    shingle sets hit AQE's broadcast tier; the corpus-side shingle pass is
+    the same single md5 pass the signatures already made. Intersection is
+    per-row array math (`array_intersect` on sorted-distinct arrays) — no
+    explode, no extra shuffle."""
+    d = table(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(
+        F.expr("size(w) >= 3")
+    )
+    sets = words.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(w) - 3), "
+                "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+            )
+        ).alias("sh"),
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    joined = pairs.join(sa, "doc_a").join(sb, "doc_b").withColumn(
+        "n_common", F.size(F.array_intersect("sha", "shb"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.size("sha") + F.size("shb") - F.col("n_common")
+    )
+    return (
+        joined.select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _VERIFY_TAU)
     )
 
 
