@@ -150,3 +150,25 @@ def test_heavy_hitters_by_group_exact_on_skewed_groups(spark):
     # zh_hot is ~1.6% of the GLOBAL stream but 33% of zh — a global-phi
     # detector would have missed it
     assert ("zh", "zh_hot") in got
+
+
+def test_heavy_hitters_null_items_consistently_excluded(spark):
+    """ADVICE r5: nulls used to survive the MG candidate phase (None is a
+    countable dict key) but vanish in the exact-recount equi-join — now
+    they are excluded up front, so a null-majority stream still reports
+    the correct non-null heavy hitters with exact counts."""
+    from video_data_pipeline_spark.operators.heavy import (
+        heavy_hitters,
+        heavy_hitters_by_group,
+    )
+
+    rows = [(None,)] * 400 + [("a",)] * 90 + [("b",)] * 10
+    df = spark.createDataFrame(rows, "item string").repartition(4)
+    got = {r["item"]: r["cnt"] for r in heavy_hitters(df, phi=0.2).collect()}
+    # denominator is the 100 non-null rows: a (90%) qualifies, b (10%) not
+    assert got == {"a": 90}
+
+    grows = [("g1", None)] * 50 + [("g1", "x")] * 20 + [(None, "y")] * 30
+    gdf = spark.createDataFrame(grows, "grp string, item string").repartition(4)
+    out = heavy_hitters_by_group(gdf, "grp", col="item", phi=0.5).collect()
+    assert [(r["grp"], r["item"], r["cnt"]) for r in out] == [("g1", "x", 20)]

@@ -117,3 +117,16 @@ def test_zvalue_orders_like_interleave(spark):
     for a in range(8):
         for b in range(8):
             assert got[(a, b)] == ref(a, b)
+
+
+def test_write_zordered_empty_input_writes_empty_parquet(spark, tmp_path):
+    """ADVICE r5: an empty frame (min/max probe yields None) used to crash
+    on NoneType arithmetic — now it writes the empty frame as-is."""
+    from video_data_pipeline_spark.operators.layout import write_zordered
+
+    df = spark.createDataFrame([], "a bigint, b bigint, v string")
+    out = str(tmp_path / "zempty")
+    write_zordered(df, out, "a", "b")
+    back = spark.read.parquet(out)
+    assert back.count() == 0
+    assert set(back.columns) == {"a", "b", "v"}

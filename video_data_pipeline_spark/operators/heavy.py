@@ -84,7 +84,13 @@ def heavy_hitters(
     if k < math.ceil(1.0 / phi):
         raise ValueError(f"k={k} breaks the superset guarantee for phi={phi}")
 
-    src = items.select(F.col(col).cast("string").alias("item"))
+    # nulls are excluded up front: None IS a countable dict key in the MG
+    # candidate phase, but the exact-recount equi-join drops null keys —
+    # without this filter a null-valued heavy hitter would be silently
+    # lost between the two phases instead of consistently excluded
+    src = items.select(F.col(col).cast("string").alias("item")).where(
+        F.col("item").isNotNull()
+    )
 
     out_schema = T.StructType([T.StructField("item", T.StringType())])
 
@@ -138,10 +144,13 @@ def heavy_hitters_by_group(
     if k < math.ceil(1.0 / phi):
         raise ValueError(f"k={k} breaks the superset guarantee for phi={phi}")
 
+    # null items/groups excluded up front for the same reason as in
+    # heavy_hitters: they'd survive the MG phase but silently vanish in
+    # the recount equi-join (and None breaks the candidate rows.sort())
     src = items.select(
         F.col(group_col).cast("string").alias("grp"),
         F.col(col).cast("string").alias("item"),
-    )
+    ).where(F.col("grp").isNotNull() & F.col("item").isNotNull())
     out_schema = T.StructType(
         [T.StructField("grp", T.StringType()), T.StructField("item", T.StringType())]
     )

@@ -86,6 +86,12 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.select(
         F.min(ca), F.max(ca), F.min(cb), F.max(cb)
     ).first()
+    if lo_a is None or lo_b is None:
+        # empty input (or all-null cluster columns): there is nothing to
+        # cluster — write the (empty) frame as-is instead of crashing on
+        # NoneType arithmetic in the range normalization
+        df.write.mode("overwrite").parquet(path)
+        return
     top = (1 << bits) - 1
 
     def norm(c: Column, lo: int, hi: int) -> Column:

@@ -13,6 +13,17 @@ Overflow discipline: per-row products of cent-scaled values reach ~2.5e13;
 int64 sums of those overflow near 4e5 rows, so the Σ(y²)-class sums
 accumulate in DECIMAL(38,0) (exact integers with headroom to 1e38) and
 only the final scalar converts to double.
+
+Cross-libm caveat (transcendental fixed-point columns): the 1e-4-nat
+``*_micro`` discipline used by the entropy/Gini/DSIR/unigram queries rounds
+``log`` outputs to BIGINT units, assuming the JVM's ``Math.log`` and
+DuckDB's libm ``log`` agree on the compared inputs. Both are
+correctly-rounded-to-sub-ulp on every platform tested and all artifacts
+pass bit-exact, but a value landing within an ulp of a 0.5e-4 rounding
+boundary COULD flip one BIGINT unit under a different libm. That residual
+risk is accepted and documented rather than papered over with a tolerance:
+a tolerance in the comparator would also mask genuine aggregation-order
+bugs, which the fixed-point design exists to catch.
 """
 
 from __future__ import annotations

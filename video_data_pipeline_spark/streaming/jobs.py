@@ -213,6 +213,7 @@ def stream_interval_assign(
     events: DataFrame,
     intervals: DataFrame,
     width: int,
+    id_col: str = "w",
 ) -> DataFrame:
     """Stream-static RANGE join: assign each incoming event to every
     interval of a static table containing it (maintenance windows, flagged
@@ -224,11 +225,15 @@ def stream_interval_assign(
     a plain stream-static equi-join (fully stateless: no watermark or join
     state needed, unlike stream-stream). Counting per interval is a
     streaming aggregation; drive it in ``complete`` mode (or add a
-    watermark upstream for append sinks)."""
+    watermark upstream for append sinks).
+
+    ``id_col`` names the interval-id column of the static table (mirrors
+    the lo/hi parameterization — previously hard-coded to ``'w'``, which
+    made any other static schema fail despite the generic signature)."""
     from video_data_pipeline_spark.operators.rangejoin import interval_join
 
     pts = events.select(F.unix_millis("ts").alias("pt_ms"))
     joined = interval_join(pts, intervals, "pt_ms", "lo", "hi", width=width)
-    return joined.groupBy(F.col("w").alias("hot_window")).agg(
+    return joined.groupBy(F.col(id_col).alias("hot_window")).agg(
         F.count(F.lit(1)).alias("n_events")
     )
