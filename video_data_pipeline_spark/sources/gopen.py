@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import io
 import os
+import select
 import subprocess
 import urllib.request
 from collections.abc import Callable
@@ -44,25 +45,63 @@ from collections.abc import Callable
 #: ignore_status: 141 = 128+SIGPIPE when the reader closes early)
 _PIPE_OK = (0, 141)
 
+#: per-I/O-call stall budget, seconds (reference Pipe timeout,
+#: gopen.py:48: 7200.0). A hung subprocess (dead remote, wedged CLI)
+#: must FAIL the Spark task — which then retries per spark.task.maxFailures
+#: — rather than occupy an executor slot until Spark's own much coarser
+#: speculation/heartbeat machinery notices.
+_PIPE_TIMEOUT = 7200.0
+
+
+class PipeTimeoutError(TimeoutError):
+    """A pipe: subprocess produced/accepted no bytes within the timeout."""
+
 
 class _PipeReader(io.RawIOBase):
-    """stdout of a shell command as a readable stream; close() reaps the
-    process and raises on real (non-SIGPIPE) failures."""
+    """stdout of a shell command as a readable stream.
 
-    def __init__(self, cmd: str):
+    Every read waits at most ``timeout`` seconds for the FIRST byte to
+    become available (select on the pipe fd, then a non-blocking
+    ``os.read`` — so a slow-but-alive producer never trips it, only a
+    stalled one); on stall the subprocess is killed and
+    :class:`PipeTimeoutError` raised. close() reaps the process and
+    raises on real (non-SIGPIPE) failures."""
+
+    def __init__(self, cmd: str, timeout: float = _PIPE_TIMEOUT):
         self._proc = subprocess.Popen(  # noqa: S602 — pipe: URLs are explicit user commands
             cmd, shell=True, stdout=subprocess.PIPE
         )
         self._cmd = cmd
+        self._timeout = timeout
 
     def readable(self) -> bool:
         return True
 
+    def _await_bytes(self) -> None:
+        ready, _, _ = select.select([self._proc.stdout], [], [], self._timeout)
+        if not ready:
+            self._proc.kill()
+            self._proc.wait()
+            raise PipeTimeoutError(
+                f"pipe command produced no output for {self._timeout}s: {self._cmd}"
+            )
+
+    def _read_chunk(self, size: int) -> bytes:
+        self._await_bytes()
+        return os.read(self._proc.stdout.fileno(), size)
+
     def read(self, size: int = -1) -> bytes:
-        return self._proc.stdout.read(size)
+        if size is None or size < 0:
+            chunks = []
+            while True:
+                c = self._read_chunk(1 << 20)
+                if not c:
+                    return b"".join(chunks)
+                chunks.append(c)
+        return self._read_chunk(size)
 
     def readinto(self, b) -> int:
-        data = self._proc.stdout.read(len(b))
+        data = self._read_chunk(len(b))
         b[: len(data)] = data
         return len(data)
 
@@ -70,30 +109,60 @@ class _PipeReader(io.RawIOBase):
         if self.closed:
             return
         self._proc.stdout.close()
-        status = self._proc.wait()
+        try:
+            status = self._proc.wait(timeout=self._timeout)
+        except subprocess.TimeoutExpired:
+            self._proc.kill()
+            self._proc.wait()
+            super().close()
+            raise PipeTimeoutError(
+                f"pipe command did not exit within {self._timeout}s: {self._cmd}"
+            ) from None
         super().close()
         if status not in _PIPE_OK:
             raise RuntimeError(f"pipe command failed ({status}): {self._cmd}")
 
 
 class _PipeWriter(io.RawIOBase):
-    def __init__(self, cmd: str):
+    """stdin of a shell command as a writable stream, with the same
+    stall-kill-raise timeout discipline as :class:`_PipeReader` (a consumer
+    that stops draining blocks the writer once the 64 KiB pipe buffer
+    fills)."""
+
+    def __init__(self, cmd: str, timeout: float = _PIPE_TIMEOUT):
         self._proc = subprocess.Popen(  # noqa: S602
             cmd, shell=True, stdin=subprocess.PIPE
         )
         self._cmd = cmd
+        self._timeout = timeout
 
     def writable(self) -> bool:
         return True
 
     def write(self, b) -> int:
-        return self._proc.stdin.write(b)
+        _, ready, _ = select.select([], [self._proc.stdin], [], self._timeout)
+        if not ready:
+            self._proc.kill()
+            self._proc.wait()
+            raise PipeTimeoutError(
+                f"pipe command accepted no input for {self._timeout}s: {self._cmd}"
+            )
+        # partial writes are fine: RawIOBase callers (BufferedWriter) retry
+        return os.write(self._proc.stdin.fileno(), bytes(b))
 
     def close(self) -> None:
         if self.closed:
             return
         self._proc.stdin.close()
-        status = self._proc.wait()
+        try:
+            status = self._proc.wait(timeout=self._timeout)
+        except subprocess.TimeoutExpired:
+            self._proc.kill()
+            self._proc.wait()
+            super().close()
+            raise PipeTimeoutError(
+                f"pipe command did not exit within {self._timeout}s: {self._cmd}"
+            ) from None
         super().close()
         if status not in _PIPE_OK:
             raise RuntimeError(f"pipe command failed ({status}): {self._cmd}")
@@ -162,10 +231,11 @@ def _gopen_file(url: str, mode: str, **kw):
 
 def _gopen_pipe(url: str, mode: str, **kw):
     cmd = url[len("pipe:") :]
+    t = kw.get("timeout", _PIPE_TIMEOUT)
     if mode.startswith("r"):
-        return _PipeReader(cmd)
+        return _PipeReader(cmd, timeout=t)
     if mode.startswith("w"):
-        return _PipeWriter(cmd)
+        return _PipeWriter(cmd, timeout=t)
     raise ValueError(f"pipe: unsupported mode {mode!r}")
 
 
@@ -206,20 +276,22 @@ def _gopen_gs(url: str, mode: str, **kw):
     """Google Cloud Storage via the gsutil CLI (reference gopen.py:248-274;
     pipe semantics identical to ``pipe:`` URLs, SIGPIPE-tolerant)."""
     q = _shell_quote(url)
+    t = kw.get("timeout", _PIPE_TIMEOUT)
     if mode.startswith("r"):
-        return _PipeReader(f"gsutil cat {q}")
+        return _PipeReader(f"gsutil cat {q}", timeout=t)
     if mode.startswith("w"):
-        return _PipeWriter(f"gsutil cp - {q}")
+        return _PipeWriter(f"gsutil cp - {q}", timeout=t)
     raise ValueError(f"gs: unsupported mode {mode!r}")
 
 
 def _gopen_ais(url: str, mode: str, **kw):
     """AIStore via the ais CLI (reference gopen.py:277-303)."""
     q = _shell_quote(url)
+    t = kw.get("timeout", _PIPE_TIMEOUT)
     if mode.startswith("r"):
-        return _PipeReader(f"ais get {q} -")
+        return _PipeReader(f"ais get {q} -", timeout=t)
     if mode.startswith("w"):
-        return _PipeWriter(f"ais put - {q}")
+        return _PipeWriter(f"ais put - {q}", timeout=t)
     raise ValueError(f"ais: unsupported mode {mode!r}")
 
 
@@ -227,10 +299,11 @@ def _gopen_curl(url: str, mode: str, **kw):
     """curl-backed transfer for sftp/ftps/scp (reference gopen.py:196-222:
     ``curl -f -s -L`` read, ``curl -f -s -X PUT -L -T -`` write)."""
     q = _shell_quote(url)
+    t = kw.get("timeout", _PIPE_TIMEOUT)
     if mode.startswith("r"):
-        return _PipeReader(f"curl -f -s -L {q}")
+        return _PipeReader(f"curl -f -s -L {q}", timeout=t)
     if mode.startswith("w"):
-        return _PipeWriter(f"curl -f -s -X PUT -L -T - {q}")
+        return _PipeWriter(f"curl -f -s -X PUT -L -T - {q}", timeout=t)
     raise ValueError(f"curl: unsupported mode {mode!r}")
 
 
