@@ -36,3 +36,24 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     ddf = duck.execute(q.oracle).fetchdf()
     problems = compare(sdf, ddf)
     assert not problems, f"{name}: {problems}"
+
+
+def test_q_approx_distinct_error_bound_vs_exact(spark, sf_dir, duck):
+    """Semi-oracle for the rows-only HLL query (VERDICT r5 #7): the sketch
+    value is engine-specific, but its RELATIVE ERROR against the exact
+    per-group distinct count is bounded — approx_count_distinct's default
+    rsd is 0.05, and HLL++ is deterministic for fixed input, so a 4-sigma
+    bound (20%) is a hard invariant, not a flaky one. Also pins that the
+    exact `n` column is exact."""
+    sdf = REGISTRY["q_approx_distinct"].spark_fn(spark, sf_dir).toPandas()
+    exact = duck.execute(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+        "COUNT(*) AS n FROM events GROUP BY event_type"
+    ).fetchdf()
+    m = sdf.merge(exact, on="event_type", validate="one_to_one")
+    assert len(m) == len(sdf) > 0
+    assert (m["n_x"] == m["n_y"]).all(), "exact count column drifted"
+    rel_err = (m["approx_users"] - m["exact_users"]).abs() / m["exact_users"]
+    assert (rel_err <= 0.20).all(), (
+        f"HLL relative error out of bound:\n{m.assign(rel_err=rel_err)}"
+    )
