@@ -130,3 +130,50 @@ def test_write_zordered_empty_input_writes_empty_parquet(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 0
     assert set(back.columns) == {"a", "b", "v"}
+
+
+def test_write_index_zorder_prunes_sample_index_at_sf1_scale(spark, tmp_path):
+    """VERDICT r5 #9: the pack/index sink's opt-in z-order layout must
+    deliver real file pruning on a sample-index-shaped table at sf1 scale
+    (50k rows) under a mixed predicate workload — token-range scans AND
+    image-count scans — versus the natural single-column (n_tokens) sort."""
+    from video_data_pipeline_spark.plans.index import write_index
+
+    n = 50_000
+    meta = spark.range(n).select(
+        F.format_string("%09d", "id").alias("key"),
+        F.concat(F.lit("shard-"), (F.col("id") % 100).cast("string")).alias("url"),
+        # decorrelated dims: hash-spread token counts, small image counts
+        (F.abs(F.hash(F.col("id"))) % 8000).alias("n_tokens"),
+        (F.abs(F.hash(F.col("id") * 7 + 3)) % 16).alias("n_images"),
+    )
+    z_path, t_path = str(tmp_path / "z"), str(tmp_path / "t")
+    write_index(meta, z_path, zorder_by=("n_tokens", "n_images"), num_files=16)
+    meta.repartitionByRange(16, "n_tokens").sortWithinPartitions(
+        "n_tokens"
+    ).write.mode("overwrite").parquet(t_path)
+
+    assert spark.read.parquet(z_path).count() == n
+    z_stats = _file_stats(z_path, ["n_tokens", "n_images"])
+    t_stats = _file_stats(t_path, ["n_tokens", "n_images"])
+    assert len(z_stats) > 1 and len(t_stats) > 1
+
+    # 8 token-range scans (1/8 of the range each) + 8 image-count scans
+    boxes = [((i * 1000, (i + 1) * 1000 - 1), (0, 15)) for i in range(8)] + [
+        ((0, 7999), (2 * i, 2 * i + 1)) for i in range(8)
+    ]
+    z_touch = _files_touched(z_stats, boxes)
+    t_touch = _files_touched(t_stats, boxes)
+    assert z_touch < t_touch, (
+        f"z-ordered index touched {z_touch} file-box pairs vs {t_touch} "
+        "for the token-sorted layout — no skipping win"
+    )
+
+
+def test_write_index_plain_when_no_zorder(spark, tmp_path):
+    from video_data_pipeline_spark.plans.index import write_index
+
+    df = spark.range(10).select(F.col("id").alias("n_tokens"), F.lit(1).alias("n_images"))
+    out = str(tmp_path / "plain")
+    write_index(df, out)
+    assert spark.read.parquet(out).count() == 10

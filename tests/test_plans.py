@@ -124,3 +124,37 @@ def test_index_catches_violations(spark, tmp_path):
     v = violations.collect()
     assert len(v) == 1 and "len(input_ids)" in v[0].violation
     assert index.collect()[0].nsamples == 1
+
+
+def test_sample_index_end_to_end_with_zorder_sink(spark, sf_dir, tmp_path):
+    """sample_index exposes per-sample (key, url, n_tokens, n_images) for
+    valid samples, consistent with the shard manifest; write_index with
+    zorder_by round-trips it clustered."""
+    from video_data_pipeline_spark.plans.index import sample_index, write_index
+
+    src = str(tmp_path / "src")
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .limit(30)
+        .select(
+            F.format_string("%09d", "doc_id").alias("__key__"),
+            F.create_map(F.lit("txt"), F.col("text").cast("binary")).alias("sample"),
+        )
+    )
+    write_webdataset(docs.repartition(2), src, maxcount=10).collect()
+    out = str(tmp_path / "tok")
+    tokenize_shards(spark, src, out, budget=600, samples_per_shard=50).collect()
+
+    smeta = sample_index(spark, out)
+    rows = smeta.collect()
+    index, violations, _ = index_shards(spark, out)
+    assert len(rows) == sum(r.nsamples for r in index.collect())
+    assert violations.count() == 0
+    assert all(0 < r.n_tokens <= 600 for r in rows)
+    assert all(r.n_images == 0 for r in rows)  # text-only corpus
+
+    zdir = str(tmp_path / "zidx")
+    write_index(smeta, zdir, zorder_by=("n_tokens", "n_images"), num_files=2)
+    back = spark.read.parquet(zdir)
+    assert back.count() == len(rows)
+    assert set(back.columns) == {"key", "url", "n_tokens", "n_images"}

@@ -49,6 +49,11 @@ def main(argv: list[str] | None = None) -> int:
     i.add_argument("--in", dest="inp", required=True)
     i.add_argument("--golden", type=float, default=0.01)
     i.add_argument("--out", default=None, help="write index parquet here")
+    i.add_argument("--sample-out", default=None,
+                   help="write per-sample metadata index parquet here")
+    i.add_argument("--zorder", default=None, metavar="COLA,COLB",
+                   help="z-order cluster the sample index on two columns "
+                        "(e.g. n_tokens,n_images)")
 
     q = sub.add_parser("query", help="run a registry query")
     q.add_argument("name")
@@ -108,6 +113,16 @@ def main(argv: list[str] | None = None) -> int:
         n_bad = violations.count()
         if args.out:
             index.write.mode("overwrite").parquet(args.out)
+        if args.sample_out:
+            from video_data_pipeline_spark.plans.index import (
+                sample_index,
+                write_index,
+            )
+
+            zb = tuple(args.zorder.split(",")) if args.zorder else None
+            if zb is not None and len(zb) != 2:
+                raise SystemExit("--zorder wants exactly two columns: COLA,COLB")
+            write_index(sample_index(spark, args.inp), args.sample_out, zorder_by=zb)
         print(json.dumps({
             "tars": len(rows),
             "nsamples_total": sum(r.nsamples for r in rows),
