@@ -114,6 +114,37 @@ def build_report(md: bool = False) -> str:
         cells.append(f"{sum(rounds[lb].values()):8.2f}")
     lines.append(row(cells))
 
+    # ---- normalized view (VERDICT r5 #10): the table above sums whatever
+    # each round's headline contained, so totals grow with COVERAGE, not
+    # slowness. This one restricts every column to the queries present in
+    # ALL rounds (the shared subset) and reports per-query mean sec within
+    # each family — an apples-to-apples trend as the headline grows.
+    shared = set.intersection(*(set(qs) for qs in rounds.values())) if rounds else set()
+    lines.append("")
+    lines.append(
+        (f"## Shared-subset mean sec/query ({len(shared)} queries in every round)"
+         if md else
+         f"Shared-subset mean sec/query ({len(shared)} queries in every round)")
+    )
+    lines.append("")
+    lines.append(row(header))
+    if md:
+        lines.append(row(["---"] * len(header)))
+    for f in families:
+        fq = [q for q in shared if fam.get(q, "misc") == f]
+        if not fq:
+            continue
+        cells = [f"{f + ' (' + str(len(fq)) + ')':<12}" if not md else f"{f} ({len(fq)})"]
+        for lb in labels:
+            qs = rounds[lb]
+            cells.append(f"{sum(qs[q] for q in fq) / len(fq):8.3f}")
+        lines.append(row(cells))
+    if shared:
+        cells = [("ALL shared" + ("" if md else " ")) if md else f"{'ALL shared':<12}"]
+        for lb in labels:
+            cells.append(f"{sum(rounds[lb][q] for q in shared) / len(shared):8.3f}")
+        lines.append(row(cells))
+
     anchor = newest_anchor(rounds)
     if anchor:
         band = anchor_band(anchor)
