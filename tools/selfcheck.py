@@ -94,6 +94,9 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument(
+        "--exclude", default=None, help="comma-separated query names to skip"
+    )
+    ap.add_argument(
         "--json",
         default=None,
         help="also write per-query results to this JSON file "
@@ -107,6 +110,7 @@ def main() -> int:
 
     registry = load_all()
     only = set(args.only.split(",")) if args.only else None
+    exclude = set(args.exclude.split(",")) if args.exclude else set()
     if only:
         unknown = only - set(registry)
         if unknown:
@@ -114,7 +118,12 @@ def main() -> int:
             print(f"registry has: {sorted(registry)[:10]} ...", file=sys.stderr)
             return 2
 
-    spark = get_spark("selfcheck")
+    # result-heavy queries (fact-table-sized outputs) exceed the default
+    # 1g driver.maxResultSize when collected for comparison at sf10 —
+    # a harness collect() limit, not a plan property; give it headroom
+    spark = get_spark(
+        "selfcheck", extra_conf={"spark.driver.maxResultSize": "8g"}
+    )
     con = duckdb.connect()
     for t in TABLES:
         path = f"{args.sf_dir}/{t}.parquet"
@@ -126,46 +135,10 @@ def main() -> int:
 
     n_pass = n_fail = n_nooracle = 0
     results: dict[str, dict] = {}
-    for name, q in sorted(registry.items()):
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = q.spark_fn(spark, args.sf_dir).toPandas()
-        except Exception:
-            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
-            results[name] = {"status": "fail", "err": traceback.format_exc()[-800:]}
-            n_fail += 1
-            continue
-        if q.oracle is None:
-            print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
-            results[name] = {"status": "rows_only", "rows": len(sdf)}
-            n_nooracle += 1
-            continue
-        try:
-            ddf = con.execute(q.oracle).fetchdf()
-        except Exception:
-            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
-            results[name] = {"status": "fail", "err": traceback.format_exc()[-800:]}
-            n_fail += 1
-            continue
-        problems = compare(sdf, ddf)
-        if problems:
-            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
-            for p in problems:
-                print(f"     {p}")
-            results[name] = {"status": "fail", "problems": problems}
-            n_fail += 1
-        else:
-            print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
-            results[name] = {
-                "status": "pass",
-                "rows": len(sdf),
-                "secs": round(time.time() - t0, 2),
-            }
-            n_pass += 1
-    print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} rows-only")
-    if args.json:
+
+    def flush_json() -> None:
+        if not args.json:
+            return
         import json
 
         payload = {
@@ -175,6 +148,52 @@ def main() -> int:
         }
         with open(args.json, "w") as f:
             json.dump(payload, f, indent=1)
+    for name, q in sorted(registry.items()):
+        if (only and name not in only) or name in exclude:
+            continue
+        t0 = time.time()
+        try:
+            sdf = q.spark_fn(spark, args.sf_dir).toPandas()
+        except Exception:
+            print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": traceback.format_exc()[-800:]}
+            n_fail += 1
+            flush_json()
+            continue
+        if q.oracle is None:
+            print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
+            n_nooracle += 1
+            flush_json()
+            continue
+        try:
+            ddf = con.execute(q.oracle).fetchdf()
+        except Exception:
+            print(f"FAIL {name}: duckdb raised\n{traceback.format_exc()}")
+            results[name] = {"status": "fail", "err": traceback.format_exc()[-800:]}
+            n_fail += 1
+            flush_json()
+            continue
+        problems = compare(sdf, ddf)
+        if problems:
+            print(f"FAIL {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"     {p}")
+            results[name] = {"status": "fail", "problems": problems}
+            n_fail += 1
+            flush_json()
+        else:
+            print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            results[name] = {
+                "status": "pass",
+                "rows": len(sdf),
+                "secs": round(time.time() - t0, 2),
+            }
+            n_pass += 1
+            flush_json()
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} rows-only")
+    if args.json:
+        flush_json()
         print(f"wrote {args.json}")
     return 1 if n_fail else 0
 
