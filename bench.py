@@ -34,6 +34,7 @@ HEADLINE = [
     "q_minhash_lsh_pairs",
     "q_simhash",
     "q_simhash_near_pairs",
+    "q_jaccard_verified_pairs",
     # similarity search
     "q_ann_bruteforce",
     "q_lsh_buckets",
