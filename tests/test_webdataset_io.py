@@ -545,3 +545,21 @@ def test_gopen_pipe_timeout_not_tripped_by_slow_but_alive_producer():
     cmd = "pipe:sh -c 'printf a; sleep 0.3; printf b; sleep 0.3; printf c'"
     with gopen(cmd, "rb", timeout=2.0) as r:
         assert r.read() == b"abc"
+
+
+def test_gopen_pipe_ok_status_override():
+    """Reference Pipe ignore_status parity (gopen.py:48): callers can
+    declare extra exit codes as success per open."""
+    import pytest
+
+    from video_data_pipeline_spark.sources.gopen import gopen
+
+    # exit 3 fails by default...
+    with pytest.raises(RuntimeError, match=r"failed \(3\)"):
+        r = gopen("pipe:sh -c 'printf hi; exit 3'", "rb")
+        assert r.read() == b"hi"
+        r.close()
+    # ...and succeeds when declared OK
+    r = gopen("pipe:sh -c 'printf hi; exit 3'", "rb", ok_status=(0, 141, 3))
+    assert r.read() == b"hi"
+    r.close()

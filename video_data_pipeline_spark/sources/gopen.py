@@ -67,12 +67,18 @@ class _PipeReader(io.RawIOBase):
     :class:`PipeTimeoutError` raised. close() reaps the process and
     raises on real (non-SIGPIPE) failures."""
 
-    def __init__(self, cmd: str, timeout: float = _PIPE_TIMEOUT):
+    def __init__(
+        self,
+        cmd: str,
+        timeout: float = _PIPE_TIMEOUT,
+        ok_status: tuple[int, ...] = _PIPE_OK,
+    ):
         self._proc = subprocess.Popen(  # noqa: S602 — pipe: URLs are explicit user commands
             cmd, shell=True, stdout=subprocess.PIPE
         )
         self._cmd = cmd
         self._timeout = timeout
+        self._ok_status = ok_status
 
     def readable(self) -> bool:
         return True
@@ -119,7 +125,7 @@ class _PipeReader(io.RawIOBase):
                 f"pipe command did not exit within {self._timeout}s: {self._cmd}"
             ) from None
         super().close()
-        if status not in _PIPE_OK:
+        if status not in self._ok_status:
             raise RuntimeError(f"pipe command failed ({status}): {self._cmd}")
 
 
@@ -129,12 +135,18 @@ class _PipeWriter(io.RawIOBase):
     that stops draining blocks the writer once the 64 KiB pipe buffer
     fills)."""
 
-    def __init__(self, cmd: str, timeout: float = _PIPE_TIMEOUT):
+    def __init__(
+        self,
+        cmd: str,
+        timeout: float = _PIPE_TIMEOUT,
+        ok_status: tuple[int, ...] = _PIPE_OK,
+    ):
         self._proc = subprocess.Popen(  # noqa: S602
             cmd, shell=True, stdin=subprocess.PIPE
         )
         self._cmd = cmd
         self._timeout = timeout
+        self._ok_status = ok_status
 
     def writable(self) -> bool:
         return True
@@ -164,7 +176,7 @@ class _PipeWriter(io.RawIOBase):
                 f"pipe command did not exit within {self._timeout}s: {self._cmd}"
             ) from None
         super().close()
-        if status not in _PIPE_OK:
+        if status not in self._ok_status:
             raise RuntimeError(f"pipe command failed ({status}): {self._cmd}")
 
 
@@ -232,10 +244,11 @@ def _gopen_file(url: str, mode: str, **kw):
 def _gopen_pipe(url: str, mode: str, **kw):
     cmd = url[len("pipe:") :]
     t = kw.get("timeout", _PIPE_TIMEOUT)
+    ok = tuple(kw.get("ok_status", _PIPE_OK))  # reference Pipe ignore_status
     if mode.startswith("r"):
-        return _PipeReader(cmd, timeout=t)
+        return _PipeReader(cmd, timeout=t, ok_status=ok)
     if mode.startswith("w"):
-        return _PipeWriter(cmd, timeout=t)
+        return _PipeWriter(cmd, timeout=t, ok_status=ok)
     raise ValueError(f"pipe: unsupported mode {mode!r}")
 
 
