@@ -620,3 +620,33 @@ def test_duplicate_ngrams_counts_distinct_docs(spark, tmp_path):
     assert out[span].n_docs == 2 and out[span].first_doc == 1
     # nothing from the unshared doc
     assert all("totally" not in k for k in out)
+
+
+def test_lsh_band_plan_properties():
+    """The banding planner's S-curve math: the repo's 4x2 default IS the
+    tau=0.5 answer for 8 hashes; higher thresholds choose deeper rows
+    (more selective bands); error masses are genuine integrals in [0,1];
+    s50 sits where the candidate probability crosses 1/2."""
+    from video_data_pipeline_spark.queries.dedup import lsh_band_plan
+
+    p = lsh_band_plan(8, 0.5)
+    assert (p["bands"], p["rows"]) == (4, 2)
+
+    hi = lsh_band_plan(8, 0.85)
+    assert hi["rows"] > p["rows"]
+
+    lo = lsh_band_plan(8, 0.15)
+    assert lo["rows"] < p["rows"]
+
+    for plan in (p, hi, lo):
+        assert 0 <= plan["fp_mass"] <= 1 and 0 <= plan["fn_mass"] <= 1
+        b, r, st = plan["bands"], plan["rows"], plan["s_thresh"]
+        prob = 1 - (1 - st**r) ** b
+        assert abs(prob - (1 - (1 - 1 / b) ** b)) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        lsh_band_plan(0, 0.5)
+    with pytest.raises(ValueError):
+        lsh_band_plan(8, 1.0)

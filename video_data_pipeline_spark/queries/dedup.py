@@ -835,3 +835,55 @@ def q_dedup_triangles(spark, sf_dir):
     n_tri = count_triangles(pairs, a="doc_a", b="doc_b", degree_order=True)
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_tri.crossJoin(F.broadcast(n_edges))
+
+
+def lsh_band_plan(n_hashes: int = _N_HASHES, tau: float = 0.5) -> dict:
+    """Choose the (bands, rows) factorization of an ``n_hashes`` MinHash
+    signature for a target similarity threshold ``tau`` — the standard
+    S-curve analysis (Leskovec/Rajaraman/Ullman, "Mining of Massive
+    Datasets" §3.4): a pair with Jaccard ``s`` becomes a candidate with
+    probability ``p(s) = 1 - (1 - s^rows)^bands``.
+
+    Scoring integrates the two error masses with a trapezoid rule:
+    false-negative mass ``∫_tau^1 (1 - p(s)) ds`` (true near-dups LSH
+    misses — pay re-scan) and false-positive mass ``∫_0^tau p(s) ds``
+    (non-dups surfacing as candidates — pay verification, the cost
+    :func:`q_jaccard_verified_pairs` bounds). The returned plan minimizes
+    their sum; ``s_thresh = (1/bands)^(1/rows)`` is the S-curve threshold
+    approximation (there ``p = 1-(1-1/bands)^bands``, ≈0.63 for large
+    band counts — the curve's rise point, not an exact half-crossing).
+    The repo default (8 hashes, 4×2) is this function's answer for
+    tau = 0.5."""
+    if n_hashes < 1:
+        raise ValueError("n_hashes must be positive")
+    if not 0.0 < tau < 1.0:
+        raise ValueError("tau must be in (0, 1)")
+    steps = 1000
+    best = None
+    for rows in range(1, n_hashes + 1):
+        if n_hashes % rows:
+            continue
+        bands = n_hashes // rows
+
+        def p(s: float, r: int = rows, b: int = bands) -> float:
+            return 1.0 - (1.0 - s**r) ** b
+
+        fn = fp = 0.0
+        for i in range(steps):
+            s0, s1 = i / steps, (i + 1) / steps
+            mid = (s0 + s1) / 2.0
+            if mid >= tau:
+                fn += (1.0 - p(mid)) / steps
+            else:
+                fp += p(mid) / steps
+        plan = {
+            "bands": bands,
+            "rows": rows,
+            "s_thresh": (1.0 / bands) ** (1.0 / rows),
+            "fp_mass": fp,
+            "fn_mass": fn,
+            "error_mass": fp + fn,
+        }
+        if best is None or plan["error_mass"] < best["error_mass"]:
+            best = plan
+    return best
