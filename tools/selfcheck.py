@@ -102,6 +102,13 @@ def main() -> int:
         help="also write per-query results to this JSON file "
         "(committed as CORRECTNESS_full_r{N}.json)",
     )
+    ap.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip queries already recorded in --json (restartable sweeps: "
+        "the JSON is flushed after every query, so a killed run loses at "
+        "most the in-flight query)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -135,6 +142,20 @@ def main() -> int:
 
     n_pass = n_fail = n_nooracle = 0
     results: dict[str, dict] = {}
+    if args.resume and args.json and os.path.exists(args.json):
+        import json
+
+        with open(args.json) as f:
+            prior = json.load(f).get("queries", {})
+        for name, rec in prior.items():
+            results[name] = rec
+            if rec.get("status") == "pass":
+                n_pass += 1
+            elif rec.get("status") == "fail":
+                n_fail += 1
+            else:
+                n_nooracle += 1
+        print(f"resuming: {len(prior)} queries already recorded")
 
     def flush_json() -> None:
         if not args.json:
@@ -150,6 +171,8 @@ def main() -> int:
             json.dump(payload, f, indent=1)
     for name, q in sorted(registry.items()):
         if (only and name not in only) or name in exclude:
+            continue
+        if args.resume and name in results:
             continue
         t0 = time.time()
         try:
