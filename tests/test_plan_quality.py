@@ -423,6 +423,27 @@ def test_q_jaccard_verified_pairs_sourced_from_lsh_not_self_join(spark, sf_dir):
     )
 
 
+def test_q_levenshtein_verified_pairs_sourced_from_lsh_and_banded(spark, sf_dir):
+    """The Levenshtein verifier must (a) take its pairs from the LSH
+    bucket combinatorics like the Jaccard verifier — never an all-pairs
+    text self-join — and (b) use the BANDED 3-arg levenshtein so per-pair
+    cost is O(k·len), not O(len²)."""
+    plan = plan_of(spark, sf_dir, "q_levenshtein_verified_pairs")
+    assert "flatten(transform(ids" in plan, (
+        "pair source is not the LSH bucket combinatorics"
+    )
+    assert re.search(r"levenshtein\([^)]*120", plan), (
+        "banded (3-arg) levenshtein with the k=120 cutoff not in the plan"
+    )
+    join_keys = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)[^\n]*", plan
+    )
+    assert join_keys, "no equi-joins found"
+    assert not any("shingle#" in j for j in join_keys), (
+        "shingle-keyed self-join leaked into the Levenshtein verifier plan"
+    )
+
+
 def test_runtime_bloom_filter_engages_on_selective_join(spark, sf_dir):
     """Runtime bloom-filter join pruning (dormant below its 10MB/10GB
     defaults — the ROADMAP r5 'scaled demonstration'): with deployment-

@@ -536,6 +536,61 @@ def q_jaccard_verified_pairs(spark, sf_dir):
     )
 
 
+#: banded edit-distance cutoff for LSH-candidate verification. Chosen
+#: non-vacuous on the test corpora: at sf0.01 LSH surfaces 31 candidate
+#: pairs with distances 4..337 — k=120 keeps 25 and rejects 6, so the
+#: filter provably does work in both engines.
+_LEV_K = 120
+
+
+def _duck_levenshtein_sql() -> str:
+    return f"""
+WITH pairs AS ({_duck_lsh_pairs_sql().strip()})
+SELECT p.doc_a, p.doc_b, levenshtein(da.text, db.text) AS edit_dist
+FROM pairs p
+JOIN documents da ON da.doc_id = p.doc_a
+JOIN documents db ON db.doc_id = p.doc_b
+WHERE levenshtein(da.text, db.text) <= {_LEV_K}
+"""
+
+
+@query(
+    "q_levenshtein_verified_pairs",
+    oracle=_duck_levenshtein_sql(),
+    tags=("dedup", "levenshtein", "minhash", "join"),
+)
+def q_levenshtein_verified_pairs(spark, sf_dir):
+    """VERIFIED near-dup pairs by EDIT DISTANCE: banded Levenshtein
+    computed ONLY on the MinHash-LSH candidate pairs — the character-level
+    sibling of :func:`q_jaccard_verified_pairs` (token-level). Useful when
+    near-dups differ by small in-place edits (OCR noise, template fills)
+    that shingle Jaccard under-weights.
+
+    Scale shape: Spark's 3-arg ``levenshtein(a, b, k)`` runs the BANDED
+    dynamic program — O(k·max(len)) per pair instead of O(len²) — and
+    returns -1 above the cutoff, so cost is bounded per candidate and the
+    expensive metric is paid only for the |candidates| pairs LSH surfaces
+    (never all-pairs). The two doc_id-keyed joins that attach text hit
+    AQE's broadcast tier exactly as in the Jaccard verifier.
+
+    Engine parity caveat (pinned by tests/test_levenshtein_parity.py):
+    Spark counts CODEPOINTS, DuckDB counts UTF-8 BYTES — identical on
+    ASCII corpora (this testdata is pure ASCII); for multilingual corpora
+    normalize both sides or keep the verifier engine-internal."""
+    d = table(spark, sf_dir, "documents")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    joined = pairs.join(ta, "doc_a").join(tb, "doc_b")
+    # banded: returns the exact distance when <= k, else -1 — so the
+    # filter below both applies the cutoff and drops the sentinel
+    lev = F.levenshtein("ta", "tb", _LEV_K)
+    return (
+        joined.select("doc_a", "doc_b", lev.alias("edit_dist"))
+        .where(F.col("edit_dist") >= 0)
+    )
+
+
 def _duck_clusters_sql() -> str:
     pairs = _duck_lsh_pairs_sql().strip()
     return f"""
