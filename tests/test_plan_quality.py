@@ -444,6 +444,39 @@ def test_q_levenshtein_verified_pairs_sourced_from_lsh_and_banded(spark, sf_dir)
     )
 
 
+def test_q_bm25_filters_postings_early_and_takeordered(spark, sf_dir):
+    """BM25's explode must be filtered to the query terms in the same
+    stage (postings = matching rows, not corpus tokens), and top-20 must
+    be a TakeOrdered tree-reduce — a global Sort of the scored docs would
+    be a total-order exchange paid for 20 rows."""
+    plan = plan_of(spark, sf_dir, "q_bm25")
+    assert "TakeOrderedAndProject" in plan, "top-20 is not TakeOrdered"
+    # the term IN-filter must sit under the tf aggregate, not after a join
+    assert re.search(r"term#\d+ IN \(spark,join,vector\)|term#\d+ IN \(", plan), (
+        "query-term filter missing from the physical plan"
+    )
+    assert "Sort " not in plan.split("TakeOrderedAndProject")[0].split("\n")[0], (
+        "unexpected global sort above TakeOrdered"
+    )
+
+
+def test_q_pagerank_invariants(spark, sf_dir):
+    """Closed-form invariants of the integer PageRank: every node's rank
+    is >= the teleport floor; total rank never exceeds |V|·1e6 (floor
+    division only loses mass); and ranks are deterministic across runs
+    (pure integer arithmetic)."""
+    from video_data_pipeline_spark.queries.dedup import q_pagerank
+
+    df = q_pagerank(spark, sf_dir)
+    rows = {r.doc_id: r.rank_micro for r in df.collect()}
+    if not rows:
+        pytest.skip("no LSH pairs at this sf")
+    assert all(r >= 150_000 for r in rows.values())
+    assert sum(rows.values()) <= len(rows) * 1_000_000
+    again = {r.doc_id: r.rank_micro for r in q_pagerank(spark, sf_dir).collect()}
+    assert again == rows
+
+
 def test_runtime_bloom_filter_engages_on_selective_join(spark, sf_dir):
     """Runtime bloom-filter join pruning (dormant below its 10MB/10GB
     defaults — the ROADMAP r5 'scaled demonstration'): with deployment-

@@ -892,6 +892,80 @@ def q_dedup_triangles(spark, sf_dir):
     return n_tri.crossJoin(F.broadcast(n_edges))
 
 
+_PR_ITERS = 3
+_PR_ONE = 1_000_000  # rank unit in micro
+_PR_TELEPORT = 150_000  # (1 - 0.85) in micro
+_PR_DAMP_NUM, _PR_DAMP_DEN = 85, 100  # 0.85 as an integer ratio
+
+
+def _duck_pagerank_sql() -> str:
+    ctes = [
+        f"WITH lsh AS ({_duck_lsh_pairs_sql().strip()})",
+        "sym AS (SELECT doc_a AS u, doc_b AS v FROM lsh"
+        " UNION SELECT doc_b AS u, doc_a AS v FROM lsh)",
+        "deg AS (SELECT u, COUNT(*) AS deg FROM sym GROUP BY u)",
+        f"r0 AS (SELECT u AS node, CAST({_PR_ONE} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(_PR_ITERS):
+        ctes.append(
+            f"r{i + 1} AS (SELECT s.v AS node, "
+            f"CAST({_PR_TELEPORT} + SUM((r.r * {_PR_DAMP_NUM}) "
+            f"// (d.deg * {_PR_DAMP_DEN})) AS BIGINT) AS r "
+            f"FROM sym s JOIN r{i} r ON r.node = s.u "
+            f"JOIN deg d ON d.u = s.u GROUP BY s.v)"
+        )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT node AS doc_id, r AS rank_micro FROM r{_PR_ITERS}"
+    )
+
+
+@query("q_pagerank", oracle=_duck_pagerank_sql(), tags=("dedup", "graph", "iterative"))
+def q_pagerank(spark, sf_dir):
+    """PageRank over the MinHash-LSH near-dup graph — the centrality
+    signal that picks the CANONICAL document of a duplicate neighborhood
+    (highest-rank member survives; Page et al. 1999, damping 0.85,
+    3 Jacobi iterations).
+
+    Integer discretization for engine parity: ranks live in micro-units
+    BIGINT and each out-contribution is ``(r·85) div (deg·100)`` — floor
+    division on positive integers, identical in Spark (`div`) and DuckDB
+    (`//`) — so every fold is an exact, order-free BIGINT sum and the
+    oracle (unrolled per-iteration CTEs) matches bit-for-bit. No float
+    accumulates across rows, the failure mode a naive double PageRank
+    would hit on any engine pair.
+
+    Scale shape: the symmetric graph means no dangling-mass correction;
+    per iteration the plan is one node-keyed equi-join (rank ⋈ edges,
+    uniform doc_id key) + one dst-keyed partial-agg groupBy — the classic
+    distributed PageRank topology. The degree table joins by the same key
+    and AQE broadcasts it when the graph is small; at 100 TB both joins
+    shuffle on the uniform node id. Iterations here unroll into one plan
+    (3 rounds); an open-ended variant would localCheckpoint per round
+    exactly as operators/components.py does."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    sym = fwd.union(rev).distinct()
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select(F.col("u").alias("node"), F.lit(_PR_ONE).cast("bigint").alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            sym.join(ranks, sym["u"] == ranks["node"])
+            .join(deg, "u")
+            .select(
+                "v",
+                F.expr(
+                    f"(r * {_PR_DAMP_NUM}) div (deg * {_PR_DAMP_DEN})"
+                ).alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("v").agg(
+            (F.lit(_PR_TELEPORT) + F.sum("c")).cast("bigint").alias("r")
+        ).select(F.col("v").alias("node"), "r")
+    return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro"))
+
+
 def lsh_band_plan(n_hashes: int = _N_HASHES, tau: float = 0.5) -> dict:
     """Choose the (bands, rows) factorization of an ``n_hashes`` MinHash
     signature for a target similarity threshold ``tau`` — the standard

@@ -508,6 +508,122 @@ def q_tfidf_top_terms(spark, sf_dir):
     )
 
 
+#: fixed query-term set for BM25 ranking (present in the synthetic corpus
+#: vocabulary); BM25 constants are the Robertson/Okapi defaults
+_BM25_TERMS = ("spark", "join", "vector")
+_BM25_MICRO = 1_000_000
+
+
+def _duck_bm25_sql() -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+scal AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(len(t)) AS BIGINT) AS sum_dl FROM toks
+),
+words AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM toks
+),
+tf AS (
+  SELECT doc_id, dl, term, COUNT(*) AS tf FROM words
+  WHERE term IN ({terms}) GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+),
+idf AS (
+  SELECT term,
+         CAST(ROUND(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+              * {_BM25_MICRO}) AS BIGINT) AS idf_micro
+  FROM dfreq, scal s
+),
+scored AS (
+  SELECT t.doc_id,
+         CAST(ROUND(i.idf_micro * ((t.tf * 2.2) /
+              (t.tf + 1.2 * (0.25 + 0.75 * ((t.dl * s.n_docs) / s.sum_dl)))))
+              AS BIGINT) AS score_micro
+  FROM tf t JOIN idf i ON t.term = i.term, scal s
+)
+SELECT doc_id, CAST(SUM(score_micro) AS BIGINT) AS bm25_micro
+FROM scored GROUP BY doc_id
+ORDER BY bm25_micro DESC, doc_id LIMIT 20
+"""
+
+
+@query("q_bm25", oracle=_duck_bm25_sql(), tags=("text", "ranking", "topk"))
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 relevance ranking for a fixed query-term set (k1=1.2,
+    b=0.75) — the retrieval scorer a curation pipeline uses to mine
+    topic-targeted training data from a 100 TB corpus.
+
+    Fixed-point discipline (stats.py pattern): ln() is evaluated ONLY on
+    the |query|-row document-frequency table and rounded to 1e-6; the
+    per-(doc, term) tf-saturation factor is a fixed-order chain of IEEE
+    double ops on exact integers (tf, dl, N, Σdl) — deterministic across
+    engines — and each term score is rounded to micro-units BIGINT before
+    the per-doc fold, so the final sum is exact integer arithmetic.
+
+    Scale shape: the explode is filtered to the query terms IMMEDIATELY,
+    so the postings stream is |matching rows|, not corpus tokens; the idf
+    table (|query| rows) and the two corpus scalars broadcast; the only
+    data-sized shuffle is the (doc_id, term) tf groupBy; top-20 is a
+    TakeOrdered tree-reduce, never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.expr(_SPARK_TOKENS).alias("t"))
+    scal = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).alias("sum_dl"),
+    )
+    words = toks.select(
+        "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+    ).where(F.col("term").isin(*_BM25_TERMS))
+    tf = words.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = dfreq.crossJoin(F.broadcast(scal)).select(
+        "term",
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+            )
+            * _BM25_MICRO
+        )
+        .cast("bigint")
+        .alias("idf_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_micro")
+                * (
+                    (F.col("tf") * 2.2)
+                    / (
+                        F.col("tf")
+                        + 1.2
+                        * (
+                            0.25
+                            + 0.75
+                            * ((F.col("dl") * F.col("n_docs")) / F.col("sum_dl"))
+                        )
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("score_micro").alias("bm25_micro"))
+        .orderBy(F.col("bm25_micro").desc(), "doc_id")
+        .limit(20)
+    )
+
+
 @query(
     "q_corpus_stats",
     oracle="""
