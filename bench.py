@@ -35,6 +35,8 @@ HEADLINE = [
     "q_simhash",
     "q_simhash_near_pairs",
     "q_jaccard_verified_pairs",
+    "q_levenshtein_verified_pairs",
+    "q_pagerank",
     # similarity search
     "q_ann_bruteforce",
     "q_lsh_buckets",
@@ -51,6 +53,7 @@ HEADLINE = [
     "q_quality_score",
     "q_hash_tokenize",
     "q_lang_id",
+    "q_bm25",
     # events
     "q_sessionize",
     "q_window_tumbling",
