@@ -103,6 +103,12 @@ def main() -> int:
         "(committed as CORRECTNESS_full_r{N}.json)",
     )
     ap.add_argument(
+        "--note",
+        default=None,
+        help="free-text note recorded in the JSON (use it to say WHY "
+        "queries were excluded — a partial sweep must never read as full)",
+    )
+    ap.add_argument(
         "--resume",
         action="store_true",
         help="skip queries already recorded in --json (restartable sweeps: "
@@ -167,6 +173,10 @@ def main() -> int:
             "summary": {"pass": n_pass, "fail": n_fail, "rows_only": n_nooracle},
             "queries": results,
         }
+        if exclude:
+            payload["excluded"] = sorted(exclude)
+        if args.note:
+            payload["note"] = args.note
         with open(args.json, "w") as f:
             json.dump(payload, f, indent=1)
     for name, q in sorted(registry.items()):
