@@ -310,3 +310,52 @@ def q_revenue_gini(spark, sf_dir):
             - (n_d + 1.0) / n_d
         ).alias("gini"),
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _duck_profile_sql() -> str:
+    parts = [
+        f"SELECT '{c}' AS col_name, COUNT(*) AS n_rows, "
+        f"COUNT(*) - COUNT({c}) AS n_null, "
+        f"COUNT(DISTINCT {c}) AS n_distinct, "
+        f"CAST(MIN({c}) AS VARCHAR) AS min_val, "
+        f"CAST(MAX({c}) AS VARCHAR) AS max_val FROM documents"
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query("q_profile", oracle=_duck_profile_sql(), tags=("stats", "profile"))
+def q_profile(spark, sf_dir):
+    """Column profiler — the per-column health report (row/null/distinct
+    counts, min/max) a pipeline runs before and after every curation
+    stage to catch schema rot, null floods, and collapsed domains.
+
+    ONE corpus pass: all 5×4 metrics fold in a single aggregate (the
+    multiple COUNT DISTINCTs plan as one Expand — a 5× row fan-out in the
+    map stage, still one scan and one shuffle of 1 row per metric group),
+    then a ``stack`` pivots the 1-row result to the per-column report.
+    min/max are computed on the NATIVE type and cast to string afterwards,
+    so numeric columns report numeric extrema, not lexicographic ones.
+    The oracle scans once per column (5 scans) — fine for an oracle,
+    wrong for 100 TB; the one-pass shape is the point of the Spark plan."""
+    d = table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(col_name, n_null, n_distinct, min_val, max_val)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_null", "n_distinct", "min_val", "max_val")
