@@ -98,31 +98,36 @@ def test_watermark_drops_late_data(spark, tmp_path):
     from video_data_pipeline_spark.streaming.jobs import EVENTS_SCHEMA
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(src))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
-    agg = (
-        stream.withWatermark("ts", "1 hour")
-        .groupBy(F.window("ts", "1 hour"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.col("window.start").alias("ws"), "n")
-    )
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName("late_out")
-        .option("checkpointLocation", str(tmp_path / "ck_late"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    rows = {r.ws: r.n for r in spark.sql("SELECT * FROM late_out").collect()}
-    # hour-0 window finalized with ONLY the on-time event; the late event
-    # (event_id 4) was dropped by the watermark (h10 window still pending)
-    assert sorted(rows.values()) == [1], rows
+    try:
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("late_out")
+            .option("checkpointLocation", str(tmp_path / "ck_late"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = {r.ws: r.n for r in spark.sql("SELECT * FROM late_out").collect()}
+        # hour-0 window finalized with ONLY the on-time event; the late event
+        # (event_id 4) was dropped by the watermark (h10 window still pending)
+        assert sorted(rows.values()) == [1], rows
+    finally:
+        # leaked nanosAsLong changes how OTHER tests' batch reads decode
+        # parquet footers — restore unconditionally
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
