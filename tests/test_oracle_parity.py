@@ -57,3 +57,31 @@ def test_q_approx_distinct_error_bound_vs_exact(spark, sf_dir, duck):
     assert (rel_err <= 0.20).all(), (
         f"HLL relative error out of bound:\n{m.assign(rel_err=rel_err)}"
     )
+
+
+def test_packing_oracle_forms_agree(duck):
+    """The registered packing oracles are list_reduce FOLDS (one pass per
+    source — the recursive CTE's row-per-iteration walk blew the sf10
+    oracle budget); this pins fold == recursion on the real table so the
+    fold can never silently drift from the reference greedy semantics
+    (tokenize/main.py:186-215). Also documents the DuckDB 1.0 quirk the
+    fold works around: list_reduce requires accumulator type == element
+    type, and a STRUCT-field list accumulator mis-binds (reads the
+    original list each step), hence the reserved-slot BIGINT[] encoding."""
+    from video_data_pipeline_spark.queries.packing import (
+        _greedy_fold_sql,
+        _greedy_walk_sql,
+        _shard_roll_fold_sql,
+        _shard_roll_sql,
+    )
+
+    for fold, walk, keys in [
+        (_greedy_fold_sql(2000), _greedy_walk_sql(2000), ["source", "doc_id"]),
+        (_shard_roll_fold_sql(25, 6000), _shard_roll_sql(25, 6000), ["lang", "doc_id"]),
+    ]:
+        f = duck.execute(fold).fetchdf().sort_values(keys).reset_index(drop=True)
+        w = duck.execute(walk).fetchdf().sort_values(keys).reset_index(drop=True)
+        assert len(f) == len(w) > 0
+        assert f[w.columns].astype("int64", errors="ignore").equals(
+            w.astype("int64", errors="ignore")
+        ), f"fold and recursive oracle forms diverge for keys {keys}"

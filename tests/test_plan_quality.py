@@ -294,9 +294,14 @@ def test_q_funnel_single_user_exchange_no_self_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_funnel")
     assert "Join" not in plan, "funnel acquired a self-join"
     assert "windowspecdefinition(user_id" in plan, "stage passes lost the user window"
-    # both window passes + final agg re-use ONE user_id exchange (0 when a
-    # prior test left a pre-partitioned cache substituted into the scan)
-    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+    # both window passes + final agg re-use ONE user_id-ONLY exchange (0
+    # when a prior test left a pre-partitioned cache substituted into the
+    # scan). Match the single-key form exactly — `user_id#<ref>, <nparts>)`
+    # — because session state from earlier tests can make the final
+    # multi-count-distinct Expand aggregate plan its own COMPOUND-key
+    # exchange whose key list merely STARTS with user_id (the r6 flake).
+    single_key = re.findall(r"Exchange hashpartitioning\(user_id#\d+L?, \d+\)", plan)
+    assert len(single_key) <= 1, plan
 
 
 def test_q_retention_self_join_on_reduced_set(spark, sf_dir):
@@ -404,6 +409,72 @@ def test_q_simhash_near_pairs_bucketed_equi_join_wide_keyspace(spark, sf_dir):
     assert per_doc == 4
 
 
+def test_q_minhash_lsh_pairs_bands_exact_dup_representatives(spark, sf_dir):
+    """The MinHash banding input must be the DISTINCT-CONTENT representative
+    set, not raw documents (r6 VERDICT #1): a c-clone clique otherwise lands
+    whole in one band bucket and re-derives O(c²) zero-information pairs
+    that q_dedup_exact already reports. Pins (a) the fingerprint-collapse
+    aggregate sitting BELOW the shingle/banding pipeline and (b) the total
+    exchange count — fingerprint groupBy, band-bucket groupBy, final
+    distinct — so no extra shuffle sneaks in."""
+    from video_data_pipeline_spark.queries.dedup import (
+        exact_dup_representatives,
+        minhash_bands,
+    )
+    from video_data_pipeline_spark.queries.registry import table
+
+    plan = plan_of(spark, sf_dir, "q_minhash_lsh_pairs")
+    assert "partial_min(struct(doc_id" in plan, (
+        "exact-dup rep collapse (groupBy(md5).min(struct)) missing below banding"
+    )
+    assert plan.count("Exchange") == 3, plan
+    # runtime: the banded row count is 4 bands × |distinct contents|, never
+    # 4 × |docs| (equal only when the corpus has no exact dups)
+    d = table(spark, sf_dir, "documents")
+    n_reps = exact_dup_representatives(d).count()
+    n_banded = minhash_bands(exact_dup_representatives(d)).count()
+    n_short = d.count() - d.where(
+        "size(split(trim(text), ' +')) >= 3"
+    ).count()  # <3-word docs have no shingles and drop out pre-banding
+    assert n_banded == 4 * (n_reps - n_short), (n_banded, n_reps, n_short)
+
+
+def test_q_dedup_clusters_member_edges_are_linear_star(spark, sf_dir):
+    """Cluster formation must recover clone members through O(c) star
+    edges (exact_dup_edges), never by banding members: components over
+    (rep pairs ∪ star) equal the old every-member clustering by
+    construction, and the edge count is linear in clique size. Runtime
+    check on a replicated frame: a 6-clone clique contributes exactly 5
+    star edges, all anchored at the clique minimum."""
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.queries.dedup import exact_dup_edges
+
+    docs = spark.createDataFrame(
+        [(i, "the same exact text body") for i in range(6)]
+        + [(10, "a different unique document")],
+        "doc_id long, text string",
+    )
+    edges = exact_dup_edges(docs).collect()
+    assert len(edges) == 5
+    assert all(r.doc_a == 0 for r in edges)
+    assert sorted(r.doc_b for r in edges) == [1, 2, 3, 4, 5]
+    # and the edge frame the query feeds into connected-components (whose
+    # own executed plan is an opaque checkpointed-RDD scan) must union the
+    # bucket combinatorics with the fingerprint star join
+    from video_data_pipeline_spark.queries.dedup import q_minhash_lsh_pairs
+    from video_data_pipeline_spark.queries.registry import table
+
+    edges_df = q_minhash_lsh_pairs(spark, sf_dir).unionByName(
+        exact_dup_edges(table(spark, sf_dir, "documents"))
+    )
+    plan = edges_df._jdf.queryExecution().executedPlan().toString()
+    assert "flatten(transform(ids" in plan, "rep-level LSH pair source missing"
+    assert plan.count("partial_min") >= 2, (
+        "fingerprint star-edge aggregate missing from the union"
+    )
+
+
 def test_q_jaccard_verified_pairs_sourced_from_lsh_not_self_join(spark, sf_dir):
     """The verified-Jaccard query must take its pair list from the LSH
     band buckets (the in-bucket combinatorics Generate) and attach shingle
@@ -451,12 +522,19 @@ def test_q_bm25_filters_postings_early_and_takeordered(spark, sf_dir):
     be a total-order exchange paid for 20 rows."""
     plan = plan_of(spark, sf_dir, "q_bm25")
     assert "TakeOrderedAndProject" in plan, "top-20 is not TakeOrdered"
-    # the term IN-filter must sit under the tf aggregate, not after a join
-    assert re.search(r"term#\d+ IN \(spark,join,vector\)|term#\d+ IN \(", plan), (
-        "query-term filter missing from the physical plan"
-    )
-    assert "Sort " not in plan.split("TakeOrderedAndProject")[0].split("\n")[0], (
-        "unexpected global sort above TakeOrdered"
+    # the term IN-filter must be the IMMEDIATE PARENT of the token-explode
+    # Generate (filter applied as tokens stream out of the explode, before
+    # any aggregate or join ships corpus tokens): in the printed tree the
+    # `Filter term# IN (...)` line is followed directly by the
+    # `Generate explode` line
+    assert re.search(
+        r"Filter term#\d+ IN \([^)]*\)\n[\s:+|-]*Generate explode", plan
+    ), "term IN-filter is not the explode's immediate parent"
+    # no GLOBAL sort anywhere in the plan (global prints `Sort [...], true`;
+    # SMJ/SortAggregate partition-local sorts print `, false`): top-20 must
+    # be a TakeOrdered tree-reduce, never a total-order exchange
+    assert not re.search(r"Sort \[[^\]]*\], true", plan), (
+        "global sort found — top-20 is not a tree-reduce"
     )
 
 

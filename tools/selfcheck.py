@@ -97,6 +97,13 @@ def main() -> int:
         "--exclude", default=None, help="comma-separated query names to skip"
     )
     ap.add_argument(
+        "--exclude-tags",
+        default=None,
+        help="comma-separated registry tags to skip (e.g. demo_quadratic "
+        "for math-oracle queries that are intentionally quadratic); the "
+        "resolved query names are recorded in the artifact's excluded list",
+    )
+    ap.add_argument(
         "--json",
         default=None,
         help="also write per-query results to this JSON file "
@@ -124,6 +131,9 @@ def main() -> int:
     registry = load_all()
     only = set(args.only.split(",")) if args.only else None
     exclude = set(args.exclude.split(",")) if args.exclude else set()
+    if args.exclude_tags:
+        tags = {t.strip() for t in args.exclude_tags.split(",") if t.strip()}
+        exclude |= {n for n, q in registry.items() if tags & set(q.tags)}
     if only:
         unknown = only - set(registry)
         if unknown:
@@ -148,11 +158,20 @@ def main() -> int:
 
     n_pass = n_fail = n_nooracle = 0
     results: dict[str, dict] = {}
+    prior_note: str | None = None
+    prior_excluded: list[str] = []
     if args.resume and args.json and os.path.exists(args.json):
         import json
 
         with open(args.json) as f:
-            prior = json.load(f).get("queries", {})
+            prior_payload = json.load(f)
+        prior = prior_payload.get("queries", {})
+        # provenance carries across resumes: a resumed invocation that
+        # omits --note/--exclude must not silently strip the prior run's
+        # record of WHY queries were excluded (a partial sweep must never
+        # read as full)
+        prior_note = prior_payload.get("note")
+        prior_excluded = prior_payload.get("excluded", [])
         for name, rec in prior.items():
             results[name] = rec
             if rec.get("status") == "pass":
@@ -173,10 +192,20 @@ def main() -> int:
             "summary": {"pass": n_pass, "fail": n_fail, "rows_only": n_nooracle},
             "queries": results,
         }
-        if exclude:
-            payload["excluded"] = sorted(exclude)
-        if args.note:
-            payload["note"] = args.note
+        all_excluded = sorted(set(prior_excluded) | exclude)
+        if all_excluded:
+            payload["excluded"] = all_excluded
+        note = args.note or prior_note
+        if note:
+            payload["note"] = note
+        # an --only sweep is partial by construction: record both the
+        # requested subset and everything it leaves unrun, so the artifact
+        # can never be mistaken for a full-registry result
+        if only:
+            payload["only"] = sorted(only)
+            payload["not_run"] = sorted(
+                set(registry) - set(results) - exclude - only
+            )
         with open(args.json, "w") as f:
             json.dump(payload, f, indent=1)
     for name, q in sorted(registry.items()):

@@ -515,6 +515,10 @@ _BM25_MICRO = 1_000_000
 
 
 def _duck_bm25_sql() -> str:
+    # every fractional literal is CAST AS DOUBLE: DuckDB otherwise parses
+    # 2.2 as DECIMAL(2,1) and computes that term exactly before converting,
+    # while Spark runs the whole chain in IEEE doubles — a last-ulp
+    # divergence that could flip a micro-unit ROUND at a .5 boundary
     terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
     return f"""
 WITH toks AS (
@@ -535,14 +539,16 @@ dfreq AS (
 ),
 idf AS (
   SELECT term,
-         CAST(ROUND(ln((s.n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         CAST(ROUND(ln((s.n_docs - df + CAST(0.5 AS DOUBLE))
+              / (df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE))
               * {_BM25_MICRO}) AS BIGINT) AS idf_micro
   FROM dfreq, scal s
 ),
 scored AS (
   SELECT t.doc_id,
-         CAST(ROUND(i.idf_micro * ((t.tf * 2.2) /
-              (t.tf + 1.2 * (0.25 + 0.75 * ((t.dl * s.n_docs) / s.sum_dl)))))
+         CAST(ROUND(i.idf_micro * ((t.tf * CAST(2.2 AS DOUBLE)) /
+              (t.tf + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+               + CAST(0.75 AS DOUBLE) * ((t.dl * s.n_docs) / s.sum_dl)))))
               AS BIGINT) AS score_micro
   FROM tf t JOIN idf i ON t.term = i.term, scal s
 )
