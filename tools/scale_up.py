@@ -3,11 +3,27 @@ offsets, for scale validation beyond the shipped testdata (ROADMAP #2).
 
 Foreign keys stay valid because every copy applies the SAME offset to both
 sides of each relationship (orderkey on orders AND lineitem, etc.).
-Dimension tables (region, nation) are kept single-copy. Document text is
-left byte-identical across copies — exact duplicates at scale are the
-realistic shape for the dedup family.
+Dimension tables (region, nation) are kept single-copy. By default
+document text is left byte-identical across copies — exact duplicates at
+scale are one realistic shape for the dedup family; ``--perturb`` below
+is the other (near-dups without exact cliques).
 
 Usage: python tools/scale_up.py --src /root/testdata/sf0.1 --dst /tmp/sf1 --factor 10
+
+``--perturb`` makes replication produce realistic NEAR-dup structure
+instead of byte-identical clones (r6 VERDICT #4), so the near-dup family
+can run at scale with oracles and the rep-collapse banding is exercised
+on a corpus where reps ≈ all docs:
+- documents, copy c>0: if (doc_id + c) % 10 == 0 the copy appends one
+  marker token (` v{c}`) — a true near-dup of the original and of the
+  other marked copies (~factor/10 + 1 members per near-group, so the TRUE
+  pair count stays LINEAR in factor, unlike clone cliques); every other
+  copy interleaves a (doc,copy)-unique token after every 2nd word, which
+  puts that token inside EVERY 3-shingle — zero shingle overlap with
+  anything else, i.e. unrelated text. n_chars is recomputed.
+- embeddings, copy c>0: marked copies keep the vector (near-group around
+  the original); others cyclically shift components by 1 + (c % 63) —
+  near-zero cosine against every other shift of a random vector.
 """
 
 from __future__ import annotations
@@ -53,6 +69,12 @@ def main() -> int:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--dst", required=True)
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument(
+        "--perturb",
+        action="store_true",
+        help="near-dup (non-clique) replication for documents/embeddings "
+        "instead of byte-identical copies; see module docstring",
+    )
     args = ap.parse_args()
 
     spark = (
@@ -88,6 +110,28 @@ def main() -> int:
         copies = []
         for c in range(args.factor):
             cp = df
+            if args.perturb and c > 0 and name == "documents":
+                near = (F.col("doc_id") + c) % 10 == 0
+                marked = F.concat(F.col("text"), F.lit(f" v{c}"))
+                salt = F.concat(
+                    F.lit("$1 p"), F.col("doc_id").cast("string"), F.lit(f"c{c} ")
+                )
+                scrambled = F.regexp_replace(
+                    "text", F.lit(r"(\S+ \S+) "), salt
+                )
+                cp = cp.withColumn(
+                    "text", F.when(near, marked).otherwise(scrambled)
+                ).withColumn("n_chars", F.length("text").cast("long"))
+            if args.perturb and c > 0 and name == "embeddings":
+                near = (F.col("vec_id") + c) % 10 == 0
+                s = 1 + (c % 63)
+                shifted = F.expr(
+                    f"transform(sequence(0, size(embedding) - 1), "
+                    f"i -> embedding[int((i + {s}) % size(embedding))])"
+                ).cast("array<float>")
+                cp = cp.withColumn(
+                    "embedding", F.when(near, F.col("embedding")).otherwise(shifted)
+                )
             for col in cols:
                 cp = cp.withColumn(col, F.col(col) + F.lit(c * span))
             copies.append(cp)

@@ -141,7 +141,7 @@ def q_track_objects(spark, sf_dir):
     # 2 objects per video, 8 frames, linear motion parameterized by part attrs
     dets = (
         p.select(
-            (F.col("p_partkey") % 7).cast("string").alias("video_id"),
+            F.expr("p_partkey div 200").cast("string").alias("video_id"),
             F.col("p_partkey").alias("obj"),
             F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
             (F.col("p_size") % 5 + 1).alias("vx"),
@@ -170,7 +170,7 @@ def q_track_objects(spark, sf_dir):
     "q_track_separated",
     oracle="""
 WITH base AS (
-  SELECT p_partkey AS obj, CAST(p_partkey % 7 AS VARCHAR) AS video_id,
+  SELECT p_partkey AS obj, CAST(p_partkey // 200 AS VARCHAR) AS video_id,
          CAST(p_partkey % 13 * 30 AS DOUBLE) AS x0,
          CAST(p_partkey % 3 + 1 AS DOUBLE) AS vx
   FROM part WHERE p_partkey % 100 < 4
@@ -185,8 +185,13 @@ FROM base
 )
 def q_track_separated(spark, sf_dir):
     """Greedy-IoU tracking on a closed-form fixture, fully oracle-checkable
-    (the SQL-expressible invariant subset of q_track_objects): objects in a
-    video are y-separated by >=700px (zero cross-object IoU) and move <=3px
+    (the SQL-expressible invariant subset of q_track_objects): videos are
+    ``p_partkey div 200`` — two aligned 100-blocks of the %100<4 filter,
+    i.e. exactly 8 objects per video at EVERY scale factor (r6 VERDICT #5:
+    the old mod-7 key grew objects-per-video 100× under replication, making
+    greedy per-frame matching quadratic; scale_up's power-of-10 key offsets
+    are divisible by 200, so copies tile into fresh videos). Objects in a
+    video are y-separated by >=100px (zero cross-object IoU) and move <=3px
     per frame with 12px boxes (own-track IoU >=0.6 > 0.3 threshold), so the
     tracker provably assigns one track per object, numbered in frame-0
     processing order (det_id asc == obj asc) — i.e. track_id is exactly
@@ -197,7 +202,7 @@ def q_track_separated(spark, sf_dir):
 
     p = table(spark, sf_dir, "part").where(F.col("p_partkey") % 100 < 4)
     dets = p.select(
-        (F.col("p_partkey") % 7).cast("string").alias("video_id"),
+        F.expr("p_partkey div 200").cast("string").alias("video_id"),
         F.col("p_partkey").alias("obj"),
         F.explode(F.sequence(F.lit(0), F.lit(7))).alias("frame_idx"),
     ).select(
@@ -224,7 +229,7 @@ def q_track_separated(spark, sf_dir):
     "q_track_occlusion",
     oracle="""
 WITH base AS (
-  SELECT p_partkey AS obj, CAST(p_partkey % 7 AS VARCHAR) AS video_id,
+  SELECT p_partkey AS obj, CAST(p_partkey // 200 AS VARCHAR) AS video_id,
          p_partkey % 2 = 0 AS dies
   FROM part WHERE p_partkey % 100 < 4
 ),
@@ -267,7 +272,7 @@ def q_track_occlusion(spark, sf_dir):
     p = table(spark, sf_dir, "part").where(F.col("p_partkey") % 100 < 4)
     dies = F.col("obj") % 2 == 0
     objs = p.select(
-        (F.col("p_partkey") % 7).cast("string").alias("video_id"),
+        F.expr("p_partkey div 200").cast("string").alias("video_id"),
         F.col("p_partkey").alias("obj"),
     )
     dets = objs.select(
