@@ -608,6 +608,83 @@ def q_jaccard_verified_pairs(spark, sf_dir):
     )
 
 
+def _duck_expanded_pairs_sql() -> str:
+    inner = _duck_verified_pairs_sql().strip()
+    return f"""
+WITH vp AS ({inner}),
+mem AS (
+  SELECT MIN(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS rep,
+         doc_id, text
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(1.0 AS DOUBLE) AS jaccard
+FROM mem a JOIN mem b ON a.rep = b.rep AND a.doc_id < b.doc_id
+WHERE len({_DUCK_WORDS.replace("text", "a.text")}) >= 3
+UNION ALL
+SELECT LEAST(ma.doc_id, mb.doc_id) AS doc_a,
+       GREATEST(ma.doc_id, mb.doc_id) AS doc_b, p.jaccard
+FROM vp p JOIN mem ma ON ma.rep = p.doc_a JOIN mem mb ON mb.rep = p.doc_b
+"""
+
+
+@query(
+    "q_jaccard_pairs_expanded",
+    oracle=_duck_expanded_pairs_sql(),
+    tags=("dedup", "jaccard", "minhash", "expansion"),
+)
+def q_jaccard_pairs_expanded(spark, sf_dir):
+    """MEMBER-level verified near-dup pairs, recovered BY CONSTRUCTION from
+    the rep-level pipeline — the query that proves the round-7 contract: a
+    user who wants every (doc_a, doc_b, jaccard) pair (the pre-r7
+    q_jaccard_verified_pairs output, exactly) gets it without a single
+    Jaccard evaluation on clone pairs. Within-clique pairs are Jaccard 1.0
+    by definition (identical shingle sets); cross-clique pairs inherit
+    their representatives' verified value verbatim (members have identical
+    shingle sets to their rep). Equivalence to banding every member:
+    signatures are functions of text alone, so a member-level candidate
+    pair exists iff its rep pair does, with the same Jaccard.
+
+    Scale shape: verification cost is O(|rep candidates|); the expansion
+    is two fingerprint-keyed equi-joins plus one rep-keyed within-clique
+    join — pure pair GENERATION, no shingle math. Note the OUTPUT itself
+    is inherently quadratic in clique size on replication-heavy corpora
+    (that is the semantics being asked for); the rep-level queries are the
+    ones a 100 TB pipeline feeds downstream."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim("text")))
+    mem = d.select(fp.alias("f"), "doc_id", "text")
+    reps = mem.groupBy("f").agg(F.min("doc_id").alias("rep"))
+    mem = mem.join(reps, "f").select("rep", "doc_id", "text")
+    a = mem.alias("a")
+    b = mem.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.rep") == F.col("b.rep"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .where(F.expr(f"size({_SPARK_WORDS.replace('text', 'a.text')}) >= 3"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    vp = q_jaccard_verified_pairs(spark, sf_dir)
+    ma = mem.select(F.col("rep").alias("rep_a"), F.col("doc_id").alias("ma"))
+    mb = mem.select(F.col("rep").alias("rep_b"), F.col("doc_id").alias("mb"))
+    cross = (
+        vp.join(ma, vp["doc_a"] == ma["rep_a"])
+        .join(mb, vp["doc_b"] == mb["rep_b"])
+        .select(
+            F.least("ma", "mb").alias("doc_a"),
+            F.greatest("ma", "mb").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return within.unionByName(cross)
+
+
 #: banded edit-distance cutoff for LSH-candidate verification. Chosen
 #: non-vacuous on the test corpora: at sf0.01 LSH surfaces 31 candidate
 #: pairs with distances 4..337 — k=120 keeps 25 and rejects 6, so the
