@@ -284,6 +284,11 @@ def streaming_lsh_pairs(
     """Near-duplicate candidate pairs over a DOCUMENT STREAM — the
     streaming twin of ``q_minhash_lsh_pairs``, sharing its exact banding
     front half (``queries/dedup.py::minhash_bands``, pure column math).
+    Unlike the batch query (which bands one representative per content
+    fingerprint, round-7), the stream bands every incoming doc: exact-dup
+    suppression in a pipeline belongs to the upstream ``streaming_dedup``
+    stage, and the per-bucket ANCHOR state below already bounds clone
+    cost to one pair per clone (star, not clique).
 
     State per band bucket = the bucket's ANCHOR (first doc_id seen, min
     within the first batch); every later doc in the bucket emits one
