@@ -85,3 +85,44 @@ def test_packing_oracle_forms_agree(duck):
         assert f[w.columns].astype("int64", errors="ignore").equals(
             w.astype("int64", errors="ignore")
         ), f"fold and recursive oracle forms diverge for keys {keys}"
+
+
+def test_segment_dedup_invariants(spark, sf_dir):
+    """Semantic invariants of q_segment_dedup beyond the oracle hash-match:
+    (a) a doc with nothing dropped reassembles to its whitespace-normalized
+    original text (the split→dedup→reassemble loop is lossless); (b) a doc
+    whose content duplicates an earlier doc loses ALL its segments
+    (cleaned is NULL), matching exact-dedup's verdict; (c) dropped+kept
+    segment counts are conserved."""
+    import pyspark.sql.functions as F
+
+    from video_data_pipeline_spark.queries.registry import table
+
+    out = REGISTRY["q_segment_dedup"].spark_fn(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace(F.trim("text"), " +", " ").alias("norm")
+    )
+    j = out.join(docs, "doc_id").cache()
+    try:
+        mismatched = j.where(
+            (F.col("n_dropped") == 0) & (F.col("cleaned") != F.col("norm"))
+        ).count()
+        assert mismatched == 0, "lossless reassembly violated"
+        # clone docs (same content as an earlier doc_id) vanish entirely
+        fp = table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5(F.lower(F.trim("text"))).alias("f")
+        )
+        clones = fp.join(
+            fp.groupBy("f").agg(F.min("doc_id").alias("keep")), "f"
+        ).where(F.col("doc_id") != F.col("keep")).select("doc_id")
+        surviving_clone = j.join(clones, "doc_id").where(
+            F.col("cleaned").isNotNull()
+        ).count()
+        assert surviving_clone == 0, "a byte-identical clone kept segments"
+        # conservation: sum of per-doc segments == corpus segment count
+        totals = j.agg(
+            F.sum("n_segs").alias("s"), F.sum("n_dropped").alias("d")
+        ).first()
+        assert totals["d"] < totals["s"]
+    finally:
+        j.unpersist()

@@ -597,3 +597,37 @@ def test_runtime_bloom_filter_engages_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_q_segment_dedup_partial_agg_no_window(spark, sf_dir):
+    """First-occurrence selection must be groupBy(seg).min(struct) — partial
+    (map-side) aggregation absorbs a boilerplate segment repeated across
+    the corpus BEFORE the shuffle. A window row_number() over
+    PARTITION BY seg would sort every copy of the hottest segment in one
+    partition — the hot-key hazard the docstring rules out."""
+    plan = plan_of(spark, sf_dir, "q_segment_dedup")
+    assert "Window" not in plan, "segment first-occurrence regressed to a window"
+    assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,60}seg", plan), (
+        "join-back on seg lost its equi key"
+    )
+    # partial agg before the seg shuffle: both the merge-side and a
+    # partial_min must appear
+    assert "partial_min" in plan or "partial min" in plan.lower() or re.search(
+        r"HashAggregate.*min", plan
+    ), "no map-side combine on the seg groupBy"
+
+
+def test_q_fuzzy_join_lsh_band_equi_join_not_cross(spark, sf_dir):
+    """The A×B blocking join must be an equi-join on (band_idx, band_key) —
+    never the |A|×|B| cross join a naive fuzzy join plans — and both band
+    inputs must be rep-collapsed (two fingerprint groupBys feed the
+    banding)."""
+    plan = plan_of(spark, sf_dir, "q_fuzzy_join_lsh")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).{0,80}band_key", plan), (
+        "blocking join lost its band_key equi key"
+    )
+    # rep collapse on both sides: the md5 content fingerprint appears in
+    # at least two aggregates
+    assert plan.count("md5(cast(lower(trim(") >= 2, "a side bands raw docs, not reps"

@@ -1177,3 +1177,211 @@ def lsh_band_plan(n_hashes: int = _N_HASHES, tau: float = 0.5) -> dict:
         if best is None or plan["error_mass"] < best["error_mass"]:
             best = plan
     return best
+
+
+# --------------------------------------------------- segment-level dedup
+
+
+#: segment width in words. CCNet/RefinedWeb dedup at LINE granularity; this
+#: corpus is single-line word streams, so the unit is a fixed word window.
+_SEG_WORDS = 15
+
+
+def _duck_segment_dedup_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT doc_id, {_DUCK_WORDS} AS w FROM documents
+),
+segs AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS seg_idx,
+         array_to_string(w[{_SEG_WORDS} * t.i + 1 : {_SEG_WORDS} * t.i + {_SEG_WORDS}], ' ') AS seg
+  FROM words, UNNEST(range(CAST(ceil(len(w) / {_SEG_WORDS}.0) AS BIGINT))) AS t(i)
+),
+ranked AS (
+  SELECT doc_id, seg_idx, seg,
+         row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY seg_idx) AS cleaned,
+       COUNT(*) AS n_segs,
+       COUNT(CASE WHEN rn > 1 THEN 1 END) AS n_dropped
+FROM ranked GROUP BY doc_id
+"""
+
+
+@query(
+    "q_segment_dedup",
+    oracle=_duck_segment_dedup_sql(),
+    tags=("dedup", "curation"),
+)
+def q_segment_dedup(spark, sf_dir):
+    """Segment-level (line-level) dedup with document reassembly: split each
+    document into fixed 15-word segments, keep only the globally
+    FIRST occurrence of every distinct segment (order: doc_id, then position
+    within the doc), and reassemble the surviving segments in document
+    order — the CCNet §3.1 / RefinedWeb line-dedup operator, the granularity
+    BETWEEN exact document dedup (q_dedup_exact) and near-dup pair removal:
+    it strips boilerplate passages shared across otherwise-distinct pages.
+
+    Scale shape: first-occurrence is groupBy(seg).min(struct(doc_id,
+    seg_idx)) — partial (map-side) aggregation absorbs any boilerplate
+    segment repeated across the corpus BEFORE the shuffle, so the hot-key
+    hazard a window row_number() over the same partition key would have
+    (one partition sorting every copy of a 100 M-occurrence segment) never
+    materializes; the join back is an equi-join on the same key (AQE skew
+    split applies). Reassembly is one doc_id-keyed groupBy with an in-group
+    array sort — segments per doc is bounded (words/15), never
+    corpus-sized. Output `cleaned` is NULL when every segment of the doc
+    was seen earlier (the doc vanishes — full-dup behavior identical to
+    exact dedup)."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
+    segs = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(w) / {_SEG_WORDS}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(w, i * {_SEG_WORDS} + 1, {_SEG_WORDS})))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).select("doc_id", F.col("seg_idx").cast("bigint").alias("seg_idx"), "seg")
+    first = segs.groupBy("seg").agg(F.min(F.struct("doc_id", "seg_idx")).alias("f"))
+    marked = segs.join(first, "seg").withColumn(
+        "kept",
+        (F.col("f.doc_id") == F.col("doc_id")) & (F.col("f.seg_idx") == F.col("seg_idx")),
+    )
+    agged = marked.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct("seg_idx", F.when(F.col("kept"), F.col("seg")).alias("seg"))
+            )
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_segs"),
+        F.count(F.when(~F.col("kept"), F.lit(1))).alias("n_dropped"),
+    )
+    cleaned = F.expr("concat_ws(' ', transform(filter(xs, x -> x.seg IS NOT NULL), x -> x.seg))")
+    return agged.select(
+        "doc_id",
+        F.when(F.col("n_dropped") < F.col("n_segs"), cleaned).alias("cleaned"),
+        "n_segs",
+        "n_dropped",
+    )
+
+
+# --------------------------------------------------- cross-corpus fuzzy join
+
+
+#: side predicate: corpus A = single-digit sources (src0..src9), corpus B =
+#: the rest — a stand-in for "join this crawl snapshot against that one".
+_FUZZY_A_PRED = "source rlike '^src[0-9]$'"
+_FUZZY_A_PRED_DUCK = "regexp_matches(source, '^src[0-9]$')"
+
+
+def _duck_side_reps(negate: bool) -> str:
+    neg = "NOT " if negate else ""
+    return (
+        "SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(text, doc_id) AS text "
+        f"FROM documents WHERE {neg}{_FUZZY_A_PRED_DUCK} "
+        "GROUP BY md5(lower(trim(text)))"
+    )
+
+
+def _duck_band_rows(sig_cte: str) -> str:
+    return " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"md5(CAST(mh{_BAND_ROWS * b} AS VARCHAR) || ',' || "
+        f"CAST(mh{_BAND_ROWS * b + 1} AS VARCHAR)) AS band_key FROM {sig_cte}"
+        for b in range(_N_HASHES // _BAND_ROWS)
+    )
+
+
+def _duck_fuzzy_join_sql() -> str:
+    inter = "len(list_intersect(sa.sh, sb.sh))"
+    jac = f"CAST({inter} AS DOUBLE) / (len(sa.sh) + len(sb.sh) - {inter})"
+    sets = (
+        "SELECT doc_id, list_distinct({sh}) AS sh FROM {src} "
+        "WHERE len({w}) >= 3"
+    )
+    return f"""
+WITH la AS ({_duck_side_reps(False)}),
+rb AS ({_duck_side_reps(True)}),
+siga AS ({_duck_signatures_sql("la")}),
+sigb AS ({_duck_signatures_sql("rb")}),
+bandsa AS ({_duck_band_rows("siga")}),
+bandsb AS ({_duck_band_rows("sigb")}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM bandsa a JOIN bandsb b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+),
+seta AS ({sets.format(sh=_DUCK_SHINGLES, src="la", w=_DUCK_WORDS)}),
+setb AS ({sets.format(sh=_DUCK_SHINGLES, src="rb", w=_DUCK_WORDS)})
+SELECT c.a_id, c.b_id, {jac} AS jaccard
+FROM cand c
+JOIN seta sa ON sa.doc_id = c.a_id
+JOIN setb sb ON sb.doc_id = c.b_id
+WHERE {jac} >= {_VERIFY_TAU}
+"""
+
+
+@query(
+    "q_fuzzy_join_lsh",
+    oracle=_duck_fuzzy_join_sql(),
+    tags=("dedup", "minhash", "join"),
+)
+def q_fuzzy_join_lsh(spark, sf_dir):
+    """Cross-corpus FUZZY JOIN: match every document of corpus A (sources
+    src0..src9) against corpus B (the rest) at n-gram Jaccard ≥ 0.5 — the
+    entity-resolution / blocking-join shape (join one crawl snapshot
+    against another, dataset A against vendor dataset B) that the self-join
+    dedup queries can't express. Same two-stage contract as
+    q_jaccard_verified_pairs: LSH proposes (shared MinHash band between an
+    A doc and a B doc), exact Jaccard disposes.
+
+    Scale shape: each side collapses to distinct-content representatives
+    first (clone cliques never band); both sides make ONE md5 shingle pass;
+    the blocking join is an equi-join on (band_idx, band_key) — uniform md5
+    key, skew-free, and NEVER the |A|×|B| cross join a naive fuzzy join
+    plans. Verification attaches shingle sets via two doc_id-keyed joins
+    sized |candidates|, which AQE broadcasts when small. Banding is
+    asymmetric-friendly: when B is tiny (a blocklist, a benchmark), its
+    band table broadcasts and A streams through map-side."""
+    d = table(spark, sf_dir, "documents")
+    a_side = F.expr(_FUZZY_A_PRED)
+    left = exact_dup_representatives(d.where(a_side))
+    right = exact_dup_representatives(d.where(~a_side))
+    lb = minhash_bands(left).select(
+        F.col("doc_id").alias("a_id"), "band_idx", "band_key"
+    )
+    rb = minhash_bands(right).select(
+        F.col("doc_id").alias("b_id"), "band_idx", "band_key"
+    )
+    cand = lb.join(rb, ["band_idx", "band_key"]).select("a_id", "b_id").distinct()
+
+    def shingle_sets(reps, key):
+        words = reps.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(
+            F.expr("size(w) >= 3")
+        )
+        return words.select(
+            F.col("doc_id").alias(key),
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(w) - 3), "
+                    "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+                )
+            ).alias(f"sh_{key}"),
+        )
+
+    joined = (
+        cand.join(shingle_sets(left, "a_id"), "a_id")
+        .join(shingle_sets(right, "b_id"), "b_id")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a_id", "sh_b_id")))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.size("sh_a_id") + F.size("sh_b_id") - F.col("n_common")
+    )
+    return (
+        joined.select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= _VERIFY_TAU)
+    )
