@@ -37,6 +37,8 @@ HEADLINE = [
     "q_jaccard_verified_pairs",
     "q_levenshtein_verified_pairs",
     "q_pagerank",
+    "q_segment_dedup",
+    "q_fuzzy_join_lsh",
     # similarity search
     "q_ann_bruteforce",
     "q_lsh_buckets",
