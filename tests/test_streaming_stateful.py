@@ -372,3 +372,81 @@ def test_streaming_heavy_hitters_emit_once_at_crossing(spark, tmp_path):
     rows = {r.item: r.cnt for r in spark.sql("SELECT * FROM hh_out").collect()}
     # a crossed in batch 1 at 3; b crossed in batch 2 at 4; c never crossed
     assert rows == {"a": 3, "b": 4}
+
+
+def test_streaming_segment_dedup_matches_batch(spark, tmp_path):
+    """Docs fed in doc_id order over three micro-batches: the cross-batch
+    segment filter must emit exactly the batch q_segment_dedup kept set —
+    same fingerprints, same winning (doc_id, seg_idx) occurrences."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.queries.registry import load_all
+    from video_data_pipeline_spark.streaming.stateful import (
+        streaming_segment_dedup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    pdf = docs.orderBy("doc_id").toPandas()
+    src = tmp_path / "src"
+    src.mkdir()
+    third = max(1, len(pdf) // 3)
+    for i in range(3):
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        chunk.to_parquet(src / f"b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_segment_dedup(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("seg_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.fingerprint, r.doc_id, r.seg_idx)
+        for r in spark.sql("SELECT * FROM seg_dedup_out").collect()
+    }
+
+    # batch kept set: re-derive from the registry query's building blocks —
+    # every (doc, seg_idx) the batch query keeps, fingerprinted
+    from video_data_pipeline_spark.queries.dedup import _SEG_WORDS, _SPARK_WORDS
+
+    words = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
+    segs = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(w) / {_SEG_WORDS}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(w, i * {_SEG_WORDS} + 1, {_SEG_WORDS})))"
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    first = segs.groupBy("seg").agg(
+        F.min(F.struct("doc_id", "seg_idx")).alias("f")
+    )
+    want = {
+        (r.fp, r.doc_id, r.seg_idx)
+        for r in first.select(
+            F.md5("seg").alias("fp"),
+            F.col("f.doc_id").alias("doc_id"),
+            F.col("f.seg_idx").cast("long").alias("seg_idx"),
+        ).collect()
+    }
+    assert got == want
+    # and the batch registry query agrees on the survivor COUNT per doc
+    q_out = load_all()["q_segment_dedup"].spark_fn(spark, sf_dir)
+    kept_total = q_out.agg(
+        F.sum(F.col("n_segs") - F.col("n_dropped"))
+    ).first()[0]
+    assert kept_total == len(want)

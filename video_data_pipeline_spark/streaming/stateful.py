@@ -451,3 +451,74 @@ def streaming_heavy_hitters(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+_SEG_OUT_SCHEMA = StructType(
+    [
+        StructField("fingerprint", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("seg_idx", LongType()),
+    ]
+)
+
+
+def _seg_dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        state.remove()
+        return
+    best = None
+    for pdf in pdfs:
+        for doc_id, seg_idx in zip(pdf["doc_id"], pdf["seg_idx"]):
+            cand = (int(doc_id), int(seg_idx))
+            if best is None or cand < best:
+                best = cand
+    if best is None or state.exists:
+        return
+    state.update((1,))
+    yield pd.DataFrame(
+        {"fingerprint": [key[0]], "doc_id": [best[0]], "seg_idx": [best[1]]}
+    )
+
+
+def streaming_segment_dedup(docs: DataFrame) -> DataFrame:
+    """Cross-batch SEGMENT-level first-occurrence filter — the streaming
+    twin of ``q_segment_dedup``'s survivor selection. The document stream
+    explodes into 15-word segments (same expression as the batch query);
+    per segment fingerprint the state store remembers "seen", and the
+    first micro-batch containing a segment emits its minimal (doc_id,
+    seg_idx) occurrence; later batches emit nothing.
+
+    Parity contract: when micro-batches partition the corpus along the
+    doc_id order (the continuous-ingestion shape — new docs arrive after
+    old ones), the emitted (fingerprint, doc_id, seg_idx) set equals the
+    kept-segment set of the batch query exactly: within a batch the state
+    fn takes the min (doc_id, seg_idx), and across batches first-batch-
+    wins IS min-doc_id-wins under ordered arrival. State is one BIGINT
+    per distinct segment, uniform md5-keyed."""
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.queries.dedup import _SEG_WORDS, _SPARK_WORDS
+
+    words = docs.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
+    segs = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(w) / {_SEG_WORDS}.0) AS INT) - 1), "
+                f"i -> concat_ws(' ', slice(w, i * {_SEG_WORDS} + 1, {_SEG_WORDS})))"
+            )
+        ).alias("seg_idx", "seg"),
+    ).select(
+        F.md5("seg").alias("fingerprint"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("seg_idx").cast("long").alias("seg_idx"),
+    )
+    return segs.groupBy("fingerprint").applyInPandasWithState(
+        _seg_dedup_fn,
+        outputStructType=_SEG_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
