@@ -200,12 +200,15 @@ def main() -> int:
             payload["note"] = note
         # an --only sweep is partial by construction: record both the
         # requested subset and everything it leaves unrun, so the artifact
-        # can never be mistaken for a full-registry result
+        # can never be mistaken for a full-registry result. Exception: an
+        # --only + --resume invocation that tops up a previously-full
+        # artifact leaves nothing unrun — that IS a full-registry result,
+        # so the partial-sweep markers would only mislead.
         if only:
-            payload["only"] = sorted(only)
-            payload["not_run"] = sorted(
-                set(registry) - set(results) - exclude - only
-            )
+            not_run = sorted(set(registry) - set(results) - exclude - only)
+            if not_run or not args.resume:
+                payload["only"] = sorted(only)
+                payload["not_run"] = not_run
         with open(args.json, "w") as f:
             json.dump(payload, f, indent=1)
     for name, q in sorted(registry.items()):
