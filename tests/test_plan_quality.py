@@ -631,3 +631,60 @@ def test_q_fuzzy_join_lsh_band_equi_join_not_cross(spark, sf_dir):
     # rep collapse on both sides: the md5 content fingerprint appears in
     # at least two aggregates
     assert plan.count("md5(cast(lower(trim(") >= 2, "a side bands raw docs, not reps"
+
+
+def test_q_substring_dedup_spans_shuffle_budget(spark, sf_dir):
+    """Window-hash dup detection must be an aggregate with map-side combine
+    (hot boilerplate windows pre-combine BEFORE the shuffle) + an equi
+    semi-join back — never a count() window function over the hash (which
+    would sort every copy of a hot window in one partition). The island
+    merge is the ONLY doc_id exchange, and the final span aggregate reuses
+    that partitioning (subset-key clustering — no third shuffle)."""
+    plan = plan_of(spark, sf_dir, "q_substring_dedup_spans")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan, "dup-window count lost its map-side combine"
+    assert "LeftSemi" in plan, "dup-position recovery regressed from a semi-join"
+    assert len(re.findall(r"Exchange hashpartitioning\(doc_id#\d+L?L?,", plan)) == 1, (
+        "island merge should be the single doc_id exchange"
+    )
+    # the (doc_id, g) span aggregate must NOT re-shuffle: hashpartitioning on
+    # doc_id already clusters (doc_id, g)
+    assert not re.search(r"Exchange hashpartitioning\(doc_id#\d+L?L?, g#", plan), (
+        "span aggregate re-shuffled on (doc_id, g) despite doc_id clustering"
+    )
+
+
+def test_q_domain_cap_two_phase_salted_topn(spark, sf_dir):
+    """Per-domain cap must be the two-phase salted top-N: phase 1 ranks
+    within (source, salt) — each slice holds ~1/salts of any hot domain —
+    phase 2 re-ranks the bounded survivors per source. Both phases should
+    get Spark's rank-limit pushdown (WindowGroupLimit)."""
+    plan = plan_of(spark, sf_dir, "q_domain_cap")
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, salt#\d+L?,", plan), (
+        "phase-1 salted exchange missing — plan regressed to single-window top-N"
+    )
+    assert re.search(r"Exchange hashpartitioning\(source#\d+, \d+\)", plan), (
+        "phase-2 per-source exchange missing"
+    )
+    assert plan.count("WindowGroupLimit") >= 2, (
+        "rank-limit pushdown (WindowGroupLimit) lost — full sorts per group"
+    )
+
+
+def test_q_lang_temperature_mix_corpus_never_shuffles(spark, sf_dir):
+    """The corpus side must stream through a broadcast join against the
+    #langs-row rate table with the keep-filter evaluated at the join — no
+    doc_id/content exchange anywhere — and the per-lang counts must be a
+    single corpus scan (totals derive from the tiny aggregate via a window,
+    not a second scan + crossJoin)."""
+    plan = plan_of(spark, sf_dir, "q_lang_temperature_mix")
+    assert re.search(r"BroadcastHashJoin \[lang#\d+\]", plan), (
+        "rate join regressed from broadcast"
+    )
+    assert not re.search(r"Exchange hashpartitioning\(doc_id#\d+L?", plan), (
+        "corpus shuffled — the whole point is that it must not"
+    )
+    assert plan.count("FileScan parquet") == 2, (
+        "documents scanned more than twice (corpus + lang-counts) — "
+        "totals must come from the tiny per-lang table, not a rescan"
+    )

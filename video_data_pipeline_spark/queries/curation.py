@@ -414,3 +414,161 @@ def q_heavy_hitters_by_lang(spark, sf_dir):
     return heavy_hitters_by_group(
         toks, group_col="lang", col="item", phi=0.02
     ).orderBy("lang", F.col("cnt").desc(), "item")
+
+
+# ------------------------------------------------- per-domain quality cap
+
+#: max documents kept per source (domain). RefinedWeb/C4-style: unbounded
+#: per-domain intake lets a single boilerplate-heavy site dominate the mix.
+_CAP_N = 20
+#: phase-1 salt fan-out. Each (source, salt) partition holds ~1/_CAP_SALTS of
+#: the hottest domain; raise with observed skew (cost is _CAP_N x salts rows
+#: per source into phase 2 -- still tiny).
+_CAP_SALTS = 8
+
+
+def _duck_domain_cap_sql() -> str:
+    return f"""
+SELECT doc_id, source, score, rnk FROM (
+  SELECT doc_id, source, n_chars AS score,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= {_CAP_N}
+"""
+
+
+@query("q_domain_cap", oracle=_duck_domain_cap_sql(), tags=("curation", "per-group"))
+def q_domain_cap(spark, sf_dir):
+    """Per-domain intake cap (RefinedWeb section 3.3 / C4-style host
+    balancing): keep the top ``_CAP_N`` documents of every source by a
+    quality score (here ``n_chars``; ties broken by doc_id so ranks are
+    deterministic), with the rank emitted.
+
+    Scale shape -- the skew problem with the obvious plan: a single
+    ``row_number() OVER (PARTITION BY source)`` shuffles EVERY document of
+    the hottest domain into one partition and sorts it there; at web scale
+    one host can be 1e8 rows. This plan is the two-phase salted top-N
+    instead: phase 1 ranks within (source, salt=stable_hash64(doc_id) %
+    ``_CAP_SALTS``) -- each salt slice holds ~1/salts of any hot domain --
+    and keeps <= _CAP_N per slice; phase 2 re-ranks the <= _CAP_N x salts
+    survivors per source. Correct because every global top-N member is in
+    its own slice's top-N (a slice's members are a subset of the domain).
+    The oracle is the single-window form -- identical output, infeasible
+    shape at scale."""
+    from video_data_pipeline_spark.functions.hashing import stable_hash64
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("score")
+    )
+    salted = d.withColumn("salt", stable_hash64("doc_id", "capsalt:") % _CAP_SALTS)
+    order = [F.col("score").desc(), F.col("doc_id")]
+    local = (
+        salted.withColumn(
+            "lr", F.row_number().over(Window.partitionBy("source", "salt").orderBy(*order))
+        )
+        .where(F.col("lr") <= _CAP_N)
+        .drop("lr", "salt")
+    )
+    return (
+        local.withColumn(
+            "rnk", F.row_number().over(Window.partitionBy("source").orderBy(*order))
+        )
+        .where(F.col("rnk") <= _CAP_N)
+    )
+
+
+# ------------------------------- temperature-balanced language resampling
+
+#: temperature alpha = 0.5 (tau = 2), i.e. q_l proportional to sqrt(p_l). Chosen over the
+#: mT5 default 0.3 because sqrt is IEEE-754 correctly-rounded in BOTH
+#: engines (pow(x, 0.3) is libm-dependent -- a last-ulp hazard the ADVICE
+#: r6 bm25 note flagged for decimal literals; same class of bug).
+_MIX_FRAC = 0.5  #: target corpus fraction after resampling
+
+
+def _duck_lang_mix_sql() -> str:
+    from video_data_pipeline_spark.functions.hashing import duckdb_unit_uniform_sql
+
+    u = duckdb_unit_uniform_sql("doc_id", "langmix:")
+    return f"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n,
+         CAST(ROUND(sqrt(CAST(COUNT(*) AS DOUBLE)) * 1000000) AS BIGINT) AS sm
+  FROM documents GROUP BY lang
+),
+t AS (SELECT CAST(SUM(n) AS BIGINT) AS total_n, CAST(SUM(sm) AS BIGINT) AS total_sm FROM c),
+r AS (
+  SELECT c.lang,
+         least(CAST(1.0 AS DOUBLE),
+               ((CAST({_MIX_FRAC} AS DOUBLE) * CAST(t.total_n AS DOUBLE)) * CAST(c.sm AS DOUBLE))
+               / (CAST(t.total_sm AS DOUBLE) * CAST(c.n AS DOUBLE))) AS rate
+  FROM c CROSS JOIN t
+)
+SELECT d.doc_id, d.lang,
+       CAST(ROUND(r.rate * 1000000) AS BIGINT) AS rate_micro
+FROM documents d JOIN r ON r.lang = d.lang
+WHERE {u} < r.rate
+"""
+
+
+@query("q_lang_temperature_mix", oracle=_duck_lang_mix_sql(), tags=("curation", "sampling"))
+def q_lang_temperature_mix(spark, sf_dir):
+    """Temperature-balanced language resampling (mT5 / XLM-R: sample
+    languages with probability proportional to p_l^alpha, alpha < 1, so low-resource
+    languages are up-weighted relative to their corpus share). Computes
+    per-language keep-rates r_l = min(1, frac * N * q_l / n_l) with
+    q_l proportional to sqrt(n_l), then keeps a document iff its deterministic unit
+    uniform (stable_hash64 -- retry-safe, engine-portable) falls under its
+    language's rate. Output: kept documents + the language rate in
+    micro-units.
+
+    Engine-exactness: sqrt is correctly-rounded per IEEE 754 in both Spark
+    (StrictMath) and DuckDB (libm) so per-language sqrt(n) agrees bitwise;
+    the cross-language SUM is over ROUND(sqrt*1e6) BIGINT micro-units --
+    exact, order-free; the final rate is one fixed-shape double expression
+    tree evaluated identically in both engines (all literals CAST to
+    DOUBLE -- DuckDB parses bare 0.5 as DECIMAL, the ADVICE r6 bm25
+    divergence class).
+
+    Scale shape: one full scan for the per-lang counts (map-side partial
+    agg: #langs rows per task), a #langs-row rate table derived driver-free
+    and joined back BROADCAST (plan-gated), filter evaluated in-scan -- the
+    corpus itself never shuffles."""
+    from video_data_pipeline_spark.functions.hashing import stable_unit_uniform
+
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sqrt(F.count(F.lit(1)).cast("double")) * F.lit(1000000))
+        .cast("bigint")
+        .alias("sm"),
+    )
+    from pyspark.sql import Window
+
+    # totals come from a single-partition window over the #langs-row table
+    # (NOT a second corpus scan + crossJoin: Catalyst does not CSE a reused
+    # aggregate across DataFrame references, so `c.agg(...)` here would scan
+    # the corpus lang column twice).
+    allw = Window.partitionBy()
+    rate = (
+        (F.lit(_MIX_FRAC).cast("double") * F.col("total_n").cast("double"))
+        * F.col("sm").cast("double")
+    ) / (F.col("total_sm").cast("double") * F.col("n").cast("double"))
+    r = c.select(
+        "lang",
+        "n",
+        "sm",
+        F.sum("n").over(allw).cast("bigint").alias("total_n"),
+        F.sum("sm").over(allw).cast("bigint").alias("total_sm"),
+    ).select("lang", F.least(F.lit(1.0).cast("double"), rate).alias("rate"))
+    return (
+        d.join(F.broadcast(r), "lang")
+        .where(stable_unit_uniform("doc_id", "langmix:") < F.col("rate"))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.col("rate") * 1000000).cast("bigint").alias("rate_micro"),
+        )
+    )

@@ -30,6 +30,7 @@ and DuckDB oracle can't drift.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from video_data_pipeline_spark.queries.registry import query, table
@@ -1385,3 +1386,103 @@ def q_fuzzy_join_lsh(spark, sf_dir):
         joined.select("a_id", "b_id", jac.alias("jaccard"))
         .where(F.col("jaccard") >= _VERIFY_TAU)
     )
+
+
+# ----------------------------------------------- exact-substring span merge
+
+#: sliding-window width in words for span-level dedup. Lee et al. use 50 BPE
+#: tokens; this corpus' documents average ~54 words, so 6 keeps the operator
+#: meaningfully sub-document.
+_ESS_W = 6
+
+
+def _duck_substring_spans_sql() -> str:
+    return f"""
+WITH w AS (SELECT doc_id, {_DUCK_WORDS} AS wd FROM documents),
+wins AS (
+  SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+         md5(array_to_string(wd[t.i + 1 : t.i + {_ESS_W}], ' ')) AS h
+  FROM w, UNNEST(range(CAST(len(wd) - {_ESS_W} + 1 AS BIGINT))) AS t(i)
+  WHERE len(wd) >= {_ESS_W}
+),
+dup AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) > 1),
+hits AS (SELECT doc_id, i FROM wins JOIN dup USING (h)),
+brks AS (
+  SELECT doc_id, i,
+         CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                OR i > lag(i) OVER (PARTITION BY doc_id ORDER BY i) + {_ESS_W}
+              THEN 1 ELSE 0 END AS brk
+  FROM hits
+),
+grp AS (
+  SELECT doc_id, i,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS UNBOUNDED PRECEDING) AS g
+  FROM brks
+)
+SELECT doc_id, MIN(i) AS span_start,
+       MAX(i) + {_ESS_W} - 1 AS span_end,
+       MAX(i) + {_ESS_W} - MIN(i) AS span_words
+FROM grp GROUP BY doc_id, g
+"""
+
+
+@query(
+    "q_substring_dedup_spans",
+    oracle=_duck_substring_spans_sql(),
+    tags=("dedup", "substring"),
+)
+def q_substring_dedup_spans(spark, sf_dir):
+    """Exact-substring dedup, span form (Lee et al. 2022 ExactSubstr,
+    word-granular approximation): every sliding ``_ESS_W``-word window is
+    hashed; a window occurring at >1 (doc, position) ANYWHERE in the corpus
+    (cross-doc or repeated within one doc — both are memorization fuel)
+    marks its word range as duplicated; per document, overlapping-or-adjacent
+    duplicated ranges merge into MAXIMAL spans ``[span_start, span_end]``
+    (0-based word indices, inclusive) — exactly what a span-removal pass
+    would cut. Completes ``q_duplicate_ngrams`` (which only *lists* the
+    repeated spans): this emits the per-document merged cut-list.
+
+    Scale shape: window generation is per-row column math (one split, one
+    transform/posexplode — rows out = total words, linear). Duplicate
+    detection is groupBy(md5-of-window) with HAVING — map-side partial
+    aggregation absorbs boilerplate windows repeated millions of times
+    BEFORE the shuffle (the reason this is an aggregate + semi-join rather
+    than a count() window function, which would sort every copy of a hot
+    window in one partition). The semi-join back on the same key gets AQE
+    skew splitting. Island merge is a doc_id-partitioned window — bounded
+    by words-per-document, never corpus-sized; with fixed W the running
+    coverage end is monotone in the start index, so one lag() suffices (no
+    running-max needed). Reference: Lee et al., "Deduplicating Training
+    Data Makes Language Models Better" (2022), section 4.1."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("wd")).where(
+        F.expr(f"size(wd) >= {_ESS_W}")
+    )
+    wins = words.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(wd) - {_ESS_W}), "
+                f"i -> md5(concat_ws(' ', slice(wd, i + 1, {_ESS_W}))))"
+            )
+        ).alias("i", "h"),
+    ).select("doc_id", F.col("i").cast("bigint").alias("i"), "h")
+    dup = wins.groupBy("h").agg(F.count(F.lit(1)).alias("n")).where("n > 1").select("h")
+    hits = wins.join(dup, "h", "left_semi")
+    byi = Window.partitionBy("doc_id").orderBy("i")
+    brks = hits.withColumn(
+        "brk",
+        F.when(
+            F.lag("i").over(byi).isNull() | (F.col("i") > F.lag("i").over(byi) + _ESS_W),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    grp = brks.withColumn(
+        "g", F.sum("brk").over(byi.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return grp.groupBy("doc_id", "g").agg(
+        F.min("i").alias("span_start"),
+        (F.max("i") + F.lit(_ESS_W - 1)).alias("span_end"),
+        (F.max("i") + F.lit(_ESS_W) - F.min("i")).alias("span_words"),
+    ).drop("g")
