@@ -66,6 +66,9 @@ HEADLINE = [
     # curation (round 5+: splits + exact-substring spans + scoring)
     "q_stable_split",
     "q_duplicate_ngrams",
+    "q_substring_dedup_spans",
+    "q_domain_cap",
+    "q_lang_temperature_mix",
     "q_dsir_weights",
     "q_unigram_logprob",
     "q_dedup_incremental",
