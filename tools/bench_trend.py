@@ -185,9 +185,24 @@ def main() -> None:
     args = ap.parse_args()
     print(build_report(md=False))
     if args.md:
+        # carry forward hand-written analysis: everything from the first
+        # MANUAL marker (or legacy `**Round-` note) onward survives rewrites
+        manual = ""
+        try:
+            with open(args.md) as f:
+                prev = f.read()
+            for marker in ("<!-- MANUAL -->", "**Round-"):
+                idx = prev.find(marker)
+                if idx != -1:
+                    manual = prev[idx:]
+                    break
+        except FileNotFoundError:
+            pass
         with open(args.md, "w") as f:
             f.write("# Bench trends by family\n\n")
             f.write(build_report(md=True))
+            if manual:
+                f.write("\n" + manual)
         print(f"wrote {args.md}")
 
 
