@@ -450,3 +450,54 @@ def test_streaming_segment_dedup_matches_batch(spark, tmp_path):
         F.sum(F.col("n_segs") - F.col("n_dropped"))
     ).first()[0]
     assert kept_total == len(want)
+
+
+def test_streaming_domain_cap_matches_batch(spark, tmp_path):
+    """Docs over three micro-batches (arbitrary order — top-N merge is
+    order-insensitive): the max-version snapshot per source must equal
+    the batch q_domain_cap exactly, and every source's state snapshot is
+    internally ranked 1..k."""
+    from video_data_pipeline_spark.queries.registry import load_all
+    from video_data_pipeline_spark.streaming.stateful import streaming_domain_cap
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    pdf = docs.toPandas().sample(frac=1.0, random_state=7)  # shuffled feed
+    src = tmp_path / "src"
+    src.mkdir()
+    third = max(1, len(pdf) // 3)
+    for i in range(3):
+        chunk = pdf.iloc[i * third : (i + 1) * third if i < 2 else len(pdf)]
+        chunk.to_parquet(src / f"b{i}.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, source string, n_chars bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_domain_cap(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("domain_cap_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM domain_cap_out").collect()
+    latest_ver = {}
+    for r in rows:
+        latest_ver[r.source] = max(latest_ver.get(r.source, 0), r.version)
+    got = {
+        (r.source, r.doc_id, r.score, r.rnk)
+        for r in rows
+        if r.version == latest_ver[r.source]
+    }
+    expected = {
+        (r.source, r.doc_id, r.score, r.rnk)
+        for r in load_all()["q_domain_cap"].spark_fn(spark, sf_dir).collect()
+    }
+    assert got == expected

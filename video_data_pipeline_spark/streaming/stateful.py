@@ -522,3 +522,94 @@ def streaming_segment_dedup(docs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_CAP_OUT_SCHEMA = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("score", LongType()),
+        StructField("rnk", LongType()),
+        StructField("version", LongType()),
+    ]
+)
+# top-N as parallel arrays + a monotone version so consumers can pick the
+# newest snapshot per source (update-mode emissions accumulate in sinks
+# like memory/kafka-compacted)
+from pyspark.sql.types import ArrayType as _ArrayType  # noqa: E402
+
+_CAP_STATE_SCHEMA = StructType(
+    [
+        StructField("scores", _ArrayType(LongType())),
+        StructField("ids", _ArrayType(LongType())),
+        StructField("version", LongType()),
+    ]
+)
+
+
+def _make_cap_fn(n: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - NoTimeout configured
+            state.remove()
+            return
+        if state.exists:
+            scores, ids, ver = state.get
+            items = [(int(s), int(i)) for s, i in zip(scores, ids)]
+        else:
+            items, ver = [], 0
+        for pdf in pdfs:
+            items.extend(
+                (int(s), int(i)) for s, i in zip(pdf["score"], pdf["doc_id"])
+            )
+        # (-score, doc_id): same total order as the batch q_domain_cap
+        items.sort(key=lambda t: (-t[0], t[1]))
+        items = items[:n]
+        ver += 1
+        state.update(([s for s, _ in items], [i for _, i in items], ver))
+        yield pd.DataFrame(
+            {
+                "source": [key[0]] * len(items),
+                "doc_id": [i for _, i in items],
+                "score": [s for s, _ in items],
+                "rnk": list(range(1, len(items) + 1)),
+                "version": [ver] * len(items),
+            }
+        )
+
+    return fn
+
+
+def streaming_domain_cap(docs: DataFrame, n: int = 20) -> DataFrame:
+    """Cross-batch per-domain intake cap — the streaming twin of
+    ``q_domain_cap``: per source, maintain the running top-``n`` documents
+    by (score desc, doc_id asc) across micro-batches and emit the updated
+    snapshot (with a monotone ``version``) whenever a source sees new data.
+
+    Parity contract: after all batches, the max-version snapshot per
+    source equals the batch query's top-N exactly — merging per batch then
+    truncating to N is associative for a total order (state always holds
+    the true top-N of everything seen).
+
+    Scale shape: state is 2·N BIGINTs per source — BOUNDED regardless of
+    stream length (the reason the state is the top-N itself, not the doc
+    backlog); a hot domain costs the same state as a cold one, and the
+    per-batch merge is O(batch + N log N) per source. The batch operator's
+    salting concern doesn't apply: state partitioning is by source hash,
+    and each group's per-batch input is one micro-batch's rows, not the
+    corpus."""
+    from pyspark.sql import functions as F
+
+    scored = docs.select(
+        F.col("source"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_chars").cast("long").alias("score"),
+    )
+    return scored.groupBy("source").applyInPandasWithState(
+        _make_cap_fn(n),
+        outputStructType=_CAP_OUT_SCHEMA,
+        stateStructType=_CAP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
