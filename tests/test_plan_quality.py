@@ -688,3 +688,33 @@ def test_q_lang_temperature_mix_corpus_never_shuffles(spark, sf_dir):
         "documents scanned more than twice (corpus + lang-counts) — "
         "totals must come from the tiny per-lang table, not a rescan"
     )
+
+
+def test_q_bloom_probe_batch_never_shuffles(spark, sf_dir):
+    """The Bloom probe's whole value at 100 TB is that the probed batch
+    streams through scan -> position math -> Arrow probe with ZERO
+    exchanges (the history is folded into the broadcast bitmap before the
+    plan even exists). Any Exchange here means the probe regressed into a
+    join against history."""
+    plan = plan_of(spark, sf_dir, "q_bloom_probe")
+    assert "Exchange" not in plan, "bloom probe gained a shuffle"
+    assert "ArrowEvalPython" in plan, "probe must be the vectorized Arrow UDF"
+
+
+def test_q_countmin_grid_joins_broadcast(spark, sf_dir):
+    """The d*w Count-Min grid (and the 8-row truth table) must broadcast
+    onto the probe set — a SortMergeJoin would mean Spark thinks the grid
+    is data-sized, defeating the sketch's whole premise."""
+    plan = plan_of(spark, sf_dir, "q_countmin_freq")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "grid/truth join regressed from broadcast"
+    )
+
+
+def test_q_rendezvous_shards_single_exchange(spark, sf_dir):
+    """HRW assignment is pure per-row column math; the only shuffle is the
+    8-key final aggregate (map-side combined)."""
+    plan = plan_of(spark, sf_dir, "q_rendezvous_shards")
+    assert plan.count("Exchange") == 1, "HRW audit must shuffle exactly once"
+    assert "Join" not in plan, "shard assignment must not join a shard table"

@@ -69,6 +69,7 @@ def load_all() -> dict[str, Query]:
         relational3,
         relational4,
         similarity,
+        sketch,
         stats,
         text,
         timeseries,
