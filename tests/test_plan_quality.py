@@ -718,3 +718,60 @@ def test_q_rendezvous_shards_single_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "q_rendezvous_shards")
     assert plan.count("Exchange") == 1, "HRW audit must shuffle exactly once"
     assert "Join" not in plan, "shard assignment must not join a shard table"
+
+
+def test_q_kmv_distinct_rank_limit_pushdown(spark, sf_dir):
+    """KMV's scale guarantee is the map-side bottom-k bound: BOTH ranking
+    stages must get WindowGroupLimit's Partial mode below their exchange
+    (each map task emits <= k rows per (lang, salt) / per lang), and the
+    corpus must never shuffle on a row-identity key."""
+    plan = plan_of(spark, sf_dir, "q_kmv_distinct")
+    assert plan.count("WindowGroupLimit") >= 4, (
+        "rank-limit pushdown lost — a stage sorts whole partitions now"
+    )
+    assert re.search(r"Exchange hashpartitioning\(lang#\d+, salt#\d+L?,", plan), (
+        "stage-1 salted exchange missing — regressed to single-window bottom-k"
+    )
+    assert not re.search(r"Exchange hashpartitioning\(doc_id#\d+", plan), (
+        "corpus shuffled on doc_id — the sketch must move only hashes"
+    )
+
+
+def test_q_quality_classifier_single_doc_exchange(spark, sf_dir):
+    """The hashed-linear-model serving plan: weight table broadcasts, the
+    per-doc score is map-side partial-summed, and the ONLY exchange is the
+    final doc_id aggregate."""
+    plan = plan_of(spark, sf_dir, "q_quality_classifier")
+    assert "BroadcastHashJoin" in plan, "weight join regressed from broadcast"
+    assert "partial_sum" in plan, "score sum lost its map-side combine"
+    assert (
+        len(re.findall(r"Exchange hashpartitioning\(", plan)) == 1
+    ), "classifier must shuffle exactly once (the doc_id aggregate)"
+
+
+def test_q_mad_outliers_corpus_never_shuffles(spark, sf_dir):
+    """Median/MAD come from the (lang, n_chars) value-count aggregate —
+    the corpus itself must stream through one broadcast join with the
+    outlier filter at the join, never shuffling on a row-identity key;
+    the count aggregate must combine map-side."""
+    plan = plan_of(spark, sf_dir, "q_mad_outliers")
+    assert not re.search(r"Exchange hashpartitioning\(doc_id#\d+", plan), (
+        "corpus shuffled — medians must come from the value-count table"
+    )
+    assert re.search(r"Exchange hashpartitioning\(lang#\d+, n_chars#\d+", plan), (
+        "value-count aggregate exchange missing"
+    )
+    assert "partial_count" in plan, "value counts lost their map-side combine"
+    assert "BroadcastHashJoin" in plan, "stats join regressed from broadcast"
+
+
+def test_q_phrase_match_postings_filtered_at_generate(spark, sf_dir):
+    """Phrase search must keep ONLY the phrase's terms at the posexplode
+    output (the postings that move are a sliver of the token stream), and
+    the hit count must combine map-side."""
+    plan = plan_of(spark, sf_dir, "q_phrase_match")
+    assert "posexplode" in plan
+    assert len(re.findall(r"term#\d+ IN \(agg,join\)", plan)) >= 2, (
+        "postings term filter not applied directly above the generators"
+    )
+    assert "partial_count" in plan, "hit count lost its map-side combine"

@@ -59,6 +59,7 @@ def load_all() -> dict[str, Query]:
     The order is deterministic — it depends only on module/registration order.
     """
     from video_data_pipeline_spark.queries import (  # noqa: F401
+        analysis,
         curation,
         dataflow,
         dedup,
