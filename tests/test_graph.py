@@ -49,3 +49,38 @@ def test_random_graph_matches_reference_both_orders(spark):
 def test_reversed_edge_orientation_is_irrelevant(spark):
     tri = [(1, 2), (3, 2), (3, 1)]  # mixed orientations of one triangle
     assert count_triangles(_df(spark, tri)).collect()[0]["n_triangles"] == 1
+
+
+def test_kcore_fixpoint_reached(spark, sf_dir):
+    """q_kcore runs a FIXED 6 peeling rounds for oracle parity; this pins
+    that 6 rounds reach the fixpoint on the test corpus — a 7th peel of
+    the returned 2-core removes nothing (every node keeps degree >= 2),
+    so the fixed-round result IS the true 2-core."""
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.queries.dedup import (
+        _KCORE_K,
+        q_kcore,
+        q_minhash_lsh_pairs,
+    )
+
+    core = q_kcore(spark, sf_dir)
+    nodes = core.select(F.col("doc_id").alias("u"))
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    sym = (
+        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .distinct()
+    )
+    deg = (
+        sym.join(nodes, "u", "left_semi")
+        .join(nodes.withColumnRenamed("u", "v"), "v", "left_semi")
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    degs = {r.u: r.deg for r in deg.collect()}
+    core_rows = core.collect()
+    assert core_rows, "empty 2-core — fixture lost its cycles"
+    for r in core_rows:
+        assert degs.get(r.doc_id, 0) >= _KCORE_K, f"node {r.doc_id} would peel"
+        assert degs[r.doc_id] == r.core_deg

@@ -1127,6 +1127,88 @@ def q_pagerank(spark, sf_dir):
         ).select(F.col("v").alias("node"), "r")
     return ranks.select(F.col("node").alias("doc_id"), F.col("r").alias("rank_micro"))
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _duck_kcore_sql() -> str:
+    # sym is referenced by every peeling round: MATERIALIZED stops DuckDB
+    # from re-inlining the whole MinHash-banding pipeline per round
+    # (272 s -> sub-second at sf0.01).
+    ctes = [
+        f"WITH reps AS ({_DUCK_REPS})",
+        f"lsh AS MATERIALIZED ({_duck_lsh_pairs_sql('reps')})",
+        "sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM lsh"
+        " UNION SELECT doc_b AS u, doc_a AS v FROM lsh)",
+        "alive0 AS (SELECT DISTINCT u FROM sym)",
+    ]
+    for i in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"d{i} AS (SELECT s.u, COUNT(*) AS deg FROM sym s "
+            f"JOIN alive{i} a ON a.u = s.u "
+            f"JOIN alive{i} b ON b.u = s.v GROUP BY s.u)"
+        )
+        ctes.append(
+            f"alive{i + 1} AS (SELECT u FROM d{i} WHERE deg >= {_KCORE_K})"
+        )
+    r = _KCORE_ROUNDS
+    ctes.append(
+        f"dfinal AS (SELECT s.u, COUNT(*) AS deg FROM sym s "
+        f"JOIN alive{r} a ON a.u = s.u "
+        f"JOIN alive{r} b ON b.u = s.v GROUP BY s.u)"
+    )
+    return (
+        ",\n".join(ctes)
+        + f"\nSELECT u AS doc_id, deg AS core_deg FROM dfinal WHERE deg >= {_KCORE_K}"
+    )
+
+
+@query("q_kcore", oracle=_duck_kcore_sql(), tags=("dedup", "graph", "iterative"))
+def q_kcore(spark, sf_dir):
+    """k-core (k=2) of the near-dup rep graph by iterative peeling
+    (Matula & Beck 1983): repeatedly drop nodes whose degree within the
+    surviving subgraph is < k. The 2-core separates genuinely entangled
+    duplicate neighborhoods (cycles — where transitive-closure survivors
+    need care) from harmless pendant chains; dedup survivor policies can
+    treat the two differently. Both engines run the SAME fixed 6 peeling
+    rounds (peels are idempotent at fixpoint, and
+    tests/test_graph.py::test_kcore_fixpoint_reached proves a 7th round
+    changes nothing on this corpus), so the unrolled-CTE oracle is
+    bit-exact by construction.
+
+    Scale shape: each round is two node-keyed semi-joins (edges against
+    the alive set — alive only ever shrinks) + one map-side-combined
+    degree aggregate — the operators/components.py per-round topology;
+    AQE broadcasts the alive set as soon as it is small. The edge list is
+    localCheckpointed ONCE (it feeds every round — re-deriving the LSH
+    pipeline per round would 7x the dominant cost) and each round's alive
+    set is checkpointed to truncate the join-chain lineage, exactly as
+    connected_components does."""
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    sym = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    alive = sym.select("u").distinct()
+
+    def _alive_deg(alive_df):
+        e = sym.join(alive_df, "u", "left_semi").join(
+            alive_df.withColumnRenamed("u", "v"), "v", "left_semi"
+        )
+        return e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            _alive_deg(alive)
+            .where(F.col("deg") >= _KCORE_K)
+            .select("u")
+            .localCheckpoint(eager=False)
+        )
+    deg = _alive_deg(alive)
+    return deg.where(F.col("deg") >= _KCORE_K).select(
+        F.col("u").alias("doc_id"), F.col("deg").alias("core_deg")
+    )
+
+
 
 def lsh_band_plan(n_hashes: int = _N_HASHES, tau: float = 0.5) -> dict:
     """Choose the (bands, rows) factorization of an ``n_hashes`` MinHash
