@@ -77,6 +77,17 @@ HEADLINE = [
     # exact statistics
     "q_corr_price_qty",
     "q_source_entropy",
+    # sketches / placement (round 7)
+    "q_bloom_probe",
+    "q_countmin_freq",
+    "q_rendezvous_shards",
+    # analysis (round 7; q_kcore stays out — its 6 eager checkpoint
+    # rounds are fixed session overhead that would swamp the signal)
+    "q_kmv_distinct",
+    "q_quality_classifier",
+    "q_mad_outliers",
+    "q_phrase_match",
+    "q_cdc_chunks",
 ]
 
 

@@ -103,3 +103,55 @@ def test_quality_classifier_score_is_sum_of_bucket_weights(spark, sf_dir):
     )
     assert score == row.score_micro
     assert row.keep == (score > 0)
+
+
+def test_cdc_insertion_moves_one_boundary_region(spark):
+    """The CDC property: inserting text into one document perturbs only
+    the chunks overlapping the edit — chunks outside the 4-gram window
+    around the insertion point re-align identically (fixed-width blocks
+    would all shift)."""
+    import hashlib
+
+    base = "the quick brown fox jumps over the lazy dog " * 20
+    edited = base[:300] + "INSERTED TEXT HERE " + base[300:]
+
+    def chunks_of(text):
+        bounds = [
+            i
+            for i in range(4, len(text) + 1)
+            if int(hashlib.md5(text[i - 4 : i].encode()).hexdigest()[:15], 16)
+            % 64
+            == 0
+        ]
+        out, prev = [], 0
+        for b in bounds + [len(text)]:
+            if b > prev:
+                out.append(text[prev:b])
+            prev = b
+        return out
+
+    c1, c2 = chunks_of(base), chunks_of(edited)
+    shared = set(c1) & set(c2)
+    # most chunk CONTENT survives the edit (re-synchronization)
+    assert len(shared) >= len(c1) - 3, (len(c1), len(c2), len(shared))
+
+    # and the Spark expression agrees with the pure-Python chunker
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.queries.analysis import _bound_expr
+
+    df = spark.createDataFrame([(0, base), (1, edited)], ["doc_id", "text"])
+    got = (
+        df.select("doc_id", "text", F.expr(_bound_expr("spark")).alias("b"))
+        .orderBy("doc_id")
+        .collect()
+    )
+    for row, text in ((got[0], base), (got[1], edited)):
+        want = [
+            i
+            for i in range(4, len(text) + 1)
+            if int(hashlib.md5(text[i - 4 : i].encode()).hexdigest()[:15], 16)
+            % 64
+            == 0
+        ]
+        assert row.b == want

@@ -775,3 +775,18 @@ def test_q_phrase_match_postings_filtered_at_generate(spark, sf_dir):
         "postings term filter not applied directly above the generators"
     )
     assert "partial_count" in plan, "hit count lost its map-side combine"
+
+
+def test_q_cdc_chunks_no_udf_single_exchange(spark, sf_dir):
+    """CDC chunking must stay per-row JVM column math (no Python
+    evaluation anywhere) with the chunk-hash aggregate as the ONLY
+    exchange, map-side combined."""
+    plan = plan_of(spark, sf_dir, "q_cdc_chunks")
+    assert "EvalPython" not in plan, "chunking fell off the JVM fast path"
+    # two exchanges is the honest minimum for (count, count-distinct)
+    # together: the (hash, doc_id) distinct pre-aggregate, then the hash
+    # aggregate — both map-side combined
+    assert len(re.findall(r"Exchange hashpartitioning\(", plan)) == 2, (
+        "CDC gained a shuffle beyond the two-phase distinct aggregate"
+    )
+    assert "partial_count" in plan, "chunk counts lost their map-side combine"

@@ -333,3 +333,91 @@ def q_phrase_match(spark, sf_dir):
         .groupBy(p1.doc_id.alias("doc_id"))
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+
+
+# --------------------------------------------------- content-defined chunks
+
+_CDC_MOD = 64  # expected chunk length ~64 chars
+_CDC_W = 4  # boundary decided by the 4-gram ending at each position
+
+
+def _bound_expr(dialect: str) -> str:
+    """Positions i where hash60(4-gram ending at i) % 64 == 0."""
+    if dialect == "spark":
+        h = SPARK_HASH.format(x=f"substring(text, i - {_CDC_W - 1}, {_CDC_W})")
+        return (
+            f"filter(IF(length(text) >= {_CDC_W}, "
+            f"sequence({_CDC_W}, length(text)), array()), "
+            f"i -> {h} % {_CDC_MOD} = 0)"
+        )
+    h = DUCK_HASH.format(x=f"substr(text, i - {_CDC_W - 1}, {_CDC_W})")
+    return (
+        f"list_filter(range({_CDC_W}, len(text) + 1), "
+        f"i -> {h} % {_CDC_MOD} = 0)"
+    )
+
+
+@query(
+    "q_cdc_chunks",
+    oracle=f"""
+WITH b AS (
+  SELECT doc_id, text, len(text) AS n, {_bound_expr('duck')} AS bounds
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(bounds) + 2), j ->
+           substr(text,
+             CASE WHEN j = 1 THEN 1 ELSE bounds[j - 1] + 1 END,
+             (CASE WHEN j = len(bounds) + 1 THEN n ELSE bounds[j] END)
+               - (CASE WHEN j = 1 THEN 1 ELSE bounds[j - 1] + 1 END) + 1)))
+           AS chunk
+  FROM b
+)
+SELECT md5(chunk) AS chunk_hash, COUNT(*) AS n_occ,
+       COUNT(DISTINCT doc_id) AS n_docs
+FROM chunks WHERE chunk <> ''
+GROUP BY 1 HAVING COUNT(*) > 1
+""",
+    tags=("dedup",),
+)
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin/LBFS lineage — Muthitacharoen et
+    al. 2001): a chunk boundary falls wherever the hash of the 4-gram
+    ENDING at a position is ≡ 0 (mod 64), so boundaries move with the
+    content — an insertion reshuffles one chunk, not every fixed-width
+    block after it (the property that makes CDC the storage-dedup
+    standard for blobs). Shared chunks across documents then surface with
+    one hash groupBy.
+
+    The no-size-constraint Rabin form is embarrassingly parallel, so the
+    whole operator is per-row JVM column math — filter/transform/substring
+    lambdas, no UDF, no sequential scan — and the ONLY shuffle is the
+    map-side-combined chunk-hash aggregate. At 100 TB: chunking cost is
+    one codegen'd pass over bytes; the dedup exchange carries (hash,
+    count) partials, never chunk text... the md5 groupBy key here keeps
+    the demo self-auditing. (FastCDC's min/max-size rules re-introduce a
+    sequential dependence — that variant would be a mapInPandas kernel;
+    the boundary-hash math stays identical.)"""
+    d = table(spark, sf_dir, "documents")
+    b = d.select("doc_id", "text", F.expr(_bound_expr("spark")).alias("bounds"))
+    chunk = F.expr(
+        """
+        transform(sequence(1, size(bounds) + 1), j ->
+          substring(text,
+            IF(j = 1, 1, element_at(bounds, j - 1) + 1),
+            IF(j = size(bounds) + 1, length(text), element_at(bounds, j))
+              - IF(j = 1, 1, element_at(bounds, j - 1) + 1) + 1))
+        """
+    )
+    chunks = b.select("doc_id", F.explode(chunk).alias("chunk")).where(
+        F.col("chunk") != ""
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .where(F.col("n_occ") > 1)
+    )
