@@ -613,3 +613,88 @@ def streaming_domain_cap(docs: DataFrame, n: int = 20) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+_KMV_OUT_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("version", LongType()),
+        StructField("k_eff", LongType()),
+        StructField("h_k", LongType()),
+        StructField("est_distinct", LongType()),
+    ]
+)
+_KMV_STATE_SCHEMA = StructType(
+    [
+        StructField("ks", _ArrayType(LongType())),
+        StructField("version", LongType()),
+    ]
+)
+
+
+def _make_kmv_fn(k: int, m: int):
+    def _fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            ks, version = list(state.get[0]), state.get[1]
+        else:
+            ks, version = [], 0
+        s = set(ks)
+        for pdf in pdfs:
+            s.update(int(v) for v in pdf["h"])
+        ks = sorted(s)[:k]
+        version += 1
+        k_eff = len(ks)
+        h_k = ks[-1] if ks else 0
+        est = k_eff if k_eff < k else (k - 1) * m // h_k
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "version": [version],
+                "k_eff": [k_eff],
+                "h_k": [h_k],
+                "est_distinct": [est],
+            }
+        )
+        state.update((ks, version))
+
+    return _fn
+
+
+def streaming_kmv_distinct(
+    hashed: DataFrame,
+    k: int = 32,
+    m: int = 1 << 48,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Cross-batch distinct-count estimation — the streaming twin of
+    ``q_kmv_distinct`` (queries/analysis.py). State per group is the
+    bottom-k distinct hash set itself (≤ k BIGINTs — bounded regardless of
+    stream length, the same state-IS-the-answer contract as
+    ``streaming_domain_cap``), merged per micro-batch by
+    union→sort→truncate. Bottom-k merge is associative and
+    order-independent — ``bottomk(A ∪ B) = bottomk(bottomk(A) ∪ B)`` — so
+    the max-``version`` update-mode snapshot equals the batch KMV of
+    everything fed, regardless of how rows were split into batches
+    (batch-parity-tested in tests/test_streaming_stateful.py).
+
+    ``hashed`` must carry (lang, h) with ``h`` the repo-standard 48-bit
+    content hash. ``ttl_ms`` turns it into a recent-window estimator and
+    bounds state exactly like streaming_dedup's TTL."""
+    timeout = (
+        GroupStateTimeout.NoTimeout
+        if ttl_ms is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    out = hashed.groupBy("lang").applyInPandasWithState(
+        _make_kmv_fn(k, m),
+        outputStructType=_KMV_OUT_SCHEMA,
+        stateStructType=_KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=timeout,
+    )
+    return out
