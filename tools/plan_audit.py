@@ -1,0 +1,222 @@
+"""Registry-wide physical-plan anti-pattern audit.
+
+The hand-written gates in tests/test_plan_quality.py pin the plans we
+*designed*; this tool sweeps EVERY registry query's executed plan for the
+anti-pattern classes that silently kill 100 TB jobs, so a new query can't
+ship with one unnoticed:
+
+- ``CartesianProduct`` / ``BroadcastNestedLoopJoin`` — an equi-key was
+  lost (or a BETWEEN-only join planned as nested-loop).
+- ``BatchEvalPython`` — a row-at-a-time Python UDF in the plan (the repo
+  standard is Arrow-batched mapInPandas / pandas_udf; those appear as
+  ``ArrowEvalPython`` / ``MapInPandas`` / ``FlatMapGroupsInPandas``).
+- ``Exchange SinglePartition`` — everything funneled to one reducer
+  (global unpartitioned window/sort/limit mid-plan).
+
+Known-bounded occurrences are whitelisted BY QUERY with the reason the
+code's docstring gives (a 1-row aggregate broadcast, a ≤
+shuffle.partitions offsets fold, a dimension-sized single sort). Anything
+new fails the audit — add the code fix or an entry with its boundedness
+argument.
+
+Usage:  python tools/plan_audit.py [--sf-dir DIR] [--json OUT]
+Exit 0 = no unexplained anti-patterns.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+import time
+
+# query -> {pattern: reason-it-is-bounded}
+# BNLJ = BroadcastNestedLoopJoin with a PROVABLY bounded build side (a
+# 1-row scalar aggregate or a capacity-bounded table like k centroids) —
+# the designed way to put a scalar/argmin table onto a stream without an
+# equi key. The two-tier broadcast-policy gate and the per-query plan
+# gates in tests/test_plan_quality.py pin the bounded side.
+_BNLJ = "BroadcastNestedLoopJoin"
+_SP = "SinglePartition"
+WHITELIST: dict[str, dict[str, str]] = {
+    # 1-row/capacity-bounded aggregates deliberately cross-joined onto the
+    # stream (the two-tier broadcast policy gates these in tests):
+    "q06_forecast_revenue": {
+        _SP: "scalar forecast: 1-row aggregate broadcast"
+    },
+    "q14_promo_ratio": {_SP: "1-row ratio aggregate"},
+    "q14_promo_revenue": {_SP: "1-row ratio aggregate"},
+    "q11_important_parts": {
+        _SP: "scalar threshold subquery (1 row)",
+        _BNLJ: "1-row threshold crossjoined onto the group aggregate",
+    },
+    "q_ann_bruteforce": {
+        _BNLJ: "single query vector (1 row) against the corpus — "
+        "brute-force baseline by definition"
+    },
+    "q_dsir_weights": {
+        _BNLJ: "1024-row hashed-bucket ratio table broadcast",
+        _SP: "the bucket table's own bounded aggregate",
+    },
+    "q_dsir_resample": {
+        _BNLJ: "same 1024-row ratio broadcast feeding the Gumbel top-k",
+        _SP: "same bounded aggregate",
+    },
+    "q_kmeans_step": {
+        _BNLJ: "k-row centroid build, nearest-centroid argmin has no equi key"
+    },
+    "q_unigram_logprob": {
+        _BNLJ: "1-row corpus-total builds (vocab itself joins by shuffle)",
+        _SP: "the same 1-row total aggregates",
+    },
+    "q_heavy_hitters": {
+        _BNLJ: "1-row total-count build onto ≤k recounted candidates",
+        _SP: "1-row total aggregate",
+    },
+    "q22_idle_rich_customers": {
+        _BNLJ: "1-row average-balance scalar",
+        _SP: "the scalar's aggregate",
+    },
+    "q_ivf_assign": {_BNLJ: "k-row centroid table, argmin has no equi key"},
+    "q_ivf_topk": {
+        _BNLJ: "k-row centroid/probe tables (3 bounded builds)"
+    },
+    "q_ivf_kmeans_topk": {_BNLJ: "same trained-centroid bounded builds"},
+    "q_semdedup": {_BNLJ: "k-row cluster-centroid builds"},
+    "q_profile": {_SP: "profiler output is ONE row per table"},
+    "q_lang_temperature_mix": {
+        _SP: "totals window over the ≤|langs|-row aggregate (plan-gated "
+        "that the corpus side never shuffles)"
+    },
+    "q_funnel": {_SP: "final 3-counter scalar aggregate"},
+    "q15_top_supplier": {_SP: "max(total_revenue) scalar subquery"},
+    "q17_small_quantity": {_SP: "1-row output aggregate"},
+    "q19_disjunctive_revenue": {_SP: "1-row revenue aggregate"},
+    "q_dedup_triangles": {
+        _BNLJ: "1-row triangle-count fold",
+        _SP: "same scalar count",
+    },
+    "q_bm25": {
+        _BNLJ: "|query|-row idf table + 1-row corpus stats (plan-gated)",
+        _SP: "the 1-row corpus-stats aggregate",
+    },
+    "q_stratified_sample": {
+        _BNLJ: "1-row total + ≤|strata|-row rate table",
+        _SP: "the 1-row total",
+    },
+    "q_revenue_gini": {
+        "SinglePartition": "range-boundary offsets fold over ≤32 partial rows"
+    },
+    "q_ols_trend": {
+        _SP: "≤|years| sufficient-statistic rows",
+        _BNLJ: "1-row sufficient-statistics build side",
+    },
+    "q_corr_price_qty": {"SinglePartition": "3 sufficient-statistic rows"},
+    "q_source_entropy": {"SinglePartition": "|sources| aggregate rows"},
+    "q_yearly_growth": {"SinglePartition": "|years| aggregate rows (lag)"},
+    "q_skyline": {
+        "SinglePartition": "dimension-sized part table; docstring records "
+        "the bucketed 100 TB variant"
+    },
+    "q_cumulative_value": {
+        "SinglePartition": "running total over |months| aggregate rows"
+    },
+    "q_orders_per_month": {
+        "SinglePartition": "|months| aggregate rows (ordered output)"
+    },
+    "q_rollup_cascade": {
+        "SinglePartition": "coarsest rollup levels are ≤|months| rows"
+    },
+    "q_price_histogram": {"SinglePartition": "|bins| aggregate rows"},
+    "q_daily_type_matrix": {"SinglePartition": "|days|×|types| pivot rows"},
+    "q_bloom_probe": {
+        "SinglePartition": "2^23-bit bitmap OR-fold: bounded partials, "
+        "same collect pattern as heavy hitters"
+    },
+    "q_status_breakdown": {"SinglePartition": "|statuses| aggregate rows"},
+    "q_mix_concat": {"SinglePartition": "deterministic interleave of "
+        "two bounded samples (operator demo at fixture size)"},
+    "q_random_mix": {"SinglePartition": "same bounded-mix demo"},
+    "q_detshuffle": {"SinglePartition": "buffered-shuffle twin is keyed by "
+        "a bounded per-partition buffer; fixture-size single sort"},
+    "q_batched": {"SinglePartition": "global batch index over the bounded "
+        "demo slice"},
+    "q_unbatched": {"SinglePartition": "inverse of q_batched (same slice)"},
+    "q_slice": {"SinglePartition": "explicit global offset slice (limit)"},
+    "q_uniform_sample": {"SinglePartition": "global systematic sample over "
+        "the bounded demo slice"},
+}
+
+
+def audit_plan(plan: str) -> dict[str, int]:
+    found: dict[str, int] = {}
+    for pat in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "Exchange SinglePartition",
+    ):
+        n = plan.count(pat)
+        if n:
+            found[pat.replace("Exchange ", "")] = n
+    return found
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    from video_data_pipeline_spark.queries.registry import load_all
+    from video_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    t0 = time.time()
+    results: dict[str, dict] = {}
+    bad = 0
+    for name, q in load_all().items():
+        try:
+            df = q.spark_fn(spark, args.sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # analysis breakage is the smoke gate's job
+            results[name] = {"error": str(e)[:200]}
+            bad += 1
+            print(f"ERROR     {name}: {e}", file=sys.stderr)
+            continue
+        found = audit_plan(plan)
+        wl = WHITELIST.get(name, {})
+        unexplained = {k: v for k, v in found.items() if k not in wl}
+        entry: dict = {}
+        if found:
+            entry["found"] = found
+        if wl:
+            entry["whitelisted"] = wl
+        if unexplained:
+            entry["UNEXPLAINED"] = unexplained
+            bad += 1
+            print(f"FLAG      {name}: {unexplained}")
+        if entry:
+            results[name] = entry
+    n = len(load_all())
+    summary = {
+        "n_queries": n,
+        "n_flagged": bad,
+        "sf_dir": args.sf_dir,
+        "elapsed_s": round(time.time() - t0, 1),
+    }
+    print(
+        f"\nPLAN AUDIT: {n} plans, {bad} unexplained anti-patterns "
+        f"in {summary['elapsed_s']}s"
+    )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"summary": summary, "queries": results}, f, indent=1)
+        print(f"wrote {args.json}")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
