@@ -790,3 +790,34 @@ def test_q_cdc_chunks_no_udf_single_exchange(spark, sf_dir):
         "CDC gained a shuffle beyond the two-phase distinct aggregate"
     )
     assert "partial_count" in plan, "chunk counts lost their map-side combine"
+
+
+def test_q_delta_rollup_merges_partials_never_rescans(spark, sf_dir):
+    """Incremental maintenance contract: base and delta each aggregate
+    with a map-side combine and the merge is a month-keyed join of two
+    AGGREGATE tables — exactly two fact scans, no third recompute scan."""
+    plan = plan_of(spark, sf_dir, "q_delta_rollup")
+    assert plan.count("FileScan parquet") == 2, (
+        "merge must join two partial aggregates, not rescan the fact table"
+    )
+    assert "partial_count" in plan, "rollup lost its map-side combine"
+    # each side's aggregate exchange is on the month grouping expression,
+    # and the full-outer merge reuses that clustering (no third exchange)
+    assert (
+        len(re.findall(r"Exchange hashpartitioning\(_groupingexpression#\d+", plan))
+        == 2
+    ), "aggregate exchanges lost their month grouping key"
+    assert "FullOuter" in plan, "merge must be a full outer join"
+
+
+def test_plan_audit_whitelist_names_are_live_queries():
+    """tools/plan_audit.py's boundedness whitelist must reference only
+    registry queries — a rename would silently orphan its entry and
+    re-flag the bounded pattern."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.plan_audit import WHITELIST
+
+    for name in WHITELIST:
+        assert name in REGISTRY, f"whitelist entry {name} not in registry"

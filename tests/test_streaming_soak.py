@@ -156,3 +156,74 @@ def test_rocksdb_soak_streaming_lsh_pairs_sf1(spark, tmp_path, rocksdb_state):
         (F.col("doc_a") < 10_000) & (F.col("doc_b") >= 10_000)
     ).count()
     assert spans > 0, "no cross-restart pair — anchor state did not survive"
+
+
+def test_rocksdb_soak_streaming_kmv_sf1(spark, tmp_path, rocksdb_state):
+    """KMV sketch state across 3 drains / 2 checkpoint restarts over the
+    50k-row corpus: the final max-version snapshot per lang must equal a
+    direct bottom-k recompute over everything fed — i.e. the ≤k-row
+    RocksDB state survives restarts and keeps merging correctly."""
+    from video_data_pipeline_spark.queries.analysis import _HASH48_SPARK, _KMV_K
+    from video_data_pipeline_spark.streaming.stateful import streaming_kmv_distinct
+
+    base = spark.read.parquet(SF01_DOCS).select("doc_id", "lang", "text")
+    copies = [
+        base.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000))
+        for i in range(10)
+    ]
+    corpus = reduce(DataFrame.unionAll, copies).select(
+        "doc_id",
+        "lang",
+        F.expr(_HASH48_SPARK.format(x="lower(trim(text))")).alias("h"),
+    )
+    src, sink, ck = tmp_path / "in", str(tmp_path / "out"), str(tmp_path / "ck")
+    src.mkdir()
+
+    def feed(i: int, cond) -> None:
+        corpus.where(cond).drop("doc_id").toPandas().to_parquet(
+            src / f"b{i}.parquet"
+        )
+
+    def drain() -> None:
+        stream = spark.readStream.schema("lang string, h bigint").parquet(
+            str(src)
+        )
+        # memory sink cannot recover from a checkpoint; foreachBatch is the
+        # fault-tolerant update-mode sink
+        q = (
+            streaming_kmv_distinct(stream, k=_KMV_K)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, _id: df.write.mode("append").parquet(sink)
+            )
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    feed(1, F.col("doc_id") < 10_000)
+    drain()
+    feed(2, (F.col("doc_id") >= 10_000) & (F.col("doc_id") < 30_000))
+    drain()  # restart 1
+    feed(3, (F.col("doc_id") >= 30_000) & (F.col("doc_id") < 40_000))
+    feed(4, F.col("doc_id") >= 40_000)
+    drain()  # restart 2
+
+    rows = spark.read.parquet(sink).collect()
+    latest = {}
+    for r in rows:
+        if r.lang not in latest or r.version > latest[r.lang].version:
+            latest[r.lang] = r
+    # replicas add no new hashes, so versions tick but sketches freeze
+    # after batch 1's content; expected = bottom-k over distinct hashes
+    per_lang: dict[str, set] = {}
+    for r in corpus.select("lang", "h").distinct().collect():
+        per_lang.setdefault(r.lang, set()).add(r.h)
+    assert latest, "no snapshots emitted"
+    for lang, hs in per_lang.items():
+        ks = sorted(hs)[:_KMV_K]
+        k_eff, h_k = len(ks), ks[-1]
+        est = k_eff if k_eff < _KMV_K else (_KMV_K - 1) * (1 << 48) // h_k
+        got = latest[lang]
+        assert (got.k_eff, got.h_k, got.est_distinct) == (k_eff, h_k, est), lang

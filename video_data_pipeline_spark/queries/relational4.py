@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from video_data_pipeline_spark.queries.common import SQL_ONE, dec, one, sql_dec
+from video_data_pipeline_spark.queries.common import DEC, SQL_ONE, dec, one, sql_dec
 from video_data_pipeline_spark.queries.registry import query, table
 
 
@@ -395,4 +395,58 @@ def q_skyline(spark, sf_dir):
         )
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_partkey")
+    )
+
+
+@query(
+    "q_delta_rollup",
+    oracle="""
+SELECT date_trunc('month', o_orderdate) AS month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+FROM orders GROUP BY 1
+""",
+    tags=("agg", "incremental"),
+)
+def q_delta_rollup(spark, sf_dir):
+    """Incremental aggregate maintenance: the monthly rollup is kept as a
+    MERGE of partial aggregates — base partition (o_orderkey % 10 != 0,
+    standing in for the stored materialized rollup) full-outer-joined with
+    the delta batch's own aggregate, counters coalesced-and-added — and
+    must equal the full recompute (the oracle) exactly, because count/sum
+    over exact DECIMAL are associative and commutative. This is the
+    100 TB contract for continuous ingestion: the delta's aggregation
+    touches only delta rows, the stored rollup is never rebuilt, and the
+    merge joins two month-keyed aggregate tables (AQE broadcasts the
+    delta side when it is small). Sums stay DECIMAL through the merge and
+    cast to double only at the output boundary, so merged == recomputed
+    bit-for-bit."""
+    o = table(spark, sf_dir, "orders")
+
+    def monthly(df):
+        return df.groupBy(
+            F.date_trunc("month", "o_orderdate").alias("month")
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(dec("o_totalprice")).alias("rev"),
+        )
+
+    base = monthly(o.where(F.col("o_orderkey") % 10 != 0))
+    delta = monthly(o.where(F.col("o_orderkey") % 10 == 0))
+    b, d = base.alias("b"), delta.alias("d")
+    return (
+        b.join(d, "month", "full")
+        .select(
+            "month",
+            (
+                F.coalesce(F.col("b.n"), F.lit(0))
+                + F.coalesce(F.col("d.n"), F.lit(0))
+            ).alias("n_orders"),
+            (
+                F.coalesce(F.col("b.rev"), F.lit(0).cast(DEC))
+                + F.coalesce(F.col("d.rev"), F.lit(0).cast(DEC))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
     )
