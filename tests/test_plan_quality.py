@@ -821,3 +821,25 @@ def test_plan_audit_whitelist_names_are_live_queries():
 
     for name in WHITELIST:
         assert name in REGISTRY, f"whitelist entry {name} not in registry"
+
+
+def test_q_ann_recall_bounded_windows_no_corpus_join(spark, sf_dir):
+    """Both recall arms must keep the ANN shapes: queries/centroids/probe
+    lists broadcast (never a shuffle join against the corpus), and every
+    top-k window rank-limited so WindowGroupLimit bounds each map task's
+    emission (the brute-force arm's exchange carries <= tasks*8*10 rows,
+    not corpus*8)."""
+    plan = plan_of(spark, sf_dir, "q_ann_recall")
+    # the only sort-merge join allowed is the final (qid, vec_id) recall
+    # join of the two <=80-row top-k sets (AQE broadcasts it at runtime);
+    # every corpus-facing join must already be a broadcast
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert len(smj) <= 1 and all("qid" in ln for ln in smj), (
+        "corpus got shuffle-joined"
+    )
+    assert plan.count("BroadcastExchange") >= 4, (
+        "queries/centroids/probe tables must broadcast"
+    )
+    assert plan.count("WindowGroupLimit") >= 6, (
+        "top-k windows lost their rank-limit pushdown"
+    )

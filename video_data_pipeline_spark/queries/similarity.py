@@ -779,3 +779,152 @@ def q_pq_adc_topk(spark, sf_dir):
         .orderBy(F.col("adc_dist").asc(), "vec_id")
         .limit(10)
     )
+
+
+_RECALL_Q0, _RECALL_Q1 = _N_CENTROIDS, _N_CENTROIDS + 8  # query ids 8..15
+_RECALL_K = 10
+_RECALL_PROBES = 2
+
+
+@query(
+    "q_ann_recall",
+    oracle=f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+  WHERE vec_id < {_N_CENTROIDS}
+),
+qs AS (
+  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+  WHERE vec_id >= {_RECALL_Q0} AND vec_id < {_RECALL_Q1}
+),
+bf AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {_cosine("duck", "e.embedding", "q.qv")} DESC, e.vec_id)
+             AS rk
+    FROM embeddings e, qs q WHERE e.vec_id <> q.qid
+  ) WHERE rk <= {_RECALL_K}
+),
+assigned AS (
+  SELECT vec_id, embedding, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cosine("duck", "e.embedding", "c.cv")} DESC, c.cid)
+             AS rk
+    FROM embeddings e, cents c
+  ) WHERE rk = 1
+),
+probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {_cosine("duck", "c.cv", "q.qv")} DESC, c.cid) AS rk
+    FROM cents c, qs q
+  ) WHERE rk <= {_RECALL_PROBES}
+),
+ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT p.qid, a.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+             ORDER BY {_cosine("duck", "a.embedding", "q.qv")} DESC, a.vec_id)
+             AS rk
+    FROM assigned a JOIN probe p ON a.cid = p.cid
+    JOIN qs q ON q.qid = p.qid
+    WHERE a.vec_id <> p.qid
+  ) WHERE rk <= {_RECALL_K}
+)
+SELECT b.qid, COUNT(i.vec_id) AS n_hits,
+       CAST(COUNT(i.vec_id) AS DOUBLE) / {_RECALL_K} AS recall
+FROM bf b LEFT JOIN ivf i USING (qid, vec_id)
+GROUP BY b.qid
+""",
+    tags=("similarity", "ivf", "audit"),
+)
+def q_ann_recall(spark, sf_dir):
+    """Recall@10 of the IVF probe path against exact brute force, over 8
+    query points — the accuracy half of the ANN ladder's speed/accuracy
+    trade (the audit the sketch family gives its estimates: the
+    approximation ships WITH its measured error). Per query: ground truth
+    is the windowed top-10 over the full corpus (WindowGroupLimit bounds
+    each map task to 10 rows per query — 8 bounded partitions, never a
+    global sort); the IVF side scores only the 2 probed inverted lists.
+    Recall = |IVF∩BF| / 10 via a (qid, vec_id) equi-join of two 80-row
+    sets. At 100 TB the brute-force arm is the one you run on a SAMPLE to
+    calibrate nprobe; the plan shapes here are exactly those arms."""
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    qs = e.where(
+        (F.col("vec_id") >= _RECALL_Q0) & (F.col("vec_id") < _RECALL_Q1)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+
+    wq = Window.partitionBy("qid")
+    bf = (
+        e.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_cosine("spark", "embedding", "qv")).alias("cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(wq.orderBy(F.col("cos").desc(), "vec_id")),
+        )
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    wv = Window.partitionBy("vec_id")
+    assigned = (
+        e.crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "embedding",
+            "cid",
+            F.expr(_cosine("spark", "embedding", "cv")).alias("cos"),
+        )
+        .withColumn(
+            "rk", F.row_number().over(wv.orderBy(F.col("cos").desc(), "cid"))
+        )
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding", "cid")
+    )
+    probe = (
+        cents.crossJoin(F.broadcast(qs))
+        .select("qid", "cid", F.expr(_cosine("spark", "cv", "qv")).alias("qcos"))
+        .withColumn(
+            "rk", F.row_number().over(wq.orderBy(F.col("qcos").desc(), "cid"))
+        )
+        .where(F.col("rk") <= _RECALL_PROBES)
+        .select("qid", "cid")
+    )
+    ivf = (
+        assigned.join(F.broadcast(probe), "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qs), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            F.expr(_cosine("spark", "embedding", "qv")).alias("cos"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(wq.orderBy(F.col("cos").desc(), "vec_id")),
+        )
+        .where(F.col("rk") <= _RECALL_K)
+        .select("qid", "vec_id")
+    )
+    return (
+        bf.join(ivf.withColumn("hit", F.lit(1)), ["qid", "vec_id"], "left")
+        .groupBy("qid")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "qid",
+            "n_hits",
+            (F.col("n_hits").cast("double") / _RECALL_K).alias("recall"),
+        )
+    )
