@@ -66,6 +66,10 @@ WHITELIST: dict[str, dict[str, str]] = {
     "q_kmeans_step": {
         _BNLJ: "k-row centroid build, nearest-centroid argmin has no equi key"
     },
+    "q_ann_recall": {
+        _BNLJ: "8-row query / 8-row centroid builds (recall audit arms; "
+        "the plan gate pins the broadcasts and rank-limited windows)"
+    },
     "q_unigram_logprob": {
         _BNLJ: "1-row corpus-total builds (vocab itself joins by shuffle)",
         _SP: "the same 1-row total aggregates",
