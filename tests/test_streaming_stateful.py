@@ -553,14 +553,17 @@ def test_streaming_kmv_distinct_matches_batch(spark, tmp_path):
     got = {
         r.lang: (r.k_eff, r.h_k, r.est_distinct) for r in latest.values()
     }
+    # batch parity: the streaming snapshot's sketch columns must equal
+    # q_kmv_distinct's on the same corpus (the batch query does not
+    # expose h_k, so that column is pinned by the recompute below)
     batch = load_all()["q_kmv_distinct"].spark_fn(spark, sf_dir).collect()
-    expected = {}
+    assert {r.lang: (r.k_eff, r.est_distinct) for r in batch} == {
+        lang: (k_eff, est) for lang, (k_eff, _hk, est) in got.items()
+    }
     for r in batch:
-        # recover h_k from the estimate definition for saturated sketches;
-        # under-k sketches pin est == true == k_eff
         if r.k_eff < _KMV_K:
             assert r.est_distinct == r.true_distinct == r.k_eff
-    # compare sketch columns against a direct bottom-k recompute
+    # and against a direct bottom-k recompute (covers h_k)
     import hashlib
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()

@@ -175,8 +175,9 @@ def q_quality_classifier(spark, sf_dir):
     weights = spark.range(_QC_BUCKETS).select(
         F.col("id").alias("bucket"),
         F.expr(
-            f"(CAST(conv(substr(md5(concat('w#', CAST(id AS STRING))), 1, 15),"
-            f" 16, 10) AS BIGINT) % 2001) - 1000"
+            f"({SPARK_HASH.format(x=chr(34))} % 2001) - 1000".replace(
+                chr(34), "concat('w#', CAST(id AS STRING))"
+            )
         ).alias("w"),
     )
     return (

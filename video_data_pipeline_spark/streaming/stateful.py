@@ -632,7 +632,7 @@ _KMV_STATE_SCHEMA = StructType(
 )
 
 
-def _make_kmv_fn(k: int, m: int):
+def _make_kmv_fn(k: int, m: int, ttl_ms: int | None):
     def _fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -661,6 +661,8 @@ def _make_kmv_fn(k: int, m: int):
             }
         )
         state.update((ks, version))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
 
     return _fn
 
@@ -691,7 +693,7 @@ def streaming_kmv_distinct(
         else GroupStateTimeout.ProcessingTimeTimeout
     )
     out = hashed.groupBy("lang").applyInPandasWithState(
-        _make_kmv_fn(k, m),
+        _make_kmv_fn(k, m, ttl_ms),
         outputStructType=_KMV_OUT_SCHEMA,
         stateStructType=_KMV_STATE_SCHEMA,
         outputMode="update",
