@@ -17,10 +17,15 @@ on a corpus where reps ≈ all docs:
 - documents, copy c>0: if (doc_id + c) % 10 == 0 the copy appends one
   marker token (` v{c}`) — a true near-dup of the original and of the
   other marked copies (~factor/10 + 1 members per near-group, so the TRUE
-  pair count stays LINEAR in factor, unlike clone cliques); every other
-  copy interleaves a (doc,copy)-unique token after every 2nd word, which
-  puts that token inside EVERY 3-shingle — zero shingle overlap with
-  anything else, i.e. unrelated text. n_chars is recomputed.
+  pair count stays LINEAR in factor, unlike clone cliques); if
+  (doc_id + c) % 10 == 5 the copy is ``initcap(text)`` — a CASE-VARIANT
+  exact dup by fingerprint (different bytes, same md5(lower(trim)));
+  if (doc_id + c) % 10 == 3 the copy is ``initcap(text) || ' v{c}'`` — a
+  near-dup whose casing differs from the original (the r8-VERDICT repro
+  shape: rep-collapse must still find its edge); every other copy
+  interleaves a (doc,copy)-unique token after every 2nd word, which puts
+  that token inside EVERY 3-shingle — zero shingle overlap with anything
+  else, i.e. unrelated text. n_chars is recomputed.
 - embeddings, copy c>0: marked copies keep the vector (near-group around
   the original); others cyclically shift components by 1 + (c % 63) —
   near-zero cosine against every other shift of a random vector.
@@ -112,6 +117,8 @@ def main() -> int:
             cp = df
             if args.perturb and c > 0 and name == "documents":
                 near = (F.col("doc_id") + c) % 10 == 0
+                casevar = (F.col("doc_id") + c) % 10 == 5
+                casenear = (F.col("doc_id") + c) % 10 == 3
                 marked = F.concat(F.col("text"), F.lit(f" v{c}"))
                 salt = F.concat(
                     F.lit("$1 p"), F.col("doc_id").cast("string"), F.lit(f"c{c} ")
@@ -120,7 +127,11 @@ def main() -> int:
                     "text", F.lit(r"(\S+ \S+) "), salt
                 )
                 cp = cp.withColumn(
-                    "text", F.when(near, marked).otherwise(scrambled)
+                    "text",
+                    F.when(near, marked)
+                    .when(casevar, F.initcap("text"))
+                    .when(casenear, F.concat(F.initcap("text"), F.lit(f" v{c}")))
+                    .otherwise(scrambled),
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if args.perturb and c > 0 and name == "embeddings":
                 near = (F.col("vec_id") + c) % 10 == 0

@@ -122,6 +122,11 @@ def bloom_probe(
         bm = np.frombuffer(bc.value, dtype=np.uint8)
         out = []
         for arr in pos_s:
+            # NULL key -> NULL positions (None, or NaN elements after the
+            # Arrow transfer). Definitely absent: mirror build's isNotNull.
+            if arr is None or pd.isna(np.asarray(arr)).any():
+                out.append(False)
+                continue
             p = np.asarray(arr, dtype=np.int64)
             out.append(bool(np.all(bm[p >> 3] & (1 << (p & 7)).astype(np.uint8))))
         return pd.Series(out)

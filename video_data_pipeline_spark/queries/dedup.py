@@ -41,8 +41,15 @@ _P = 2147483647  # 2^31-1, Mersenne prime for universal hashing
 # deterministic (a_j, b_j) universal-hash parameters
 _AB = [(998244353 + 2 * j + 1, 777767777 * (j + 1) % _P) for j in range(_N_HASHES)]
 
-_SPARK_WORDS = "split(trim(text), ' +')"
-_DUCK_WORDS = "string_split_regex(trim(text), ' +')"
+# Words are built from lower(trim(text)) — the SAME normalization as the
+# exact-dup fingerprint (q_dedup_exact / exact_dup_representatives). This
+# makes every signature (minhash, simhash, shingle set) a true function of
+# the fingerprint, so rep-collapse before banding is lossless: a clique
+# member whose casing differs from its representative still shares the
+# representative's signature. (Round-9 fix; previously case-variant
+# duplicates silently dropped their near-dup edges.)
+_SPARK_WORDS = "split(lower(trim(text)), ' +')"
+_DUCK_WORDS = "string_split_regex(lower(trim(text)), ' +')"
 _SPARK_SHINGLES = (
     f"transform(sequence(0, size({_SPARK_WORDS}) - 3), "
     f"i -> concat_ws(' ', {_SPARK_WORDS}[i], {_SPARK_WORDS}[i+1], {_SPARK_WORDS}[i+2]))"
@@ -303,11 +310,13 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     and re-derives O(c²) candidate pairs of zero information — pairs
     q_dedup_exact already reports with certainty. Real corpora are
     replication-heavy, so banding members is a production cost bug, not a
-    fixture artifact. Signatures depend only on text, so rep-level banding
-    finds exactly the distinct-content bucket structure: downstream
-    components over (these pairs ∪ exact_dup_edges) provably equal the old
-    every-member clustering. The same collapse already guards
-    q_simhash_near_pairs and q_dedup_triangles.
+    fixture artifact. Signatures are built from ``lower(trim(text))`` — the
+    SAME normalization as the fingerprint (round-9 fix) — so every clique
+    member, including case variants, shares its representative's signature
+    and rep-level banding finds exactly the distinct-content bucket
+    structure: downstream components over (these pairs ∪ exact_dup_edges)
+    provably equal the old every-member clustering. The same collapse
+    already guards q_simhash_near_pairs and q_dedup_triangles.
 
     Single-pass plan: fingerprint groupBy (one skew-free md5 shuffle) →
     one md5 shingle pass over reps only → the signature row explodes into
