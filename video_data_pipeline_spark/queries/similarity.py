@@ -852,6 +852,14 @@ def q_ann_recall(spark, sf_dir):
     Recall = |IVF∩BF| / 10 via a (qid, vec_id) equi-join of two 80-row
     sets. At 100 TB the brute-force arm is the one you run on a SAMPLE to
     calibrate nprobe; the plan shapes here are exactly those arms."""
+    return ann_recall_frame(spark, sf_dir, _RECALL_PROBES)
+
+
+def ann_recall_frame(spark, sf_dir, nprobe: int):
+    """Recall@10 of the IVF probe path at a given ``nprobe`` — the body of
+    :func:`q_ann_recall`, parameterized so the pytest accuracy gate
+    (tests/test_ann_recall_floor.py) can sweep nprobe 1/2/4 and assert the
+    floor + monotonicity without duplicating the plan."""
     from pyspark.sql.window import Window
 
     e = table(spark, sf_dir, "embeddings")
@@ -899,7 +907,7 @@ def q_ann_recall(spark, sf_dir):
         .withColumn(
             "rk", F.row_number().over(wq.orderBy(F.col("qcos").desc(), "cid"))
         )
-        .where(F.col("rk") <= _RECALL_PROBES)
+        .where(F.col("rk") <= nprobe)
         .select("qid", "cid")
     )
     ivf = (
