@@ -33,6 +33,41 @@ TABLES = [
     "embeddings",
 ]
 
+#: Queries eligible for --oracle-sample, with (source table, key column).
+#: Eligibility contract: the query is PER-ROW over that table — output row
+#: for key k is a function of input row k alone — so running both engines
+#: on the same deterministic keyed subset of the table verifies exactly the
+#: rows sampled, bit-for-bit (no aggregate crosses sampled/unsampled rows).
+#: This is what readmits oracle-cost exclusions at sf10: the Spark side is
+#: cheap at 100x, the DuckDB side (e.g. 275M md5 list-lambda calls for
+#: q_minhash_signatures) is not, and a 1% keyed slice keeps the check exact
+#: where a tolerance-based or count-only check would not.
+SAMPLE_ELIGIBLE = {
+    "q_minhash_signatures": ("documents", "doc_id"),
+    "q_simhash": ("documents", "doc_id"),
+    "q_fingerprint": ("documents", "doc_id"),
+    "q_embedding_norms": ("embeddings", "vec_id"),
+}
+
+#: deterministic keyed sample predicates — the SAME 60-bit md5-of-decimal-
+#: string hash both engines already use elsewhere, reduced mod 1000
+_SAMPLE_MOD = 1000
+
+
+def _duck_sample_pred(key: str, frac: float) -> str:
+    thresh = int(round(frac * _SAMPLE_MOD))
+    return (
+        f"(('0x' || substr(md5(CAST({key} AS VARCHAR)), 1, 15))::BIGINT)"
+        f" % {_SAMPLE_MOD} < {thresh}"
+    )
+
+
+def _py_sampled(key_val, frac: float) -> bool:
+    import hashlib
+
+    h = int(hashlib.md5(str(key_val).encode()).hexdigest()[:15], 16)
+    return h % _SAMPLE_MOD < int(round(frac * _SAMPLE_MOD))
+
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name and rows by all columns — the driver's
@@ -116,6 +151,19 @@ def main() -> int:
         "queries were excluded — a partial sweep must never read as full)",
     )
     ap.add_argument(
+        "--oracle-sample",
+        type=float,
+        default=None,
+        metavar="FRAC",
+        help="for SAMPLE_ELIGIBLE queries, verify a deterministic keyed "
+        "subset (md5(key) mod 1000 < FRAC*1000) bit-exactly instead of the "
+        "full output: the DuckDB oracle runs on a sampled view of the "
+        "query's source table, the Spark result is filtered to the same "
+        "keys. Sound only for per-row queries (see SAMPLE_ELIGIBLE); "
+        "ineligible queries are unaffected. Rows are recorded with "
+        "'sampled': FRAC so the artifact can't read as a full check",
+    )
+    ap.add_argument(
         "--resume",
         action="store_true",
         help="skip queries already recorded in --json (restartable sweeps: "
@@ -148,12 +196,14 @@ def main() -> int:
         "selfcheck", extra_conf={"spark.driver.maxResultSize": "8g"}
     )
     con = duckdb.connect()
+    view_paths: dict[str, str] = {}
     for t in TABLES:
         path = f"{args.sf_dir}/{t}.parquet"
         # Spark-written datasets are DIRECTORIES of part files (e.g. the
         # tools/scale_up.py output); the shipped testdata is single files
         if os.path.isdir(path):
             path = f"{path}/*.parquet"
+        view_paths[t] = path
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     n_pass = n_fail = n_nooracle = 0
@@ -231,6 +281,26 @@ def main() -> int:
             n_nooracle += 1
             flush_json()
             continue
+        sampled = (
+            SAMPLE_ELIGIBLE.get(name) if args.oracle_sample is not None else None
+        )
+        rows_full = len(sdf)
+        if sampled:
+            s_table, s_key = sampled
+            keep = sdf[s_key].map(lambda v: _py_sampled(v, args.oracle_sample))
+            sdf = sdf[keep].reset_index(drop=True)
+            if not len(sdf):
+                print(f"FAIL {name}: --oracle-sample {args.oracle_sample} "
+                      f"selected 0 of {rows_full} rows — raise the fraction")
+                results[name] = {"status": "fail", "err": "empty sample"}
+                n_fail += 1
+                flush_json()
+                continue
+            con.execute(
+                f"CREATE OR REPLACE VIEW {s_table} AS "
+                f"SELECT * FROM read_parquet('{view_paths[s_table]}') "
+                f"WHERE {_duck_sample_pred(s_key, args.oracle_sample)}"
+            )
         try:
             ddf = con.execute(q.oracle).fetchdf()
         except Exception:
@@ -239,6 +309,12 @@ def main() -> int:
             n_fail += 1
             flush_json()
             continue
+        finally:
+            if sampled:
+                con.execute(
+                    f"CREATE OR REPLACE VIEW {s_table} AS "
+                    f"SELECT * FROM read_parquet('{view_paths[s_table]}')"
+                )
         problems = compare(sdf, ddf)
         if problems:
             print(f"FAIL {name} [{time.time()-t0:.1f}s]")
@@ -248,12 +324,22 @@ def main() -> int:
             n_fail += 1
             flush_json()
         else:
-            print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
-            results[name] = {
+            rec = {
                 "status": "pass",
                 "rows": len(sdf),
                 "secs": round(time.time() - t0, 2),
             }
+            if sampled:
+                rec["sampled"] = args.oracle_sample
+                rec["sample_key"] = sampled[1]
+                rec["rows_full"] = rows_full
+                print(
+                    f"PASS {name}: {len(sdf)}/{rows_full} rows "
+                    f"(sampled f={args.oracle_sample}) [{time.time()-t0:.1f}s]"
+                )
+            else:
+                print(f"PASS {name}: {len(sdf)} rows [{time.time()-t0:.1f}s]")
+            results[name] = rec
             n_pass += 1
             flush_json()
     print(f"\n{n_pass} pass, {n_fail} fail, {n_nooracle} rows-only")
