@@ -167,28 +167,25 @@ def audit_plan(plan: str) -> dict[str, int]:
     return found
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    ap.add_argument("--json", default=None)
-    args = ap.parse_args()
+def audit_registry(spark, sf_dir: str, log=print) -> tuple[dict[str, dict], int]:
+    """Analyze every registry query's executed plan against the whitelist.
 
-    sys.path.insert(0, ".")
+    Returns (per-query results, count of queries with UNEXPLAINED
+    anti-patterns or analysis errors). Shared by the CLI artifact run and
+    the ``planaudit``-marked pytest gate (tests/test_plan_audit_gate.py),
+    so CI failure and artifact regen can't drift apart."""
     from video_data_pipeline_spark.queries.registry import load_all
-    from video_data_pipeline_spark.session import get_spark
 
-    spark = get_spark("plan_audit")
-    t0 = time.time()
     results: dict[str, dict] = {}
     bad = 0
     for name, q in load_all().items():
         try:
-            df = q.spark_fn(spark, args.sf_dir)
+            df = q.spark_fn(spark, sf_dir)
             plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # analysis breakage is the smoke gate's job
             results[name] = {"error": str(e)[:200]}
             bad += 1
-            print(f"ERROR     {name}: {e}", file=sys.stderr)
+            log(f"ERROR     {name}: {e}")
             continue
         found = audit_plan(plan)
         wl = WHITELIST.get(name, {})
@@ -201,9 +198,25 @@ def main() -> int:
         if unexplained:
             entry["UNEXPLAINED"] = unexplained
             bad += 1
-            print(f"FLAG      {name}: {unexplained}")
+            log(f"FLAG      {name}: {unexplained}")
         if entry:
             results[name] = entry
+    return results, bad
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    from video_data_pipeline_spark.queries.registry import load_all
+    from video_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("plan_audit")
+    t0 = time.time()
+    results, bad = audit_registry(spark, args.sf_dir)
     n = len(load_all())
     summary = {
         "n_queries": n,
