@@ -1,0 +1,82 @@
+"""Spark-side scale probe: run selected queries to a noop sink at one or
+more sf directories and report per-query wall time + plan flags (r8
+VERDICT #8: "sf30 probe of the top-10 most expensive queries; fix anything
+super-linear").
+
+No oracle, no collect — the full physical plan executes (noop sink), so
+shuffles/AQE/spill all happen, but the measurement isolates OUR plan from
+DuckDB throughput and driver-collect ceilings. Run the same query list at
+two scales and compare: a healthy plan's time ratio should track the data
+ratio (linear) or better; anything clearly super-linear is a scale bug.
+
+Usage:
+  python tools/scale_probe.py --sf-dirs /tmp/sf10,/tmp/sf30 \
+      --queries q_simhash_near_pairs,q_cdc_chunks --json PROBE.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dirs", required=True, help="comma-separated")
+    ap.add_argument("--queries", required=True, help="comma-separated")
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    sys.path.insert(0, ".")
+    from video_data_pipeline_spark.queries.registry import load_all
+    from video_data_pipeline_spark.session import get_spark
+
+    registry = load_all()
+    names = [n for n in args.queries.split(",") if n]
+    unknown = [n for n in names if n not in registry]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    spark = get_spark("scale_probe")
+    out: dict[str, dict] = {}
+    for sf_dir in args.sf_dirs.split(","):
+        res: dict[str, dict] = {}
+        for name in names:
+            t0 = time.time()
+            rec: dict = {}
+            try:
+                df = registry[name].spark_fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                rec["secs"] = round(time.time() - t0, 2)
+                plan = df._jdf.queryExecution().executedPlan().toString()
+                # post-execution AQE plan: record the surprise markers
+                for flag in ("skewed=true", "CartesianProduct", "isEmptyRelation"):
+                    n = plan.count(flag)
+                    if n:
+                        rec.setdefault("plan_flags", {})[flag] = n
+            except Exception as e:  # noqa: BLE001
+                rec["error"] = str(e)[:300]
+                rec["secs"] = round(time.time() - t0, 2)
+            res[name] = rec
+            print(f"{sf_dir} {name}: {rec.get('secs')}s "
+                  f"{rec.get('plan_flags', '')}{rec.get('error', '')}")
+        out[sf_dir] = res
+    dirs = list(out)
+    if len(dirs) == 2:
+        a, b = dirs
+        print(f"\nscaling {a} -> {b}:")
+        for name in names:
+            sa, sb = out[a][name].get("secs"), out[b][name].get("secs")
+            if sa and sb:
+                print(f"  {name}: {sa}s -> {sb}s  ({sb / sa:.2f}x)")
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(out, f, indent=1)
+        print(f"wrote {args.json}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
