@@ -648,11 +648,13 @@ def q_jaccard_pairs_expanded(spark, sf_dir):
     user who wants every (doc_a, doc_b, jaccard) pair (the pre-r7
     q_jaccard_verified_pairs output, exactly) gets it without a single
     Jaccard evaluation on clone pairs. Within-clique pairs are Jaccard 1.0
-    by definition (identical shingle sets); cross-clique pairs inherit
-    their representatives' verified value verbatim (members have identical
-    shingle sets to their rep). Equivalence to banding every member:
-    signatures are functions of text alone, so a member-level candidate
-    pair exists iff its rep pair does, with the same Jaccard.
+    by definition (identical NORMALIZED shingle sets — shingles come from
+    ``lower(trim(text))``, the fingerprint normalization, so this holds
+    for case-variant clique members too, r9 fix); cross-clique pairs
+    inherit their representatives' verified value verbatim. Equivalence
+    to banding every member: signatures are functions of the fingerprint,
+    so a member-level candidate pair exists iff its rep pair does, with
+    the same Jaccard.
 
     Scale shape: verification cost is O(|rep candidates|); the expansion
     is two fingerprint-keyed equi-joins plus one rep-keyed within-clique
