@@ -452,6 +452,71 @@ def q_simhash_near_pairs(spark, sf_dir):
     )
 
 
+def simhash_near_pairs_capped(
+    docs,
+    max_bucket_size: int | None = None,
+    observation=None,
+    max_hamming: int = 3,
+):
+    """Production form of :func:`q_simhash_near_pairs` with the same
+    100 TB hot-bucket guard :func:`lsh_pairs_from_bands` carries.
+
+    The registered query's chunk equi-join generates O(bucket²) candidate
+    pairs per (chunk_idx, chunk_value) bucket. Usually buckets hold
+    O(n/2^15) docs, but a UNIGRAM-dense corpus concentrates them: the r9
+    sfp10 probe measured ~10⁸ true hamming≤3 pairs on a corpus whose
+    scrambled copies share 2/3 of their unigrams (boilerplate-heavy real
+    corpora behave the same way). This variant forms buckets with ONE
+    shuffle (groupBy chunk key), caps each to its first
+    ``max_bucket_size`` members (sorted — deterministic, and every kept
+    doc still pairs with the bucket minimum, so downstream connected
+    components still merge over-cap members via transitivity), and
+    generates pairs with in-bucket array combinatorics; the hamming
+    residual filters after. Pass an ``Observation`` for
+    n_buckets / oversized_buckets / max_bucket_size_seen telemetry.
+
+    Uncapped (the default) it equals the registered query exactly
+    (pytest-pinned), so the oracle-checked SQL remains the semantics
+    definition and this is the knob production jobs turn."""
+    chunks = simhash_chunks(exact_dup_representatives(docs))
+    buckets = (
+        chunks.groupBy("c", "chunk")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias(
+                "members"
+            )
+        )
+        .where(F.size("members") > 1)
+    )
+    if observation is not None:
+        cap = max_bucket_size if max_bucket_size is not None else 1 << 62
+        buckets = buckets.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.size("members") > cap).cast("long")).alias("oversized_buckets"),
+            F.max(F.size("members")).alias("max_bucket_size_seen"),
+        )
+    if max_bucket_size is not None:
+        buckets = buckets.select(
+            "c", "chunk", F.slice("members", 1, max_bucket_size).alias("members")
+        )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(members, x -> "
+                "transform(filter(members, y -> y.doc_id > x.doc_id), "
+                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "bit_count(x.simhash ^ y.simhash) AS hamming))))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select("p.doc_a", "p.doc_b", "p.hamming")
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 # ------------------------------------------------------------------ jaccard
 
 
