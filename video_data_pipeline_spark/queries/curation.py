@@ -262,10 +262,12 @@ def q_dsir_resample(spark, sf_dir):
     )
 
 
-@query(
-    "q_unigram_logprob",
-    oracle=f"""
-WITH words AS (
+#: Shared oracle CTE chain for the unigram LM (WITHOUT the leading WITH):
+#: every non-empty document scored as an exact-integer (n_tokens,
+#: logprob_micro) pair. Reused by q_unigram_logprob here and by the CCNet
+#: perplexity-bucket stage in queries/curation2.py — keeping the LM math in
+#: ONE string is what guarantees the two queries score identically.
+DUCK_UNIGRAM_SCORED = f"""words AS (
   SELECT doc_id, lang, unnest({_DUCK_TOKENS}) AS term
   FROM documents WHERE length(trim(text)) > 0
 ),
@@ -291,7 +293,42 @@ scored AS (
            AS logprob_micro
   FROM doc_terms d LEFT JOIN lm_lp l ON d.term = l.term, totals t
   GROUP BY d.doc_id
-)
+)"""
+
+
+def unigram_scored(spark, sf_dir):
+    """Spark twin of :data:`DUCK_UNIGRAM_SCORED`: one row per non-empty
+    document with exact-integer ``(n_tokens, logprob_micro)`` under the
+    add-one-smoothed unigram LM trained on the ``lang='en'`` slice. See
+    :func:`q_unigram_logprob` for the determinism and scale rationale."""
+    d = table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    words = d.select("doc_id", "lang", F.explode(F.expr(_SPARK_TOKENS)).alias("term"))
+    lm = words.where(F.col("lang") == "en").groupBy("term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = lm.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    lp = F.round(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * _FIXED_POINT)
+    lm_lp = (
+        lm.join(F.broadcast(totals))
+        .select("term", lp.cast("bigint").alias("lp_micro"))
+    )
+    oov = F.round(F.log(1.0 / (F.col("n") + F.col("v"))) * _FIXED_POINT).cast("bigint")
+    doc_terms = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        doc_terms.join(lm_lp, "term", "left")
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.coalesce("lp_micro", oov)).alias("logprob_micro"),
+        )
+    )
+
+
+@query(
+    "q_unigram_logprob",
+    oracle=f"""
+WITH {DUCK_UNIGRAM_SCORED}
 SELECT doc_id, n_tokens, logprob_micro,
        CAST(-logprob_micro AS DOUBLE)
          / (CAST(n_tokens AS DOUBLE) * {_FIXED_POINT}) AS xent_nats
@@ -314,28 +351,7 @@ def q_unigram_logprob(spark, sf_dir):
     ``q_tfidf_top_terms``); the 1-row totals are a broadcast nested-loop
     cross, which is a constant, not a cartesian.
     """
-    d = table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
-    words = d.select("doc_id", "lang", F.explode(F.expr(_SPARK_TOKENS)).alias("term"))
-    lm = words.where(F.col("lang") == "en").groupBy("term").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    totals = lm.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
-    lp = F.round(F.log((F.col("c") + 1.0) / (F.col("n") + F.col("v"))) * _FIXED_POINT)
-    lm_lp = (
-        lm.join(F.broadcast(totals))
-        .select("term", lp.cast("bigint").alias("lp_micro"))
-    )
-    oov = F.round(F.log(1.0 / (F.col("n") + F.col("v"))) * _FIXED_POINT).cast("bigint")
-    doc_terms = words.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("cnt"))
-    scored = (
-        doc_terms.join(lm_lp, "term", "left")
-        .join(F.broadcast(totals))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("cnt").alias("n_tokens"),
-            F.sum(F.col("cnt") * F.coalesce("lp_micro", oov)).alias("logprob_micro"),
-        )
-    )
+    scored = unigram_scored(spark, sf_dir)
     return scored.select(
         "doc_id",
         "n_tokens",

@@ -1,0 +1,444 @@
+"""Curation stage 2: CCNet bucketing, Gopher rules, token-budget recipes.
+
+Three pretraining-data curation operators that sit immediately downstream of
+the stage-1 scoring queries (queries/curation.py) in a real 100 TB pipeline:
+
+- ``q_perplexity_buckets``: the CCNet head/middle/tail split (Wenzek et al.
+  2020 §4.3) — per-language perplexity terciles over the unigram-LM
+  cross-entropy of queries/curation.py. CCNet trains downstream models on
+  the ``head`` bucket; this is the query that actually produces it.
+- ``q_gopher_rules``: the Gopher document-quality ruleset (Rae et al. 2021,
+  Table A1) as pure column math — word-count bounds, mean-word-length
+  bounds, alphabetic-word fraction, stopword floor, symbol-to-word ratio,
+  bullet/ellipsis line shape — each rule an auditable 0/1 column plus the
+  conjunction verdict. Complements ``q_repetition_filter`` (the Gopher
+  REPETITION rules, queries/text.py) — together they cover the full ruleset.
+- ``q_token_budget_mix``: data-recipe execution (the LLaMA-style "epochs
+  per source" table): allocate a global token budget across sources with
+  weights proportional to sqrt(source token count), yielding a possibly
+  GREATER-than-1 epoch count per source — integer full passes plus a
+  deterministic hash-thresholded fractional pass. Differs from
+  ``q_lang_temperature_mix`` (keep-rates <= 1, per-language) in exactly the
+  mechanic that matters for recipes: upsampling (epochs > 1).
+
+Determinism contract (registry header): the only transcendentals are ``ln``
+on the bounded LM vocabulary (inherited from curation.py, fixed-point BIGINT
+before any per-doc math) and ``sqrt`` on per-source token counts (correctly
+rounded per IEEE-754 in both engines — the q_lang_temperature_mix
+precedent); everything per-document is BIGINT arithmetic with floor
+division on non-negative operands (Spark ``div`` == DuckDB ``//`` there).
+
+Scale design (100 TB):
+- The CCNet tercile thresholds come from a CENTINAT HISTOGRAM — cross
+  entropy lives in ~[0, 20] nats, so the (lang, xent_centi) aggregate is
+  capacity-bounded (≤ ~2000 rows per language regardless of corpus size);
+  the corpus is never ranked per language (the naive per-lang ntile window
+  puts an entire language — 20 TB+ — on one reducer). Same selection idiom
+  as q_mad_outliers' median-from-value-counts.
+- Gopher rules are a single in-scan projection: zero shuffles, zero joins.
+- The recipe table is #sources rows, derived with one map-side-combined
+  aggregate and joined back BROADCAST; the corpus never shuffles.
+
+Reference parity: the reference has no curation tier (closest: blacklist
+word filters, filters.py); these are the distributed forms of the published
+pipeline stages its pack/tokenize output feeds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.functions.hashing import (
+    duckdb_hash64_sql,
+    stable_hash64,
+)
+from video_data_pipeline_spark.queries.curation import (
+    _SPARK_TOKENS,
+    DUCK_UNIGRAM_SCORED,
+    unigram_scored,
+)
+from video_data_pipeline_spark.queries.registry import query, table
+
+# ------------------------------------------------- CCNet perplexity buckets
+
+#: xent_centi = floor(xent_nats * 100): 1e-2-nat resolution. The histogram
+#: bin count is bounded by the LM's worst-case cross entropy (~ln(N+V) ≈ 20
+#: nats → ≤ ~2000 bins), which is what makes the threshold table broadcast-
+#: safe at any corpus size.
+_CENTI_DIV = 100  # logprob_micro is 1e-4 nat ⇒ div by (n_tokens · 100)
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle=f"""
+WITH {DUCK_UNIGRAM_SCORED},
+docs AS (
+  SELECT s.doc_id, d.lang,
+         (-s.logprob_micro) // (s.n_tokens * {_CENTI_DIV}) AS xent_centi
+  FROM scored s JOIN documents d USING (doc_id)
+),
+hist AS (
+  SELECT lang, xent_centi, COUNT(*) AS cnt FROM docs GROUP BY lang, xent_centi
+),
+cum AS (
+  SELECT lang, xent_centi,
+         SUM(cnt) OVER (PARTITION BY lang ORDER BY xent_centi) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+t1 AS (
+  SELECT lang, MIN(xent_centi) AS t1 FROM cum
+  WHERE cum >= (n + 2) // 3 GROUP BY lang
+),
+t2 AS (
+  SELECT lang, MIN(xent_centi) AS t2 FROM cum
+  WHERE cum >= (2 * n + 2) // 3 GROUP BY lang
+)
+SELECT d.doc_id, d.lang, d.xent_centi,
+       CASE WHEN d.xent_centi <= t1.t1 THEN 'head'
+            WHEN d.xent_centi <= t2.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM docs d JOIN t1 USING (lang) JOIN t2 USING (lang)
+""",
+    tags=("curation", "lm", "quality"),
+)
+def q_perplexity_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity split, per language: every
+    non-empty document is assigned the tercile bucket of its unigram-LM
+    cross entropy within its own language (CCNet's central design point —
+    a fixed global threshold would just re-rank languages by how well the
+    English-slice LM fits them).
+
+    Exactness: per-doc cross entropy is quantized to integer centinats
+    ``xent_centi = (-logprob_micro) div (n_tokens·100)`` (floor division on
+    non-negative BIGINTs — identical in Spark and DuckDB), and terciles are
+    defined ON THE QUANTIZED value: threshold t_k = smallest bin whose
+    cumulative count reaches ceil(k·n/3). Bucket boundaries therefore fall
+    between bins, never inside one — the assignment is a pure function of
+    (lang, xent_centi) with no per-doc tie-breaking to keep in sync across
+    engines.
+
+    Scale shape: the corpus aggregates once into the bounded (lang,
+    xent_centi) histogram (map-side combine; ≤ ~2000 rows/lang at ANY
+    corpus size — xent is bounded by the LM's OOV floor ~ln(N+V)); the
+    cumulative windows sort bins, never documents; thresholds join back
+    broadcast and the bucket label is evaluated in-scan. The naive
+    per-language ntile window — 20 TB of one language through a single
+    reducer at 100 TB — never appears. Same histogram-selection idiom as
+    q_mad_outliers."""
+    d = table(spark, sf_dir, "documents")
+    docs = unigram_scored(spark, sf_dir).join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"(-logprob_micro) div (n_tokens * {_CENTI_DIV})").alias(
+            "xent_centi"
+        ),
+    )
+    hist = docs.groupBy("lang", "xent_centi").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy("xent_centi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "xent_centi",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    )
+    t1 = (
+        cum.where(F.col("cum") >= F.expr("(n + 2) div 3"))
+        .groupBy("lang")
+        .agg(F.min("xent_centi").alias("t1"))
+    )
+    t2 = (
+        cum.where(F.col("cum") >= F.expr("(2 * n + 2) div 3"))
+        .groupBy("lang")
+        .agg(F.min("xent_centi").alias("t2"))
+    )
+    thresholds = t1.join(t2, "lang")
+    return docs.join(F.broadcast(thresholds), "lang").select(
+        "doc_id",
+        "lang",
+        "xent_centi",
+        F.when(F.col("xent_centi") <= F.col("t1"), F.lit("head"))
+        .when(F.col("xent_centi") <= F.col("t2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+
+
+# ------------------------------------------------------------- Gopher rules
+
+#: The published cutoffs (Rae et al. 2021 Table A1), integer-rearranged so
+#: no per-document float is ever computed: mean word length in [3, 10]
+#: becomes 3·n_words ≤ char_sum ≤ 10·n_words, alpha fraction ≥ 0.8 becomes
+#: 5·alpha_words ≥ 4·n_words, symbol ratio ≤ 0.1 becomes 10·symbols ≤
+#: n_words.
+_STOPWORDS = ("the", "a", "of", "to", "and", "in")
+_MIN_WORDS, _MAX_WORDS = 50, 100_000
+
+_DUCK_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+_SPARK_STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@query(
+    "q_gopher_rules",
+    oracle=f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(toks) AS n_words,
+         CAST(list_sum(list_transform(toks, w -> length(w))) AS BIGINT) AS char_sum,
+         len(list_filter(toks, w -> regexp_matches(w, '[a-zA-Z]'))) AS alpha_words,
+         len(list_filter(toks, w -> list_contains({_DUCK_STOP_LIST}, w))) AS stop_count,
+         (length(text) - length(replace(text, '#', '')))
+           + (length(text) - length(replace(text, '...', ''))) // 3 AS symbol_count,
+         CASE WHEN text LIKE '- %' OR text LIKE '* %' THEN 1 ELSE 0 END AS bullet_start,
+         CASE WHEN text LIKE '%...' THEN 1 ELSE 0 END AS ellipsis_end
+  FROM (SELECT doc_id, text, string_split_regex(trim(text), ' +') AS toks
+        FROM documents)
+)
+SELECT doc_id, n_words, char_sum, alpha_words, stop_count, symbol_count,
+       CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS} THEN 1 ELSE 0 END AS r_word_count,
+       CASE WHEN char_sum >= 3 * n_words AND char_sum <= 10 * n_words THEN 1 ELSE 0 END AS r_mean_len,
+       CASE WHEN 5 * alpha_words >= 4 * n_words THEN 1 ELSE 0 END AS r_alpha,
+       CASE WHEN stop_count >= 2 THEN 1 ELSE 0 END AS r_stopwords,
+       CASE WHEN 10 * symbol_count <= n_words THEN 1 ELSE 0 END AS r_symbol,
+       CASE WHEN bullet_start = 0 AND ellipsis_end = 0 THEN 1 ELSE 0 END AS r_line_shape,
+       CASE WHEN n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}
+             AND char_sum >= 3 * n_words AND char_sum <= 10 * n_words
+             AND 5 * alpha_words >= 4 * n_words
+             AND stop_count >= 2
+             AND 10 * symbol_count <= n_words
+             AND bullet_start = 0 AND ellipsis_end = 0
+            THEN 1 ELSE 0 END AS keep
+FROM feats
+""",
+    tags=("curation", "quality"),
+)
+def q_gopher_rules(spark, sf_dir):
+    """Gopher quality-filter ruleset (Rae et al. 2021, Table A1) as one
+    in-scan projection: per document, the raw feature counts, one 0/1
+    column per rule (auditable — a curation run reports per-rule rejection
+    rates, not just a verdict), and the conjunction ``keep``.
+
+    Rules, integer-rearranged (no per-doc float anywhere): word count in
+    [50, 100k]; mean word length in [3, 10] (as 3n ≤ Σlen ≤ 10n);
+    ≥ 80% of words contain an alphabetic character (as 5·alpha ≥ 4·n);
+    ≥ 2 stopwords; symbol('#'/'...')-to-word ratio ≤ 0.1 (as 10·sym ≤ n);
+    document not bullet-led / ellipsis-terminated (the single-line form of
+    Gopher's line-shape rules — this corpus is one line per doc). The
+    REPETITION half of Gopher's ruleset is q_repetition_filter
+    (queries/text.py), which this intentionally does not duplicate.
+
+    Scale shape: pure column math over one scan — no shuffle, no join, no
+    UDF; every expression stays inside whole-stage codegen, so the filter
+    runs at scan throughput on any corpus size. Engine parity: token
+    splitting is the shared ``split(trim(text), ' +')``; the regex class
+    ``[a-zA-Z]`` and LIKE anchors behave identically in both engines;
+    everything else is BIGINT compares."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.expr(_SPARK_TOKENS)
+    feats = d.select(
+        "doc_id",
+        "text",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.expr(
+            f"aggregate({_SPARK_TOKENS}, 0L, (acc, w) -> acc + length(w))"
+        ).alias("char_sum"),
+        F.expr(
+            f"CAST(size(filter({_SPARK_TOKENS}, w -> w rlike '[a-zA-Z]')) AS BIGINT)"
+        ).alias("alpha_words"),
+        F.expr(
+            f"CAST(size(filter({_SPARK_TOKENS},"
+            f" w -> w in ({_SPARK_STOP_LIST}))) AS BIGINT)"
+        ).alias("stop_count"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("#"))))
+            + F.expr(
+                "(length(text) - length(replace(text, '...', ''))) div 3"
+            )
+        ).cast("bigint").alias("symbol_count"),
+        F.when(
+            F.col("text").startswith("- ") | F.col("text").startswith("* "),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("bullet_start"),
+        F.when(F.col("text").endswith("..."), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("ellipsis_end"),
+    )
+    r_word_count = F.col("n_words").between(_MIN_WORDS, _MAX_WORDS)
+    r_mean_len = (F.col("char_sum") >= 3 * F.col("n_words")) & (
+        F.col("char_sum") <= 10 * F.col("n_words")
+    )
+    r_alpha = 5 * F.col("alpha_words") >= 4 * F.col("n_words")
+    r_stopwords = F.col("stop_count") >= 2
+    r_symbol = 10 * F.col("symbol_count") <= F.col("n_words")
+    r_line_shape = (F.col("bullet_start") == 0) & (F.col("ellipsis_end") == 0)
+    as01 = lambda c, name: F.when(c, F.lit(1)).otherwise(F.lit(0)).alias(name)  # noqa: E731
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "char_sum",
+        "alpha_words",
+        "stop_count",
+        "symbol_count",
+        as01(r_word_count, "r_word_count"),
+        as01(r_mean_len, "r_mean_len"),
+        as01(r_alpha, "r_alpha"),
+        as01(r_stopwords, "r_stopwords"),
+        as01(r_symbol, "r_symbol"),
+        as01(r_line_shape, "r_line_shape"),
+        as01(
+            r_word_count
+            & r_mean_len
+            & r_alpha
+            & r_stopwords
+            & r_symbol
+            & r_line_shape,
+            "keep",
+        ),
+    )
+
+
+# ------------------------------------------------------- token-budget recipe
+
+_BUDGET_DIV = 2  # global budget = total corpus tokens / 2
+_MICRO = 1_000_000
+_MIX_SEED = "budgetmix:"
+
+
+@query(
+    "q_token_budget_mix",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS n_tok,
+         ({duckdb_hash64_sql("doc_id", _MIX_SEED)}) % {_MICRO} AS u_micro
+  FROM documents
+),
+c AS (
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         CAST(ROUND(sqrt(CAST(SUM(n_tok) AS DOUBLE))) AS BIGINT) AS sm
+  FROM per_doc GROUP BY source
+),
+t AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tok,
+         CAST(SUM(sm) AS BIGINT) AS total_sm
+  FROM c
+),
+r AS (
+  SELECT c.source, c.n_docs, c.n_tokens,
+         (c.sm * {_MICRO}) // t.total_sm AS weight_micro,
+         ((t.total_tok // {_BUDGET_DIV}) * c.sm * {_MICRO})
+           // (t.total_sm * c.n_tokens) AS epochs_micro
+  FROM c CROSS JOIN t
+),
+frac AS (
+  SELECT d.source,
+         COUNT(*) FILTER (WHERE d.u_micro < r.epochs_micro % {_MICRO}) AS hit_docs,
+         COALESCE(CAST(SUM(d.n_tok)
+           FILTER (WHERE d.u_micro < r.epochs_micro % {_MICRO}) AS BIGINT), 0)
+           AS hit_tokens
+  FROM per_doc d JOIN r ON r.source = d.source
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.n_tokens, r.weight_micro, r.epochs_micro,
+       r.n_docs * (r.epochs_micro // {_MICRO}) + f.hit_docs AS sel_docs,
+       r.n_tokens * (r.epochs_micro // {_MICRO}) + f.hit_tokens AS sel_tokens
+FROM r JOIN frac f ON f.source = r.source
+""",
+    tags=("curation", "sampling", "recipe"),
+)
+def q_token_budget_mix(spark, sf_dir):
+    """Data-recipe execution, LLaMA-style: split a global token budget
+    (half the corpus) across sources with weights proportional to
+    sqrt(source tokens) — the balanced recipe that upsamples small curated
+    sources — and emit each source's allocation as EPOCHS: an integer
+    number of full passes plus a deterministic fractional pass
+    (``stable_hash64(doc_id) % 1e6 < epochs_micro % 1e6``). Small sources
+    get epochs > 1 (repetition — the mechanic q_lang_temperature_mix's
+    keep-rates ≤ 1 cannot express); large ones get a fractional subsample.
+    Output is the recipe audit table: per source, corpus counts, the
+    micro-unit weight and epoch allocation, and the exact selected
+    doc/token counts the allocation realizes.
+
+    Exactness: sqrt only on #sources aggregate values (correctly rounded
+    per IEEE-754 in both engines — the q_lang_temperature_mix precedent),
+    then everything is BIGINT floor division on non-negative operands
+    (Spark ``div`` == DuckDB ``//``); the fractional-pass membership is the
+    shared md5 hash. Worst-case magnitude (budget · sm · 1e6) stays under
+    2^63 through sf30 (≈ 7e16).
+
+    Scale shape: one map-side-combined aggregate to the #sources recipe
+    table, totals via a single-partition window over that tiny table (not
+    a second corpus scan — the q_lang_temperature_mix CSE note), recipe
+    joined back BROADCAST, fractional-pass counts partial-aggregated
+    in-scan. The corpus never shuffles."""
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "doc_id",
+        "source",
+        F.size(F.expr(_SPARK_TOKENS)).cast("bigint").alias("n_tok"),
+        (stable_hash64("doc_id", _MIX_SEED) % _MICRO).alias("u_micro"),
+    )
+    c = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sqrt(F.sum("n_tok").cast("double"))).cast("bigint").alias("sm"),
+    )
+    allw = Window.partitionBy()
+    r = c.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(allw).alias("total_tok"),
+        F.sum("sm").over(allw).alias("total_sm"),
+        "sm",
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"(sm * {_MICRO}) div total_sm").alias("weight_micro"),
+        F.expr(
+            f"((total_tok div {_BUDGET_DIV}) * sm * {_MICRO})"
+            f" div (total_sm * n_tokens)"
+        ).alias("epochs_micro"),
+    )
+    frac = (
+        per_doc.join(F.broadcast(r.select("source", "epochs_micro")), "source")
+        .groupBy("source")
+        .agg(
+            F.count(
+                F.when(F.col("u_micro") < F.col("epochs_micro") % _MICRO, 1)
+            ).alias("hit_docs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("u_micro") < F.col("epochs_micro") % _MICRO,
+                        F.col("n_tok"),
+                    )
+                ),
+                F.lit(0),
+            ).alias("hit_tokens"),
+        )
+    )
+    return r.join(frac, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight_micro",
+        "epochs_micro",
+        (
+            F.col("n_docs") * F.expr(f"epochs_micro div {_MICRO}")
+            + F.col("hit_docs")
+        ).alias("sel_docs"),
+        (
+            F.col("n_tokens") * F.expr(f"epochs_micro div {_MICRO}")
+            + F.col("hit_tokens")
+        ).alias("sel_tokens"),
+    )

@@ -60,7 +60,9 @@ def load_all() -> dict[str, Query]:
     """
     from video_data_pipeline_spark.queries import (  # noqa: F401
         analysis,
+        communities,
         curation,
+        curation2,
         dataflow,
         dedup,
         media,
