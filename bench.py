@@ -88,6 +88,11 @@ HEADLINE = [
     "q_mad_outliers",
     "q_phrase_match",
     "q_cdc_chunks",
+    # curation stage 2 + communities (round 9)
+    "q_perplexity_buckets",
+    "q_gopher_rules",
+    "q_token_budget_mix",
+    "q_label_propagation",
 ]
 
 

@@ -74,6 +74,17 @@ WHITELIST: dict[str, dict[str, str]] = {
         _BNLJ: "1-row corpus-total builds (vocab itself joins by shuffle)",
         _SP: "the same 1-row total aggregates",
     },
+    "q_perplexity_buckets": {
+        _BNLJ: "the q_unigram_logprob 1-row LM-total builds, instantiated "
+        "once per reuse of the scored subquery (vocab joins by shuffle; "
+        "thresholds join broadcast-HASH on lang)",
+        _SP: "the same 1-row total aggregates; tercile selection windows "
+        "partition by lang over the bounded centinat histogram",
+    },
+    "q_token_budget_mix": {
+        _SP: "totals window over the ≤|sources|-row recipe aggregate "
+        "(the q_lang_temperature_mix shape; corpus side joins broadcast)"
+    },
     "q_heavy_hitters": {
         _BNLJ: "1-row total-count build onto ≤k recounted candidates",
         _SP: "1-row total aggregate",
