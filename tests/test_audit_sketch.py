@@ -1,0 +1,55 @@
+"""Semantic tests for the sketch-accuracy audits (queries/audit.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.audit import q_minhash_estimate
+from video_data_pipeline_spark.queries.dedup import _BAND_ROWS, _N_HASHES
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while seventeen green "
+    "turtles carry heavy stones across the wide muddy river before sunset "
+    "every single day"
+)
+
+
+@pytest.fixture()
+def fixture_dir(spark, tmp_path):
+    near = _BASE.replace("heavy stones", "heavy bricks")
+    title = " ".join(w.capitalize() for w in _BASE.split())  # exact dup by fingerprint
+    far = "unrelated words entirely distinct from anything else repeated " * 4
+    rows = [(1, _BASE), (2, title), (3, near), (4, far.strip())]
+    d = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("fx"))
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_estimate_band_floor_invariant(spark, sf_dir):
+    """Every LSH candidate pair shares at least one FULL band, so its
+    signature agreement is at least one band's worth of components —
+    a structural invariant of banding, checked on the real testdata."""
+    out = q_minhash_estimate(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["est_matches"] >= _BAND_ROWS).all()
+    assert (out["est_matches"] <= _N_HASHES).all()
+    assert ((out["jaccard"] > 0) & (out["jaccard"] <= 1)).all()
+
+
+def test_estimate_on_crafted_near_dup(spark, fixture_dir):
+    """The case-variant clique collapses to its rep; the surviving
+    candidate pair is the true near-dup (1, 3) with a high-but-not-1
+    jaccard and a calibrated estimate; the unrelated doc 4 pairs with
+    nothing."""
+    out = q_minhash_estimate(spark, fixture_dir).toPandas()
+    pairs = set(zip(out["doc_a"], out["doc_b"]))
+    assert pairs == {(1, 3)}
+    row = out.iloc[0]
+    assert _BAND_ROWS <= row["est_matches"] <= _N_HASHES
+    assert 0.5 < row["jaccard"] < 1.0

@@ -1,0 +1,102 @@
+"""Prefix-filter similarity join: completeness + exactness vs brute force.
+
+The module's selling point over LSH is GUARANTEED recall at the threshold —
+so the test is equality against an all-pairs brute-force reference, not a
+recall bound.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.simjoin import (
+    _TAU_DEN,
+    _TAU_NUM,
+    q_prefix_filter_join,
+)
+
+_BASE = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform"
+)
+
+
+def _mutate(text: str, k: int, tag: str) -> str:
+    words = text.split()
+    for j in range(k):
+        words[2 * j] = f"{tag}{j}"
+    return " ".join(words)
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    rows = [
+        (1, _BASE, "en", "s"),
+        (2, _mutate(_BASE, 1, "x"), "en", "s"),   # near-dup of 1
+        (3, _mutate(_BASE, 2, "y"), "en", "s"),   # weaker near-dup of 1
+        (4, _mutate(_BASE, 8, "z"), "en", "s"),   # heavily mutated
+        (5, "completely different words " * 6, "en", "s"),
+        (6, "Alpha Bravo " + _BASE.split(" ", 2)[2], "en", "s"),  # case variant head
+        (7, "one two", "en", "s"),  # < 3 words: no shingles, must be dropped
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = d.withColumn("n_chars", F.length("text").cast("long"))
+    path = tmp_path_factory.mktemp("simjoin")
+    d.write.parquet(str(path / "documents.parquet"))
+    return str(path), rows
+
+
+def _shingle_set(text: str) -> set[str]:
+    w = text.lower().strip().split()
+    return {" ".join(w[i : i + 3]) for i in range(len(w) - 2)}
+
+
+def _brute_force(rows):
+    tau = _TAU_NUM / _TAU_DEN
+    sets = {i: _shingle_set(t) for i, t, _, _ in rows if len(t.split()) >= 3}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        if union and inter / union >= tau:
+            out[(a, b)] = (inter, inter / union)
+    return out
+
+
+def test_prefix_join_equals_brute_force(spark, corpus_dir):
+    path, rows = corpus_dir
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in q_prefix_filter_join(spark, path).collect()
+    }
+    want = _brute_force(rows)
+    assert set(got) == set(want), (
+        f"completeness/exactness break: extra={set(got) - set(want)}, "
+        f"missing={set(want) - set(got)}"
+    )
+    for k, (n_common, jac) in want.items():
+        assert got[k][0] == n_common
+        assert got[k][1] == pytest.approx(jac, abs=0)
+
+
+def test_prefix_join_includes_case_variant_pair(spark, corpus_dir):
+    """Shingles come from lower(trim(text)) — the round-9 normalization —
+    so the Title-Case-headed doc 6 must pair with doc 1."""
+    path, _ = corpus_dir
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_prefix_filter_join(spark, path).collect()
+    }
+    assert (1, 6) in pairs
+
+
+def test_prefix_length_always_positive():
+    """p = n - ceil(τn) + 1 >= 1 for every n >= 1 — no document can have an
+    empty prefix (which would silently drop it from the join)."""
+    for n in range(1, 2000):
+        p = n - ((_TAU_NUM * n + _TAU_DEN - 1) // _TAU_DEN) + 1
+        assert p >= 1, n

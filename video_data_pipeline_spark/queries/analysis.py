@@ -422,3 +422,62 @@ def q_cdc_chunks(spark, sf_dir):
         )
         .where(F.col("n_occ") > 1)
     )
+
+
+# ------------------------------------------------------ conjunctive search
+
+_SPARK_TOKENS_ANALYSIS = "split(trim(text), ' +')"
+_DUCK_TOKENS_ANALYSIS = "string_split_regex(trim(text), ' +')"
+_AND_TERMS = ("window", "scan", "merge")
+
+
+@query(
+    "q_boolean_and_search",
+    oracle=f"""
+WITH postings AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS_ANALYSIS}) AS term FROM documents
+),
+hits AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM postings
+  WHERE term IN {_AND_TERMS!r} GROUP BY doc_id, term
+)
+SELECT doc_id,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       CAST(MIN(tf) AS BIGINT) AS min_tf
+FROM hits GROUP BY doc_id
+HAVING COUNT(*) = {len(_AND_TERMS)}
+""",
+    tags=("text", "search"),
+)
+def q_boolean_and_search(spark, sf_dir):
+    """Conjunctive boolean search ('window AND scan AND merge') over an
+    index-shaped postings plan: explode tokens, keep ONLY the query's
+    terms at the generator (the postings that shuffle are a sliver of the
+    token stream), aggregate per (doc, term), and intersect the postings
+    lists with a count-of-terms HAVING — the distributed form of a k-way
+    postings intersection, no self-joins. Output carries the tf evidence
+    an IR ranker consumes (total tf + the rarest-term tf that bounds any
+    AND-semantics score). Completes the IR trio: q_phrase_match (position
+    adjacency), q_bm25 (ranked relevance), this (boolean retrieval).
+
+    At 100 TB: filter-at-the-generator means the exchange carries
+    |postings(t1)| + |postings(t2)| + |postings(t3)| partial-agg'd rows
+    (map-side combine collapses per-task repeats), never the corpus; the
+    HAVING count is evaluated in the same aggregate. One shuffle total."""
+    d = table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id", F.explode(F.expr(_SPARK_TOKENS_ANALYSIS)).alias("term")
+    ).where(F.col("term").isin(*_AND_TERMS))
+    per_term = postings.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    return (
+        per_term.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.min("tf").alias("min_tf"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+        .where(F.col("n_terms") == len(_AND_TERMS))
+        .select("doc_id", "total_tf", "min_tf")
+    )

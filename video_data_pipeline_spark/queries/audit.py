@@ -1,0 +1,128 @@
+"""Sketch-accuracy audits: measured error of the approximate operators.
+
+``q_ann_recall`` (queries/similarity.py) established the harness policy
+that every approximation ships with a query that MEASURES it. This module
+extends that policy to the dedup sketches:
+
+- ``q_minhash_estimate``: per LSH candidate pair, the MinHash similarity
+  estimate (matching signature components / k) side-by-side with the EXACT
+  shingle Jaccard — the calibration table that tells an operator whether
+  k=8 signatures are tight enough for their dedup threshold, measured on
+  their own corpus rather than assumed from E[match] = J theory.
+
+Scale shape: estimates are computed only on LSH CANDIDATE pairs (the
+output of the production banding plan), so the audit costs O(|candidates|)
+joins by uniform doc_id keys — it never rescans or re-pairs the corpus.
+At 100 TB you'd run it on a sampled partition of pairs; the plan is
+unchanged by sampling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.dedup import (
+    _DUCK_REPS,
+    _DUCK_SHINGLES,
+    _DUCK_WORDS,
+    _N_HASHES,
+    _duck_lsh_pairs_sql,
+    _duck_signatures_sql,
+    exact_dup_representatives,
+    lsh_pairs_from_bands,
+    minhash_bands,
+    signatures,
+)
+from video_data_pipeline_spark.queries.registry import query, table
+
+_SPARK_SHINGLE_SET = (
+    "array_distinct(transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+)
+
+
+def _duck_minhash_estimate_sql() -> str:
+    matches = " + ".join(
+        f"(CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END)"
+        for j in range(_N_HASHES)
+    )
+    inter = "len(list_intersect(ta.sh, tb.sh))"
+    jac = f"CAST({inter} AS DOUBLE) / (len(ta.sh) + len(tb.sh) - {inter})"
+    return f"""
+WITH reps AS ({_DUCK_REPS}),
+pairs AS ({_duck_lsh_pairs_sql("reps")}),
+sig AS ({_duck_signatures_sql("reps")}),
+sets AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM reps WHERE len({_DUCK_WORDS}) >= 3
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({matches} AS BIGINT) AS est_matches,
+       {jac} AS jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b
+JOIN sets ta ON ta.doc_id = p.doc_a
+JOIN sets tb ON tb.doc_id = p.doc_b
+"""
+
+
+@query(
+    "q_minhash_estimate",
+    oracle=_duck_minhash_estimate_sql(),
+    tags=("dedup", "minhash", "audit"),
+)
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash estimate calibration: for every rep-level LSH candidate
+    pair, the sketch's similarity estimate (``est_matches`` of k=8
+    signature components agreeing; E[est/k] = true Jaccard) next to the
+    EXACT shingle Jaccard. This is the table behind every k/band/τ tuning
+    decision: it shows, on the operator's own corpus, how often banding
+    surfaces pairs whose true similarity is below their intended dedup
+    threshold (LSH false positives are expected and cheap — they cost one
+    verification; what the audit guards is the estimate's calibration, the
+    thing q_jaccard_verified_pairs trusts to order its work).
+
+    Plan: the production banding plan produces the pairs; signatures and
+    shingle sets attach via four uniform doc_id equi-joins over the
+    REP-sized tables (never the raw corpus). No new corpus scan, no new
+    pairing — the audit piggybacks on exactly what production computes.
+    Exactness: est_matches is an integer CASE sum; jaccard is one double
+    division of exact integer set sizes (array_intersect on distinct
+    arrays == DuckDB list_intersect)."""
+    reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
+    pairs = lsh_pairs_from_bands(minhash_bands(reps))
+    sig = signatures(reps)
+    sets = (
+        reps.select("doc_id", F.expr("split(lower(trim(text)), ' +')").alias("w"))
+        .where(F.expr("size(w) >= 3"))
+        .select("doc_id", F.expr(_SPARK_SHINGLE_SET).alias("sh"))
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"a{j}") for j in range(_N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"b{j}") for j in range(_N_HASHES)],
+    )
+    ta = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    est = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(_N_HASHES)
+    ).cast("bigint")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est.alias("est_matches"),
+            jac.alias("jaccard"),
+        )
+    )

@@ -49,10 +49,13 @@ _PACK = 1 << 33  # > any doc_id through sf30; cnt·2^33 + 2^33 stays < 2^55
 
 
 def _duck_lpa_sql() -> str:
+    # sym is referenced by every propagation round: MATERIALIZED stops
+    # DuckDB from re-inlining the whole LSH pipeline per round (the q_kcore
+    # lesson — 164 s -> seconds at sf1)
     ctes = [
-        f"WITH reps AS ({_DUCK_REPS})",
-        f"lsh AS ({_duck_lsh_pairs_sql('reps')})",
-        "sym AS (SELECT doc_a AS u, doc_b AS v FROM lsh"
+        f"WITH reps AS MATERIALIZED ({_DUCK_REPS})",
+        f"lsh AS MATERIALIZED ({_duck_lsh_pairs_sql('reps')})",
+        "sym AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM lsh"
         " UNION SELECT doc_b AS u, doc_a AS v FROM lsh)",
         "l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM sym)",
     ]

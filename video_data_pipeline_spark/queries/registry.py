@@ -60,6 +60,7 @@ def load_all() -> dict[str, Query]:
     """
     from video_data_pipeline_spark.queries import (  # noqa: F401
         analysis,
+        audit,
         communities,
         curation,
         curation2,
@@ -72,6 +73,7 @@ def load_all() -> dict[str, Query]:
         relational3,
         relational4,
         similarity,
+        simjoin,
         sketch,
         stats,
         text,

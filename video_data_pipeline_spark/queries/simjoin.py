@@ -1,0 +1,153 @@
+"""Prefix-filtered set-similarity join (AllPairs / PPJoin family).
+
+``q_prefix_filter_join`` — exact token-set Jaccard join at threshold
+τ = 0.6 via PREFIX FILTERING (Chaudhuri et al. 2006; Bayardo et al. 2007
+"Scaling Up All Pairs Similarity Search"): order every document's distinct
+tokens by GLOBAL RARITY (document frequency asc, term asc), keep only each
+document's first ``p = n − ceil(τ·n) + 1`` tokens as its *prefix*, and
+generate candidates only from shared prefix tokens. The theorem: two sets
+with Jaccard ≥ τ MUST share at least one token within these prefixes — so
+unlike MinHash-LSH (probabilistic recall < 1) this candidate set is
+COMPLETE by construction, while still skipping the all-pairs join: prefix
+tokens are the globally rarest, so their postings — and therefore the
+candidate buckets — are the smallest in the corpus.
+
+This is the second scale path for exact-threshold near-dup joins, next to
+LSH-then-verify (q_jaccard_verified_pairs): LSH wins when misses are
+acceptable and τ is low; prefix filtering wins when the join must be
+EXACT (guaranteed recall 1.0 at the threshold).
+
+Exactness: the similarity is over DISTINCT 3-gram shingle sets (the same
+similarity space as q_jaccard_verified_pairs, so the two scale paths are
+directly comparable — word-level sets were rejected: this corpus's tiny
+vocabulary makes nearly every doc pair word-similar, i.e. quadratic
+output); the
+threshold test is integer-exact (J ≥ τn/τd ⟺ (τd+τn)·|∩| ≥ τn·(n_a + n_b), from τd·I ≥ τn·(n_a + n_b − I)); the reported jaccard is one double division of
+exact integers. The rarity order (df, term) is a total order per document
+(terms are distinct within a doc), so prefixes are deterministic in both
+engines.
+
+Scale shape (100 TB): df is one map-side-combined term aggregate (vocab-
+keyed shuffle — never broadcast, same policy as q_tfidf_top_terms); the
+per-document rarity sort is a doc_id-partitioned window (uniform key,
+bounded per-doc token counts); candidate buckets form through
+:func:`queries.dedup.lsh_pairs_from_bands` — the SAME one-shuffle bucketed
+pair generator as MinHash banding, with the same ``max_bucket_size``
+production guard available (a prefix token shared by millions of docs is
+the same pathology as a hot LSH bucket, and the same cap-plus-transitivity
+argument applies); verification joins token arrays by uniform doc_id keys
+over candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from video_data_pipeline_spark.queries.dedup import (
+    _DUCK_SHINGLES,
+    _DUCK_WORDS,
+    _SPARK_SHINGLES,
+    _SPARK_WORDS,
+    lsh_pairs_from_bands,
+)
+from video_data_pipeline_spark.queries.registry import query, table
+
+_TAU_NUM, _TAU_DEN = 3, 5  # τ = 0.6
+
+
+def _duck_prefix_join_sql() -> str:
+    inter = "len(list_intersect(ta.toks, tb.toks))"
+    jac = f"CAST({inter} AS DOUBLE) / (ta.n + tb.n - {inter})"
+    # p = n - ceil(τn) + 1; ceil(3n/5) = (3n + 4) // 5
+    return f"""
+WITH docs AS MATERIALIZED (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS toks,
+         len(list_distinct({_DUCK_SHINGLES})) AS n
+  FROM documents WHERE len({_DUCK_WORDS}) >= 3
+),
+tokens AS (SELECT doc_id, n, unnest(toks) AS term FROM docs),
+df AS (SELECT term, COUNT(*) AS df FROM tokens GROUP BY term),
+ranked AS (
+  SELECT t.doc_id, t.n, t.term,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.term) AS rnk
+  FROM tokens t JOIN df f ON f.term = t.term
+),
+prefix AS (
+  SELECT doc_id, term FROM ranked
+  WHERE rnk <= n - (({_TAU_NUM} * n + {_TAU_DEN} - 1) // {_TAU_DEN}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.term = b.term AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({inter} AS BIGINT) AS n_common,
+       {jac} AS jaccard
+FROM cand c
+JOIN docs ta ON ta.doc_id = c.doc_a
+JOIN docs tb ON tb.doc_id = c.doc_b
+WHERE {_TAU_DEN + _TAU_NUM} * {inter} >= {_TAU_NUM} * (ta.n + tb.n)
+"""
+
+
+@query(
+    "q_prefix_filter_join",
+    oracle=_duck_prefix_join_sql(),
+    tags=("dedup", "jaccard", "join", "prefix-filter"),
+)
+def q_prefix_filter_join(spark, sf_dir):
+    """Exact Jaccard ≥ 0.6 token-set join via prefix filtering — see the
+    module docstring for the completeness theorem and the LSH comparison.
+    Pipeline: distinct-token sets → global df → per-doc rarity ranking →
+    prefix explode → bucketed candidate pairs (reusing the banding pair
+    generator, so the hot-bucket cap and telemetry work here too) → exact
+    integer verification on candidates only."""
+    d = table(spark, sf_dir, "documents")
+    # the <3-words guard lives INSIDE the expression (CASE, not a separate
+    # filter): Spark does not promise predicate-before-projection
+    # evaluation order, so an unguarded w[i+2] can still be evaluated on a
+    # 2-word doc and throw (the curation.py _SPARK_BIGRAMS_OVER_TOKS rule)
+    guarded = (
+        f"CASE WHEN size({_SPARK_WORDS}) < 3 THEN array() "
+        f"ELSE {_SPARK_SHINGLES} END"
+    )
+    docs = (
+        d.select("doc_id", F.array_distinct(F.expr(guarded)).alias("toks"))
+        .where(F.size("toks") >= 1)
+        .withColumn("n", F.size("toks"))
+    )
+    tokens = docs.select("doc_id", "n", F.explode("toks").alias("term"))
+    df_tbl = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tokens.join(df_tbl, "term").withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "term")),
+    )
+    prefix = ranked.where(
+        F.col("rnk")
+        <= F.col("n")
+        - F.expr(f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}")
+        + 1
+    ).select("doc_id", F.lit(0).alias("band_idx"), F.col("term").alias("band_key"))
+    cand = lsh_pairs_from_bands(prefix)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n").alias("na"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(
+            (_TAU_DEN + _TAU_NUM) * inter
+            >= _TAU_NUM * (F.col("na") + F.col("nb"))
+        )
+        .select("doc_a", "doc_b", inter.alias("n_common"), jac.alias("jaccard"))
+    )
