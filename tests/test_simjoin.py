@@ -55,8 +55,17 @@ def _shingle_set(text: str) -> set[str]:
 
 
 def _brute_force(rows):
+    """All-pairs reference INCLUDING the family's exact-dup rep-collapse:
+    one min-doc_id representative per lower(trim(text)) fingerprint."""
     tau = _TAU_NUM / _TAU_DEN
-    sets = {i: _shingle_set(t) for i, t, _, _ in rows if len(t.split()) >= 3}
+    reps = {}
+    for i, t, _, _ in rows:
+        reps.setdefault(t.lower().strip(), i)
+    sets = {
+        i: _shingle_set(t)
+        for i, t, _, _ in rows
+        if len(t.split()) >= 3 and reps[t.lower().strip()] == i
+    }
     out = {}
     for a, b in itertools.combinations(sorted(sets), 2):
         sa, sb = sets[a], sets[b]
@@ -83,15 +92,18 @@ def test_prefix_join_equals_brute_force(spark, corpus_dir):
         assert got[k][1] == pytest.approx(jac, abs=0)
 
 
-def test_prefix_join_includes_case_variant_pair(spark, corpus_dir):
-    """Shingles come from lower(trim(text)) — the round-9 normalization —
-    so the Title-Case-headed doc 6 must pair with doc 1."""
+def test_prefix_join_collapses_case_variant_exact_dup(spark, corpus_dir):
+    """Doc 6 is a case-variant EXACT dup of doc 1 (same fingerprint), so it
+    collapses into doc 1 before pairing — it must not appear in any pair,
+    and doc 1 must still find its true near-dups (the round-9 lossless-
+    collapse invariant)."""
     path, _ = corpus_dir
     pairs = {
         (r["doc_a"], r["doc_b"])
         for r in q_prefix_filter_join(spark, path).collect()
     }
-    assert (1, 6) in pairs
+    assert all(6 not in p for p in pairs), pairs
+    assert (1, 2) in pairs
 
 
 def test_prefix_length_always_positive():

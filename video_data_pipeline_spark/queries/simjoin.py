@@ -45,10 +45,12 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from video_data_pipeline_spark.queries.dedup import (
+    _DUCK_REPS,
     _DUCK_SHINGLES,
     _DUCK_WORDS,
     _SPARK_SHINGLES,
     _SPARK_WORDS,
+    exact_dup_representatives,
     lsh_pairs_from_bands,
 )
 from video_data_pipeline_spark.queries.registry import query, table
@@ -61,10 +63,11 @@ def _duck_prefix_join_sql() -> str:
     jac = f"CAST({inter} AS DOUBLE) / (ta.n + tb.n - {inter})"
     # p = n - ceil(τn) + 1; ceil(3n/5) = (3n + 4) // 5
     return f"""
-WITH docs AS MATERIALIZED (
+WITH reps AS MATERIALIZED ({_DUCK_REPS}),
+docs AS MATERIALIZED (
   SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS toks,
          len(list_distinct({_DUCK_SHINGLES})) AS n
-  FROM documents WHERE len({_DUCK_WORDS}) >= 3
+  FROM reps WHERE len({_DUCK_WORDS}) >= 3
 ),
 tokens AS (SELECT doc_id, n, unnest(toks) AS term FROM docs),
 df AS (SELECT term, COUNT(*) AS df FROM tokens GROUP BY term),
@@ -103,7 +106,13 @@ def q_prefix_filter_join(spark, sf_dir):
     prefix explode → bucketed candidate pairs (reusing the banding pair
     generator, so the hot-bucket cap and telemetry work here too) → exact
     integer verification on candidates only."""
-    d = table(spark, sf_dir, "documents")
+    # exact duplicates collapse FIRST (family policy, the q_dedup_triangles
+    # lesson): byte/case-identical replicas share one shingle set and would
+    # otherwise re-derive O(c^2) J=1.0 pairs per c-clone clique — pure
+    # replication cost with zero information (q_dedup_exact already reports
+    # those cliques with certainty). Measured: the uncollapsed form blew the
+    # sf1 clone-replicated sweep past its 10-minute budget.
+    d = exact_dup_representatives(table(spark, sf_dir, "documents"))
     # the <3-words guard lives INSIDE the expression (CASE, not a separate
     # filter): Spark does not promise predicate-before-projection
     # evaluation order, so an unguarded w[i+2] can still be evaluated on a
