@@ -93,6 +93,10 @@ HEADLINE = [
     "q_gopher_rules",
     "q_token_budget_mix",
     "q_label_propagation",
+    # similarity join + audits + IR (round 9, late session)
+    "q_prefix_filter_join",
+    "q_minhash_estimate",
+    "q_boolean_and_search",
 ]
 
 
