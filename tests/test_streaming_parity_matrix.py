@@ -246,3 +246,39 @@ def test_heavy_hitters_parity_across_restart(spark, tmp_path):
             assert r["run"] == 2 and r["cnt"] > chunks[2]["item"].eq(item).sum(), (
                 f"{item}: post-restart count ignores pre-restart state"
             )
+
+
+def test_prefix_candidates_parity_across_restart(spark, tmp_path):
+    from video_data_pipeline_spark.operators.components import connected_components
+    from video_data_pipeline_spark.queries.dedup import lsh_pairs_from_bands
+    from video_data_pipeline_spark.queries.simjoin import hash_ordered_prefix
+    from video_data_pipeline_spark.streaming.stateful import (
+        streaming_prefix_candidates,
+    )
+
+    pdf = _docs_pdf(spark, ordered=False)
+    got, chunks = _run_with_restart(
+        spark, tmp_path, pdf,
+        ["doc_id", "text"], "doc_id bigint, text string",
+        streaming_prefix_candidates, "append",
+    )
+
+    def labels(pairs):
+        comp = connected_components(pairs, src="doc_a", dst="doc_b")
+        return {r.node: r.component for r in comp.collect()}
+
+    sl = labels(got.select("doc_a", "doc_b").distinct())
+    batch = lsh_pairs_from_bands(
+        hash_ordered_prefix(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+                "doc_id", "text"
+            )
+        )
+    )
+    bl = labels(batch)
+    assert sl == bl, (
+        "prefix-candidate star components over the restarted stream != batch"
+    )
+    pre = set(chunks[0]["doc_id"]) | set(chunks[1]["doc_id"])
+    spans = [r for r in got.where("run = 2").collect() if r["doc_a"] in pre]
+    assert spans, "no post-restart pair anchored pre-restart — state lost"

@@ -160,3 +160,33 @@ def q_prefix_filter_join(spark, sf_dir):
         )
         .select("doc_a", "doc_b", inter.alias("n_common"), jac.alias("jaccard"))
     )
+
+
+def hash_ordered_prefix(docs):
+    """(doc_id, text, ...) → (doc_id, band_idx, band_key) prefix-token rows
+    under an md5 CANONICAL order instead of global rarity.
+
+    The prefix-filtering completeness theorem needs only a fixed global
+    TOTAL order on tokens — rarity ordering is purely a performance choice
+    (smallest postings). A hash order gives the same guaranteed recall with
+    per-row-computable prefixes: no df model, no join, no window — pure
+    column math, which is exactly what a STREAMING frame can evaluate
+    (``streaming/stateful.py::streaming_prefix_candidates``). Batch callers
+    that can afford the df pass should prefer the rarity order of
+    :func:`q_prefix_filter_join`; callers that need the same front half on
+    batch and stream (parity tests, continuous ingest) use this one."""
+    guarded = (
+        f"CASE WHEN size({_SPARK_WORDS}) < 3 THEN array() "
+        f"ELSE {_SPARK_SHINGLES} END"
+    )
+    toks = F.array_distinct(F.expr(guarded))
+    prefix = F.expr(
+        "transform(slice(sort_array(transform(toks, t -> struct(md5(t) AS h, t AS t))),"
+        f" 1, size(toks) - (({_TAU_NUM} * size(toks) + {_TAU_DEN - 1}) div {_TAU_DEN}) + 1),"
+        " s -> s.t)"
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 1)
+        .select("doc_id", F.lit(0).alias("band_idx"), F.explode(prefix).alias("band_key"))
+    )

@@ -700,3 +700,44 @@ def streaming_kmv_distinct(
         timeoutConf=timeout,
     )
     return out
+
+
+def streaming_prefix_candidates(
+    docs: DataFrame,
+    ttl_ms: int | None = None,
+) -> DataFrame:
+    """Prefix-filtered near-dup CANDIDATES over a document stream — the
+    streaming twin of ``q_prefix_filter_join``'s candidate stage, with the
+    md5-ordered prefix front half (``queries/simjoin.py::
+    hash_ordered_prefix``: any fixed total order preserves the
+    completeness theorem, and the hash order needs no df model — pure
+    column math a streaming frame can evaluate; the batch query's rarity
+    order would require a global document-frequency aggregate, which on a
+    stream is either stale or a second stateful stage).
+
+    State per prefix-token bucket = the bucket ANCHOR (same machine as
+    ``streaming_lsh_pairs``): each later doc sharing the token emits one
+    (anchor, doc) pair, so per bucket the stream emits a STAR that
+    connects the same vertex set as the batch clique — components over
+    the emitted pairs equal components over batch hash-prefix candidates
+    (pinned in tests). Exact-Jaccard verification stays downstream (a
+    stateless stream-static or per-batch map), exactly as LSH-then-verify
+    splits in the batch family.
+
+    100 TB shape: shuffle key is the prefix token (rarest-available under
+    hash order — still a sliver of the postings); state is one long per
+    bucket, RocksDB-backed via :func:`use_rocksdb_state`; ``ttl_ms``
+    bounds retention like every other twin."""
+    from video_data_pipeline_spark.queries.simjoin import hash_ordered_prefix
+
+    bands = hash_ordered_prefix(docs)
+    timeout = (
+        GroupStateTimeout.NoTimeout if ttl_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+    )
+    return bands.groupBy("band_key").applyInPandasWithState(
+        _make_lsh_anchor_fn(ttl_ms),
+        outputStructType=_LSH_OUT_SCHEMA,
+        stateStructType=_LSH_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
