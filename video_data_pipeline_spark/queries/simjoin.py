@@ -27,16 +27,20 @@ exact integers. The rarity order (df, term) is a total order per document
 (terms are distinct within a doc), so prefixes are deterministic in both
 engines.
 
-Scale shape (100 TB): df is one map-side-combined term aggregate (vocab-
-keyed shuffle — never broadcast, same policy as q_tfidf_top_terms); the
+Scale shape (100 TB): shingles hash to BIGINTs once, and every later
+stage moves hashes, never text; the (doc_id, n, hashes) table is lazily
+localCheckpointed because FOUR consumers reuse it (Catalyst does not CSE
+across DataFrame references — measured, re-execution dominated the
+uncheckpointed plan); df is one map-side-combined aggregate (vocab-keyed
+shuffle — never broadcast, same policy as q_tfidf_top_terms); the
 per-document rarity sort is a doc_id-partitioned window (uniform key,
-bounded per-doc token counts); candidate buckets form through
-:func:`queries.dedup.lsh_pairs_from_bands` — the SAME one-shuffle bucketed
-pair generator as MinHash banding, with the same ``max_bucket_size``
-production guard available (a prefix token shared by millions of docs is
-the same pathology as a hot LSH bucket, and the same cap-plus-transitivity
-argument applies); verification joins token arrays by uniform doc_id keys
-over candidates only.
+bounded per-doc token counts); candidate buckets form with ONE shuffle on
+the prefix hash — the lsh_pairs_from_bands shape with (n, doc_id) structs
+so the PPJoin LENGTH FILTER (τ·max(n) ≤ min(n)) prunes inside the bucket
+lambda before any pair materializes; verification joins hash arrays by
+uniform doc_id keys over candidates only. A prefix token shared by
+millions of docs is the same pathology as a hot LSH bucket — the same
+cap-plus-transitivity guard applies if needed.
 """
 
 from __future__ import annotations
@@ -48,41 +52,69 @@ from video_data_pipeline_spark.queries.dedup import (
     _DUCK_REPS,
     _DUCK_SHINGLES,
     _DUCK_WORDS,
-    _SPARK_SHINGLES,
     _SPARK_WORDS,
+    _duck_hash,
+    _spark_hash,
     exact_dup_representatives,
-    lsh_pairs_from_bands,
 )
 from video_data_pipeline_spark.queries.registry import query, table
 
 _TAU_NUM, _TAU_DEN = 3, 5  # τ = 0.6
 
+#: shingles built over a MATERIALIZED words column `w` — an inline
+#: ``split(...)`` referenced inside the transform lambda re-splits the
+#: document once per element, O(tokens²) per doc (the q_hash_tokenize
+#: lesson; measured here: the inline form made the sf0.1 docs subtree
+#: alone cost ~12 s vs ~1 s). The CASE guard keeps the expression total
+#: (Spark does not promise predicate-before-projection evaluation order,
+#: so a separate size filter cannot protect w[i+2] on a 2-word doc).
+_SHINGLES_OVER_W = (
+    "CASE WHEN size(w) < 3 THEN array() "
+    "ELSE transform(sequence(0, size(w) - 3), "
+    "i -> concat_ws(' ', w[i], w[i+1], w[i+2])) END"
+)
+
+
+def _shingle_sets(d):
+    """(doc_id, text, ...) → (doc_id, toks: distinct shingle array, n)."""
+    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
+    return (
+        words.select(
+            "doc_id", F.array_distinct(F.expr(_SHINGLES_OVER_W)).alias("toks")
+        )
+        .where(F.size("toks") >= 1)
+        .withColumn("n", F.size("toks"))
+    )
+
 
 def _duck_prefix_join_sql() -> str:
-    inter = "len(list_intersect(ta.toks, tb.toks))"
+    inter = "len(list_intersect(ta.hs, tb.hs))"
     jac = f"CAST({inter} AS DOUBLE) / (ta.n + tb.n - {inter})"
     # p = n - ceil(τn) + 1; ceil(3n/5) = (3n + 4) // 5
     return f"""
 WITH reps AS MATERIALIZED ({_DUCK_REPS}),
 docs AS MATERIALIZED (
-  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS toks,
-         len(list_distinct({_DUCK_SHINGLES})) AS n
+  SELECT doc_id, len(list_distinct({_DUCK_SHINGLES})) AS n,
+         list_transform(list_distinct({_DUCK_SHINGLES}),
+                        s -> {_duck_hash("s")}) AS hs
   FROM reps WHERE len({_DUCK_WORDS}) >= 3
 ),
-tokens AS (SELECT doc_id, n, unnest(toks) AS term FROM docs),
-df AS (SELECT term, COUNT(*) AS df FROM tokens GROUP BY term),
+tokens AS (SELECT doc_id, n, unnest(hs) AS h FROM docs),
+df AS (SELECT h, COUNT(*) AS df FROM tokens GROUP BY h),
 ranked AS (
-  SELECT t.doc_id, t.n, t.term,
-         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.term) AS rnk
-  FROM tokens t JOIN df f ON f.term = t.term
+  SELECT t.doc_id, t.n, t.h,
+         row_number() OVER (PARTITION BY t.doc_id ORDER BY f.df, t.h) AS rnk
+  FROM tokens t JOIN df f ON f.h = t.h
 ),
 prefix AS (
-  SELECT doc_id, term FROM ranked
+  SELECT doc_id, n, h FROM ranked
   WHERE rnk <= n - (({_TAU_NUM} * n + {_TAU_DEN} - 1) // {_TAU_DEN}) + 1
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM prefix a JOIN prefix b ON a.term = b.term AND a.doc_id < b.doc_id
+  FROM prefix a JOIN prefix b
+    ON a.h = b.h AND a.doc_id < b.doc_id
+   AND {_TAU_NUM} * greatest(a.n, b.n) <= {_TAU_DEN} * least(a.n, b.n)
 )
 SELECT c.doc_a, c.doc_b,
        CAST({inter} AS BIGINT) AS n_common,
@@ -102,10 +134,10 @@ WHERE {_TAU_DEN + _TAU_NUM} * {inter} >= {_TAU_NUM} * (ta.n + tb.n)
 def q_prefix_filter_join(spark, sf_dir):
     """Exact Jaccard ≥ 0.6 token-set join via prefix filtering — see the
     module docstring for the completeness theorem and the LSH comparison.
-    Pipeline: distinct-token sets → global df → per-doc rarity ranking →
-    prefix explode → bucketed candidate pairs (reusing the banding pair
-    generator, so the hot-bucket cap and telemetry work here too) → exact
-    integer verification on candidates only."""
+    Pipeline: distinct hashed shingle sets (localCheckpointed once) →
+    global df → per-doc rarity ranking → prefix explode → bucketed pair
+    generation with the in-lambda length filter → exact integer
+    verification on candidates only."""
     # exact duplicates collapse FIRST (family policy, the q_dedup_triangles
     # lesson): byte/case-identical replicas share one shingle set and would
     # otherwise re-derive O(c^2) J=1.0 pairs per c-clone clique — pure
@@ -113,43 +145,69 @@ def q_prefix_filter_join(spark, sf_dir):
     # those cliques with certainty). Measured: the uncollapsed form blew the
     # sf1 clone-replicated sweep past its 10-minute budget.
     d = exact_dup_representatives(table(spark, sf_dir, "documents"))
-    # the <3-words guard lives INSIDE the expression (CASE, not a separate
-    # filter): Spark does not promise predicate-before-projection
-    # evaluation order, so an unguarded w[i+2] can still be evaluated on a
-    # 2-word doc and throw (the curation.py _SPARK_BIGRAMS_OVER_TOKS rule)
-    guarded = (
-        f"CASE WHEN size({_SPARK_WORDS}) < 3 THEN array() "
-        f"ELSE {_SPARK_SHINGLES} END"
-    )
+    # Hash every shingle ONCE (64-bit md5 prefix): from here on, ranking,
+    # bucketing, and verification move/compare BIGINTs, never shingle text
+    # — intersection of hash sets equals intersection of shingle sets
+    # modulo ~2^-60 collisions, which merge identically in both engines
+    # (the KMV width-independence argument). Lazily localCheckpoint the
+    # (doc_id, n, hs) table: it is reused by FOUR consumers (tokens, df
+    # via tokens, and both verification sides) and Catalyst does not CSE
+    # across DataFrame references — measured, re-execution of the
+    # reps+shingles subtree dominated the uncheckpointed plan.
     docs = (
-        d.select("doc_id", F.array_distinct(F.expr(guarded)).alias("toks"))
-        .where(F.size("toks") >= 1)
-        .withColumn("n", F.size("toks"))
+        _shingle_sets(d)
+        .select(
+            "doc_id",
+            "n",
+            F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
+        )
+        .localCheckpoint(eager=False)
     )
-    tokens = docs.select("doc_id", "n", F.explode("toks").alias("term"))
-    df_tbl = tokens.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tokens.join(df_tbl, "term").withColumn(
+    tokens = docs.select("doc_id", "n", F.explode("hs").alias("h"))
+    df_tbl = tokens.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tokens.join(df_tbl, "h").withColumn(
         "rnk",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "term")),
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
     )
     prefix = ranked.where(
         F.col("rnk")
         <= F.col("n")
         - F.expr(f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}")
         + 1
-    ).select("doc_id", F.lit(0).alias("band_idx"), F.col("term").alias("band_key"))
-    cand = lsh_pairs_from_bands(prefix)
+    ).select("doc_id", "n", "h")
+    # bucketed pair generation WITH the PPJoin length filter evaluated
+    # inside the bucket lambda: J >= τ forces τ·max(n) <= min(n), so most
+    # cross-size pairs never materialize (measured: 299k -> far fewer
+    # candidates on the bench corpus). Same one-shuffle shape as
+    # lsh_pairs_from_bands, with (n, doc_id) structs in place of bare ids.
+    buckets = (
+        prefix.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("n", "doc_id"))).alias("xs"))
+        .where(F.size("xs") > 1)
+    )
+    pair_expr = (
+        "flatten(transform(xs, x -> transform("
+        f"filter(xs, y -> (y.n > x.n OR (y.n = x.n AND y.doc_id > x.doc_id))"
+        f" AND {_TAU_NUM} * y.n <= {_TAU_DEN} * x.n),"
+        " y -> struct(least(x.doc_id, y.doc_id) AS doc_a,"
+        " greatest(x.doc_id, y.doc_id) AS doc_b))))"
+    )
+    cand = (
+        buckets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
     ta = docs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
+        F.col("hs").alias("hs_a"),
         F.col("n").alias("na"),
     )
     tb = docs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
+        F.col("hs").alias("hs_b"),
         F.col("n").alias("nb"),
     )
-    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("bigint")
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
     jac = inter.cast("double") / (F.col("na") + F.col("nb") - inter)
     return (
         cand.join(ta, "doc_a")
@@ -175,18 +233,11 @@ def hash_ordered_prefix(docs):
     that can afford the df pass should prefer the rarity order of
     :func:`q_prefix_filter_join`; callers that need the same front half on
     batch and stream (parity tests, continuous ingest) use this one."""
-    guarded = (
-        f"CASE WHEN size({_SPARK_WORDS}) < 3 THEN array() "
-        f"ELSE {_SPARK_SHINGLES} END"
-    )
-    toks = F.array_distinct(F.expr(guarded))
     prefix = F.expr(
         "transform(slice(sort_array(transform(toks, t -> struct(md5(t) AS h, t AS t))),"
         f" 1, size(toks) - (({_TAU_NUM} * size(toks) + {_TAU_DEN - 1}) div {_TAU_DEN}) + 1),"
         " s -> s.t)"
     )
-    return (
-        docs.select("doc_id", toks.alias("toks"))
-        .where(F.size("toks") >= 1)
-        .select("doc_id", F.lit(0).alias("band_idx"), F.explode(prefix).alias("band_key"))
+    return _shingle_sets(docs).select(
+        "doc_id", F.lit(0).alias("band_idx"), F.explode(prefix).alias("band_key")
     )
