@@ -97,6 +97,7 @@ HEADLINE = [
     "q_prefix_filter_join",
     "q_minhash_estimate",
     "q_boolean_and_search",
+    "q_bigram_logprob",
 ]
 
 

@@ -165,3 +165,45 @@ def test_token_budget_mix_upsamples_small_source(spark, docs_dir):
     # srcD holds ~2% of tokens but sqrt weighting hands it ~8% of the
     # half-corpus budget: allocated tokens exceed its own -> epochs > 1
     assert eps[small] > _MICRO, f"expected epochs > 1 for {small}: {eps[small]}"
+
+
+# ------------------------------------------------------- bigram LM scoring
+
+
+def test_bigram_lm_penalizes_scrambled_word_order(spark, tmp_path):
+    """Two docs with IDENTICAL bags of words — one in natural corpus order,
+    one deterministically scrambled — must tie under the unigram LM and
+    diverge under the bigram LM (scrambled transitions are unseen, so its
+    cross entropy is strictly higher). This is the property that justifies
+    the bigram step: word-order quality is invisible to unigram scoring."""
+    import random
+
+    from video_data_pipeline_spark.queries.curation import q_unigram_logprob
+    from video_data_pipeline_spark.queries.curation2 import q_bigram_logprob
+
+    phrase = "the quick brown fox jumps over the lazy dog near the old stone bridge "
+    natural = (phrase * 4).strip()
+    words = natural.split()
+    rng = random.Random(42)
+    scrambled_words = words[:]
+    rng.shuffle(scrambled_words)
+    scrambled = " ".join(scrambled_words)
+    rows = [(i, natural, "en", "s") for i in range(8)]  # training mass
+    rows += [(100, natural, "en", "s"), (101, scrambled, "en", "s")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = d.withColumn("n_chars", F.length("text").cast("long"))
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    uni = q_unigram_logprob(spark, sf).toPandas().set_index("doc_id")
+    assert uni.loc[100, "logprob_micro"] == uni.loc[101, "logprob_micro"], (
+        "identical bags must tie under the unigram LM"
+    )
+    bi = q_bigram_logprob(spark, sf).toPandas().set_index("doc_id")
+    assert bi.loc[101, "xent_nats"] > bi.loc[100, "xent_nats"] + 0.5, (
+        f"scrambled order must cost under the bigram LM: "
+        f"natural={bi.loc[100, 'xent_nats']:.3f} scrambled={bi.loc[101, 'xent_nats']:.3f}"
+    )
+    # per-doc transition count is n_tokens - 1
+    n_tokens = len(words)
+    assert bi.loc[100, "n_bigrams"] == n_tokens - 1

@@ -74,6 +74,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         _BNLJ: "1-row corpus-total builds (vocab itself joins by shuffle)",
         _SP: "the same 1-row total aggregates",
     },
+    "q_bigram_logprob": {
+        _BNLJ: "1-row (N,V) totals broadcast onto the bigram-LP, backoff, "
+        "and scoring branches (the LMs themselves join by shuffle)",
+        _SP: "the same 1-row total aggregates",
+    },
     "q_perplexity_buckets": {
         _BNLJ: "the q_unigram_logprob 1-row LM-total builds, instantiated "
         "once per reuse of the scored subquery (vocab joins by shuffle; "

@@ -54,6 +54,7 @@ from video_data_pipeline_spark.functions.hashing import (
     stable_hash64,
 )
 from video_data_pipeline_spark.queries.curation import (
+    _DUCK_TOKENS,
     _SPARK_TOKENS,
     DUCK_UNIGRAM_SCORED,
     unigram_scored,
@@ -441,4 +442,191 @@ def q_token_budget_mix(spark, sf_dir):
             F.col("n_tokens") * F.expr(f"epochs_micro div {_MICRO}")
             + F.col("hit_tokens")
         ).alias("sel_tokens"),
+    )
+
+
+# ------------------------------------------------- interpolated bigram LM
+
+#: Jelinek-Mercer interpolation weight λ = 0.7: p(w|prev) = λ·p_ml(w|prev)
+#: + (1−λ)·p_add1(w). Both engines evaluate the SAME fixed-shape double
+#: expression (every operand explicitly CAST to DOUBLE — the bm25 ADVICE
+#: class: DuckDB parses bare 0.7 as DECIMAL) on the BOUNDED bigram vocab
+#: table, then ROUND to 1e-4-nat BIGINT; per-document scores are exact
+#: integer sums, so engine parity survives any aggregation order.
+_LAMBDA = "CAST(0.7 AS DOUBLE)"
+_ONE_MINUS_LAMBDA = "CAST(0.3 AS DOUBLE)"
+_FP = 10000
+
+
+def _duck_bigram_lm_sql() -> str:
+    p_uni = "({OML} * (CAST(u.c AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(t.n AS DOUBLE) + CAST(t.v AS DOUBLE)))".format(
+        OML=_ONE_MINUS_LAMBDA
+    )
+    p_bi = (
+        f"({_LAMBDA} * CAST(b.c AS DOUBLE) / CAST(p.c AS DOUBLE))"
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS toks
+  FROM documents WHERE length(trim(text)) > 0
+),
+idx AS (
+  SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i FROM tok
+),
+pairs AS (
+  SELECT doc_id, lang, toks[i] AS prev, toks[i + 1] AS w FROM idx
+),
+uni AS (
+  SELECT term, COUNT(*) AS c
+  FROM (SELECT unnest(toks) AS term FROM tok WHERE lang = 'en')
+  GROUP BY term
+),
+totals AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM uni),
+bg AS (
+  SELECT prev, w, COUNT(*) AS c FROM pairs WHERE lang = 'en' GROUP BY prev, w
+),
+prevc AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS c FROM bg GROUP BY prev),
+bg_lp AS (
+  SELECT b.prev, b.w,
+         CAST(ROUND(ln({p_bi} + {p_uni}) * {_FP}) AS BIGINT) AS lp_micro
+  FROM bg b JOIN prevc p ON p.prev = b.prev
+  JOIN uni u ON u.term = b.w, totals t
+),
+backoff AS (
+  SELECT u.term AS w,
+         CAST(ROUND(ln({p_uni}) * {_FP}) AS BIGINT) AS lp_micro
+  FROM uni u, totals t
+),
+doc_pairs AS (
+  SELECT doc_id, prev, w, COUNT(*) AS cnt FROM pairs GROUP BY doc_id, prev, w
+),
+scored AS (
+  SELECT d.doc_id,
+         CAST(SUM(d.cnt) AS BIGINT) AS n_bigrams,
+         CAST(SUM(d.cnt * COALESCE(b.lp_micro, k.lp_micro,
+             CAST(ROUND(ln({_ONE_MINUS_LAMBDA} * CAST(1 AS DOUBLE)
+                 / (CAST(t.n AS DOUBLE) + CAST(t.v AS DOUBLE))) * {_FP}) AS BIGINT)))
+           AS BIGINT) AS logprob_micro
+  FROM doc_pairs d
+  LEFT JOIN bg_lp b ON b.prev = d.prev AND b.w = d.w
+  LEFT JOIN backoff k ON k.w = d.w, totals t
+  GROUP BY d.doc_id
+)
+SELECT doc_id, n_bigrams, logprob_micro,
+       CAST(-logprob_micro AS DOUBLE)
+         / (CAST(n_bigrams AS DOUBLE) * {_FP}) AS xent_nats
+FROM scored
+"""
+
+
+@query(
+    "q_bigram_logprob",
+    oracle=_duck_bigram_lm_sql(),
+    tags=("curation", "lm", "quality"),
+)
+def q_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM scoring — the step from q_unigram_logprob
+    toward CCNet's real n-gram LM: per-transition log-probability
+    ``ln(λ·p_ml(w|prev) + (1−λ)·p_add1(w))`` under a model trained on the
+    trusted ``lang='en'`` slice, Jelinek-Mercer λ = 0.7. A seen bigram
+    scores near its corpus transition frequency; an unseen bigram of a
+    known word backs off to (1−λ)·its smoothed unigram; an OOV word gets
+    the floor. Documents with ≥ 2 tokens are scored over their n−1
+    transitions; ``xent_nats`` is the filter statistic.
+
+    Determinism: all three log-prob tables are BOUNDED (bigram vocab,
+    unigram vocab, 1-row floor) — ln is evaluated there, rounded to
+    1e-4-nat BIGINT micro-units, and per-document scores are exact
+    integer folds (the module's standard contract).
+
+    Scale shape: training aggregates are map-side-combined groupBys on
+    uniform (prev, w)/(term) keys; the bigram LM is vocab²-scale so
+    scoring is a (prev, w)-keyed SHUFFLE join (never broadcast), with the
+    unigram-backoff join on w and the 1-row totals broadcast — the same
+    topology as q_unigram_logprob one order up. The doc side aggregates
+    (doc, prev, w) occurrences first, so the join input carries distinct
+    transitions, not the token stream."""
+    d = table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    tok = d.select("doc_id", "lang", F.expr(_SPARK_TOKENS).alias("toks"))
+    # (prev, w) transition pairs: posexplode over the materialized toks
+    # column (inline split inside a lambda is the O(tokens^2) class)
+    pairs = tok.select(
+        "doc_id",
+        "lang",
+        "toks",
+        F.posexplode(
+            F.expr("CASE WHEN size(toks) < 2 THEN array() "
+                   "ELSE slice(toks, 1, size(toks) - 1) END")
+        ).alias("i", "prev"),
+    ).select(
+        "doc_id", "lang", "prev", F.expr("element_at(toks, i + 2)").alias("w")
+    )
+    words = tok.where(F.col("lang") == "en").select(
+        F.explode("toks").alias("term")
+    )
+    uni = words.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    bg = (
+        pairs.where(F.col("lang") == "en")
+        .groupBy("prev", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    prevc = bg.groupBy("prev").agg(F.sum("c").alias("pc"))
+    p_uni = (
+        f"({_ONE_MINUS_LAMBDA} * (CAST(uc AS DOUBLE) + CAST(1 AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))"
+    )
+    p_bi = f"({_LAMBDA} * CAST(c AS DOUBLE) / CAST(pc AS DOUBLE))"
+    bg_lp = (
+        bg.join(prevc, "prev")
+        .join(uni.select(F.col("term").alias("w"), F.col("c").alias("uc")), "w")
+        .join(F.broadcast(totals))
+        .select(
+            "prev",
+            "w",
+            F.expr(f"CAST(ROUND(ln({p_bi} + {p_uni}) * {_FP}) AS BIGINT)").alias(
+                "lp_micro"
+            ),
+        )
+    )
+    backoff = (
+        uni.select(F.col("term").alias("w"), F.col("c").alias("uc"))
+        .join(F.broadcast(totals))
+        .select(
+            "w",
+            F.expr(f"CAST(ROUND(ln({p_uni}) * {_FP}) AS BIGINT)").alias(
+                "lp_micro"
+            ),
+        )
+    )
+    oov = F.expr(
+        f"CAST(ROUND(ln({_ONE_MINUS_LAMBDA} * CAST(1 AS DOUBLE)"
+        f" / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * {_FP}) AS BIGINT)"
+    )
+    doc_pairs = pairs.groupBy("doc_id", "prev", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    scored = (
+        doc_pairs.join(bg_lp, ["prev", "w"], "left")
+        .join(
+            backoff.withColumnRenamed("lp_micro", "lp_bo"), "w", "left"
+        )
+        .join(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_bigrams"),
+            F.sum(
+                F.col("cnt")
+                * F.coalesce("lp_micro", "lp_bo", oov)
+            ).alias("logprob_micro"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        "logprob_micro",
+        (
+            (-F.col("logprob_micro")).cast("double")
+            / (F.col("n_bigrams").cast("double") * _FP)
+        ).alias("xent_nats"),
     )
