@@ -98,6 +98,8 @@ HEADLINE = [
     "q_minhash_estimate",
     "q_boolean_and_search",
     "q_bigram_logprob",
+    "q_containment_pairs",
+    "q_modern_curation_pipeline",
 ]
 
 

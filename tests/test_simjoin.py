@@ -112,3 +112,25 @@ def test_prefix_length_always_positive():
     for n in range(1, 2000):
         p = n - ((_TAU_NUM * n + _TAU_DEN - 1) // _TAU_DEN) + 1
         assert p >= 1, n
+
+
+# ------------------------------------------------------- containment pairs
+
+
+def test_containment_flags_embedded_doc(spark, tmp_path):
+    """A document wholly contained in a slightly longer one: containment of
+    the short side is exactly 1.0 while Jaccard is already < 1 — the
+    asymmetric signal q_containment_pairs exists to surface."""
+    from video_data_pipeline_spark.queries.simjoin import q_containment_pairs
+
+    short = _BASE
+    long = _BASE + " plus a short appended closing sentence here"
+    rows = [(1, short, "en", "s"), (2, long, "en", "s"), (3, "other words " * 10, "en", "s")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = d.withColumn("n_chars", F.length("text").cast("long"))
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_containment_pairs(spark, str(tmp_path)).toPandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(1, 2)}
+    row = out.iloc[0]
+    assert row["cont_a_in_b"] == 1.0  # every shingle of 1 is inside 2
+    assert row["cont_b_in_a"] < 1.0

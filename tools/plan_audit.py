@@ -74,6 +74,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         _BNLJ: "1-row corpus-total builds (vocab itself joins by shuffle)",
         _SP: "the same 1-row total aggregates",
     },
+    "q_modern_curation_pipeline": {
+        _BNLJ: "inherits q_perplexity_buckets' 1-row LM-total builds "
+        "(instantiated per reuse of the scored subquery); every "
+        "corpus-sized join is doc_id/md5-keyed hash",
+        _SP: "the same 1-row total aggregates",
+    },
     "q_bigram_logprob": {
         _BNLJ: "1-row (N,V) totals broadcast onto the bigram-LP, backoff, "
         "and scoring branches (the LMs themselves join by shuffle)",

@@ -70,9 +70,9 @@ from video_data_pipeline_spark.queries.registry import query, table
 _CENTI_DIV = 100  # logprob_micro is 1e-4 nat ⇒ div by (n_tokens · 100)
 
 
-@query(
-    "q_perplexity_buckets",
-    oracle=f"""
+#: Full CCNet-split oracle — also reused by the composite pipeline query
+#: (q_modern_curation_pipeline), which nests it as a derived table.
+DUCK_PPL_SQL = f"""
 WITH {DUCK_UNIGRAM_SCORED},
 docs AS (
   SELECT s.doc_id, d.lang,
@@ -101,7 +101,12 @@ SELECT d.doc_id, d.lang, d.xent_centi,
             WHEN d.xent_centi <= t2.t2 THEN 'middle'
             ELSE 'tail' END AS bucket
 FROM docs d JOIN t1 USING (lang) JOIN t2 USING (lang)
-""",
+"""
+
+
+@query(
+    "q_perplexity_buckets",
+    oracle=DUCK_PPL_SQL,
     tags=("curation", "lm", "quality"),
 )
 def q_perplexity_buckets(spark, sf_dir):
@@ -187,9 +192,8 @@ _DUCK_STOP_LIST = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 _SPARK_STOP_LIST = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
-@query(
-    "q_gopher_rules",
-    oracle=f"""
+#: Full Gopher-ruleset oracle — reused by the composite pipeline query.
+DUCK_GOPHER_SQL = f"""
 WITH feats AS (
   SELECT doc_id,
          len(toks) AS n_words,
@@ -218,7 +222,12 @@ SELECT doc_id, n_words, char_sum, alpha_words, stop_count, symbol_count,
              AND bullet_start = 0 AND ellipsis_end = 0
             THEN 1 ELSE 0 END AS keep
 FROM feats
-""",
+"""
+
+
+@query(
+    "q_gopher_rules",
+    oracle=DUCK_GOPHER_SQL,
     tags=("curation", "quality"),
 )
 def q_gopher_rules(spark, sf_dir):
@@ -629,4 +638,83 @@ def q_bigram_logprob(spark, sf_dir):
             (-F.col("logprob_micro")).cast("double")
             / (F.col("n_bigrams").cast("double") * _FP)
         ).alias("xent_nats"),
+    )
+
+
+# --------------------------------------------------- composite: modern stack
+
+
+def _duck_modern_pipeline_sql() -> str:
+    from video_data_pipeline_spark.queries.dedup import _DUCK_REPS
+
+    return f"""
+WITH gopher AS (
+  SELECT doc_id FROM ({DUCK_GOPHER_SQL}) WHERE keep = 1
+),
+ppl AS (
+  SELECT doc_id, lang, bucket FROM ({DUCK_PPL_SQL}) WHERE bucket <> 'tail'
+),
+reps AS ({_DUCK_REPS}),
+kept AS (
+  SELECT p.doc_id, p.lang, p.bucket
+  FROM ppl p
+  JOIN gopher g USING (doc_id)
+  JOIN reps r ON r.doc_id = p.doc_id
+),
+toks AS (
+  SELECT k.lang, k.bucket,
+         CAST(len(string_split_regex(trim(d.text), ' +')) AS BIGINT) AS n_tok
+  FROM kept k JOIN documents d USING (doc_id)
+)
+SELECT lang, bucket,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM toks GROUP BY lang, bucket
+"""
+
+
+@query(
+    "q_modern_curation_pipeline",
+    oracle=_duck_modern_pipeline_sql(),
+    tags=("curation", "pipeline", "quality", "dedup"),
+)
+def q_modern_curation_pipeline(spark, sf_dir):
+    """The MODERN pretraining-data curation stack as ONE lazy plan —
+    Gopher ruleset (keep) → CCNet perplexity split (drop the tail third
+    per language) → exact-dup survivorship (min-doc_id representative per
+    content fingerprint) → per-(lang, bucket) intake audit with doc and
+    token counts. This composes the round-9 operators the way
+    q_curation_pipeline composes the round-4 ones: each stage is the
+    operator its standalone query proves; chained, Catalyst pipelines the
+    Gopher projection into the scan, the perplexity path adds its bounded
+    histogram + broadcast thresholds, and the rep semi-join shuffles on
+    the uniform content md5 — three doc_id-keyed equi-joins stitch the
+    verdicts, no stage re-reads text except the final token count.
+
+    At 100 TB this is the nightly "what made it into the training set"
+    report: rejection happens in the cheap in-scan stages first (Gopher),
+    the LM stage touches only survivors' term streams, and the output is
+    a #langs×2-row audit table."""
+    g = q_gopher_rules(spark, sf_dir).where(F.col("keep") == 1).select("doc_id")
+    p = q_perplexity_buckets(spark, sf_dir).where(F.col("bucket") != "tail")
+    from video_data_pipeline_spark.queries.dedup import exact_dup_representatives
+
+    reps = exact_dup_representatives(table(spark, sf_dir, "documents")).select(
+        "doc_id"
+    )
+    d = table(spark, sf_dir, "documents")
+    kept = (
+        p.select("doc_id", "lang", "bucket")
+        .join(g, "doc_id")
+        .join(reps, "doc_id")
+    )
+    toks = kept.join(
+        d.select(
+            "doc_id", F.size(F.expr(_SPARK_TOKENS)).cast("bigint").alias("n_tok")
+        ),
+        "doc_id",
+    )
+    return toks.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
     )

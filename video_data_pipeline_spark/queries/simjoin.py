@@ -54,6 +54,7 @@ from video_data_pipeline_spark.queries.dedup import (
     _DUCK_WORDS,
     _SPARK_WORDS,
     _duck_hash,
+    _duck_lsh_pairs_sql,
     _spark_hash,
     exact_dup_representatives,
 )
@@ -240,4 +241,95 @@ def hash_ordered_prefix(docs):
     )
     return _shingle_sets(docs).select(
         "doc_id", F.lit(0).alias("band_idx"), F.explode(prefix).alias("band_key")
+    )
+
+
+# ----------------------------------------------------- containment search
+
+_CONT_NUM, _CONT_DEN = 4, 5  # containment threshold 0.8
+
+
+def _duck_containment_sql() -> str:
+    inter = "len(list_intersect(ta.hs, tb.hs))"
+    return f"""
+WITH reps AS MATERIALIZED ({_DUCK_REPS}),
+pairs AS ({{pairs}}),
+sets AS MATERIALIZED (
+  SELECT doc_id, len(list_distinct({_DUCK_SHINGLES})) AS n,
+         list_transform(list_distinct({_DUCK_SHINGLES}),
+                        s -> {_duck_hash("s")}) AS hs
+  FROM reps WHERE len({_DUCK_WORDS}) >= 3
+)
+SELECT p.doc_a, p.doc_b,
+       CAST({inter} AS BIGINT) AS n_common,
+       CAST({inter} AS DOUBLE) / ta.n AS cont_a_in_b,
+       CAST({inter} AS DOUBLE) / tb.n AS cont_b_in_a
+FROM pairs p
+JOIN sets ta ON ta.doc_id = p.doc_a
+JOIN sets tb ON tb.doc_id = p.doc_b
+WHERE {_CONT_DEN} * {inter} >= {_CONT_NUM} * least(ta.n, tb.n)
+"""
+
+
+@query(
+    "q_containment_pairs",
+    oracle=_duck_containment_sql().format(
+        pairs=f"SELECT doc_a, doc_b FROM ({_duck_lsh_pairs_sql('reps')})"
+    ),
+    tags=("dedup", "containment", "join"),
+)
+def q_containment_pairs(spark, sf_dir):
+    """Near-superset detection: CONTAINMENT C(A,B) = |A∩B| / |A| over the
+    rep-level LSH candidate pairs — the asymmetric similarity that catches
+    quote inclusion and boilerplate wrapping, which symmetric Jaccard
+    suppresses (a short doc fully quoted inside a long one has J ≈
+    |short|/|long| ≈ 0 but C(short→long) = 1). Pairs where the SMALLER
+    side is ≥ 80% contained are emitted with both directions' containment
+    so the consumer can tell quote-of from quoted-in.
+
+    Honest-recall caveat (documented, not hidden): candidates come from
+    the Jaccard-tuned MinHash banding, so this measures containment AMONG
+    near-dup candidates; a high-containment/low-Jaccard pair (tiny doc in
+    huge doc) can be missed by the banding itself — full containment
+    search needs asymmetric LSH or a prefix filter under the containment
+    bound, a different candidate generator by design.
+
+    Scale shape: identical to q_minhash_estimate — the audit rides the
+    production banding plan, attaching hashed shingle sets by uniform
+    doc_id joins over rep-sized tables; the threshold test is the integer
+    form 5·|∩| ≥ 4·min(n) (containment of the smaller side)."""
+    from video_data_pipeline_spark.queries.dedup import (
+        lsh_pairs_from_bands,
+        minhash_bands,
+    )
+
+    reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
+    pairs = lsh_pairs_from_bands(minhash_bands(reps))
+    sets = _shingle_sets(reps).select(
+        "doc_id",
+        "n",
+        F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
+    )
+    ta = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    tb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(_CONT_DEN * inter >= _CONT_NUM * F.least("na", "nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            (inter.cast("double") / F.col("na")).alias("cont_a_in_b"),
+            (inter.cast("double") / F.col("nb")).alias("cont_b_in_a"),
+        )
     )
