@@ -77,15 +77,21 @@ _SHINGLES_OVER_W = (
 
 
 def _shingle_sets(d):
-    """(doc_id, text, ...) → (doc_id, toks: distinct shingle array, n)."""
-    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w"))
-    return (
-        words.select(
-            "doc_id", F.array_distinct(F.expr(_SHINGLES_OVER_W)).alias("toks")
-        )
-        .where(F.size("toks") >= 1)
-        .withColumn("n", F.size("toks"))
+    """(doc_id, text, ...) → (doc_id, toks: distinct shingle array, n).
+
+    The ``size(w) >= 3`` filter sits BETWEEN the words projection and the
+    shingles projection on purpose: adjacent projections CollapseProject
+    into one, textually re-inlining the split() into the transform lambda
+    — the exact O(tokens²) re-split the two-step form exists to avoid
+    (measured: 7.3 s → 1.3 s for the sf0.1 set build; same structure as
+    dedup.shingle_hashes). The CASE guard stays as the totality belt —
+    evaluation order is an optimizer property, not a contract."""
+    words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("w")).where(
+        F.expr("size(w) >= 3")
     )
+    return words.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLES_OVER_W)).alias("toks")
+    ).withColumn("n", F.size("toks"))
 
 
 def _duck_prefix_join_sql() -> str:
@@ -305,10 +311,18 @@ def q_containment_pairs(spark, sf_dir):
 
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
     pairs = lsh_pairs_from_bands(minhash_bands(reps))
-    sets = _shingle_sets(reps).select(
-        "doc_id",
-        "n",
-        F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
+    # both verification sides consume the hashed-set table; lazily
+    # checkpoint it so the reps+shingles subtree executes once, not twice
+    # (the q_prefix_filter_join measurement — Catalyst does not CSE across
+    # DataFrame references)
+    sets = (
+        _shingle_sets(reps)
+        .select(
+            "doc_id",
+            "n",
+            F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
+        )
+        .localCheckpoint(eager=False)
     )
     ta = sets.select(
         F.col("doc_id").alias("doc_a"),
