@@ -100,6 +100,7 @@ HEADLINE = [
     "q_bigram_logprob",
     "q_containment_pairs",
     "q_modern_curation_pipeline",
+    "q_simhash_calibration",
 ]
 
 

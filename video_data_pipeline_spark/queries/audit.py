@@ -126,3 +126,103 @@ def q_minhash_estimate(spark, sf_dir):
             jac.alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------- simhash calibration
+
+#: deterministic 1-in-16 pair sample for the calibration table: the
+#: pigeonhole candidate set is dense on low-entropy corpora (271k pairs at
+#: sf1 here; ~10^9 at sfp30 — see the sfp10 exclusion note), and a
+#: calibration only needs a representative sample, keyed so both engines
+#: and every retry pick the same pairs. Production would tune the modulus.
+_CAL_SAMPLE_MOD = 16
+
+
+def _duck_simhash_calibration_sql() -> str:
+    from video_data_pipeline_spark.queries.dedup import (
+        _CHUNK_BITS,
+        _CHUNK_MASK,
+        _DUCK_WORD_HASHES,
+        _simhash_from_hashes,
+    )
+
+    inter = "len(list_intersect(ta.sh, tb.sh))"
+    jac = f"CAST({inter} AS DOUBLE) / (len(ta.sh) + len(tb.sh) - {inter})"
+    return f"""
+WITH reps AS MATERIALIZED ({_DUCK_REPS}),
+wh AS (SELECT doc_id, {_DUCK_WORD_HASHES} AS hs FROM reps),
+sh AS (SELECT doc_id, CAST({_simhash_from_hashes("duck", "hs")} AS BIGINT) AS simhash FROM wh),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> ({_CHUNK_BITS} * c)) & {_CHUNK_MASK} AS chunk
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM chunks a JOIN chunks b
+    ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+sets AS (
+  SELECT doc_id, list_distinct({_DUCK_SHINGLES}) AS sh
+  FROM reps WHERE len({_DUCK_WORDS}) >= 3
+)
+SELECT p.doc_a, p.doc_b, CAST(p.hamming AS BIGINT) AS hamming,
+       {jac} AS jaccard
+FROM pairs p
+JOIN sets ta ON ta.doc_id = p.doc_a
+JOIN sets tb ON tb.doc_id = p.doc_b
+WHERE (('0x' || substr(md5(CAST(p.doc_a AS VARCHAR) || ':' || CAST(p.doc_b AS VARCHAR)), 1, 15))::BIGINT) % {_CAL_SAMPLE_MOD} = 0
+"""
+
+
+@query(
+    "q_simhash_calibration",
+    oracle=_duck_simhash_calibration_sql(),
+    tags=("dedup", "simhash", "audit"),
+)
+def q_simhash_calibration(spark, sf_dir):
+    """SimHash calibration: for every pigeonhole candidate pair
+    (hamming ≤ 3), the signature's hamming distance next to the EXACT
+    shingle Jaccard — completing the sketch-audit family policy
+    (q_minhash_estimate for MinHash, q_ann_recall for the ANN ladder,
+    exact audit columns for KMV/Bloom/Count-Min): an operator choosing a
+    hamming threshold reads this table to see what similarity each
+    distance actually corresponds to ON THEIR CORPUS, instead of trusting
+    the bit-independence assumption the cosine-hamming theory needs.
+
+    Plan: rides the production pigeonhole plan (q_simhash_near_pairs) and
+    attaches rep-level shingle sets by uniform doc_id joins — no new
+    corpus scan or pairing, the q_minhash_estimate shape."""
+    from video_data_pipeline_spark.queries.dedup import q_simhash_near_pairs
+
+    pairs = q_simhash_near_pairs(spark, sf_dir)
+    reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
+    sets = (
+        reps.select("doc_id", F.expr("split(lower(trim(text)), ' +')").alias("w"))
+        .where(F.expr("size(w) >= 3"))
+        .select("doc_id", F.expr(_SPARK_SHINGLE_SET).alias("sh"))
+    )
+    ta = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    tb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    sample = (
+        F.expr(
+            "CAST(conv(substr(md5(concat(CAST(doc_a AS STRING), ':',"
+            " CAST(doc_b AS STRING))), 1, 15), 16, 10) AS BIGINT)"
+        )
+        % _CAL_SAMPLE_MOD
+        == 0
+    )
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(sample)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("hamming").cast("bigint").alias("hamming"),
+            jac.alias("jaccard"),
+        )
+    )
