@@ -101,6 +101,7 @@ HEADLINE = [
     "q_containment_pairs",
     "q_modern_curation_pipeline",
     "q_simhash_calibration",
+    "q_hard_negatives",
 ]
 
 

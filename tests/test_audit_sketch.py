@@ -53,3 +53,34 @@ def test_estimate_on_crafted_near_dup(spark, fixture_dir):
     row = out.iloc[0]
     assert _BAND_ROWS <= row["est_matches"] <= _N_HASHES
     assert 0.5 < row["jaccard"] < 1.0
+
+
+# ----------------------------------------------------- hard-negative mining
+
+
+def test_hard_negatives_semihard_band_properties(spark, sf_dir):
+    """FaceNet semi-hard contract per anchor: every negative is strictly
+    less similar than the weakest positive but within the margin band, and
+    positives are exactly the top-k."""
+    from video_data_pipeline_spark.queries.similarity import (
+        _HN_NEG,
+        _HN_POS,
+        _HN_QUERIES,
+        q_hard_negatives,
+    )
+
+    out = q_hard_negatives(spark, sf_dir).toPandas()
+    assert set(out["q_id"]) == set(range(_HN_QUERIES))
+    for q_id, grp in out.groupby("q_id"):
+        pos = grp[grp.role == "pos"].sort_values("rank")
+        neg = grp[grp.role == "neg"].sort_values("rank")
+        assert len(pos) == _HN_POS
+        assert len(neg) <= _HN_NEG
+        t = pos["cosine"].min()
+        if len(neg):
+            assert (neg["cosine"] <= t).all(), (q_id, t, neg["cosine"].tolist())
+            assert (neg["cosine"] >= t - 0.15 - 1e-12).all()
+        # roles are disjoint candidate sets
+        assert not set(pos["vec_id"]) & set(neg["vec_id"])
+        # anchors never mine themselves
+        assert q_id not in set(grp["vec_id"])

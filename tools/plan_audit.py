@@ -74,6 +74,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         _BNLJ: "1-row corpus-total builds (vocab itself joins by shuffle)",
         _SP: "the same 1-row total aggregates",
     },
+    "q_hard_negatives": {
+        _BNLJ: "8-row anchor-panel broadcast (vec_id <> q_id has no equi "
+        "key); corpus side streams once, top-k windows rank-limited",
+    },
     "q_modern_curation_pipeline": {
         _BNLJ: "inherits q_perplexity_buckets' 1-row LM-total builds "
         "(instantiated per reuse of the scored subquery); every "

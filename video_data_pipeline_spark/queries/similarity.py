@@ -936,3 +936,120 @@ def ann_recall_frame(spark, sf_dir, nprobe: int):
             (F.col("n_hits").cast("double") / _RECALL_K).alias("recall"),
         )
     )
+
+
+# ------------------------------------------------------ hard-negative mining
+
+_HN_QUERIES = 8  # fixed anchor panel: vec_id < 8 (bounded at every scale)
+_HN_POS = 4  # positives per anchor (top-k by cosine)
+_HN_NEG = 4  # semi-hard negatives per anchor
+_HN_MARGIN = "CAST(0.15 AS DOUBLE)"  # semi-hard band width below the weakest positive
+
+
+def _duck_hard_negatives_sql() -> str:
+    cos = _cosine("duck", "e.embedding", "q.embedding")
+    return f"""
+WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < {_HN_QUERIES}),
+scored AS (
+  SELECT q.q_id, e.vec_id, e.label, {cos} AS cosine
+  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rnk
+  FROM scored
+),
+thresholds AS (
+  SELECT q_id, cosine AS t FROM ranked WHERE rnk = {_HN_POS}
+),
+positives AS (
+  SELECT q_id, vec_id, label, cosine, 'pos' AS role, rnk AS rank
+  FROM ranked WHERE rnk <= {_HN_POS}
+),
+band AS (
+  SELECT r.q_id, r.vec_id, r.label, r.cosine,
+         row_number() OVER (PARTITION BY r.q_id ORDER BY r.cosine DESC, r.vec_id) AS nrk
+  FROM ranked r JOIN thresholds t ON t.q_id = r.q_id
+  WHERE r.rnk > {_HN_POS} AND r.cosine >= t.t - {_HN_MARGIN}
+)
+SELECT q_id, vec_id, label, cosine, role, CAST(rank AS BIGINT) AS rank FROM positives
+UNION ALL
+SELECT q_id, vec_id, label, cosine, 'neg' AS role, CAST(nrk AS BIGINT) AS rank
+FROM band WHERE nrk <= {_HN_NEG}
+"""
+
+
+@query(
+    "q_hard_negatives",
+    oracle=_duck_hard_negatives_sql(),
+    tags=("similarity", "topk", "mining"),
+)
+def q_hard_negatives(spark, sf_dir):
+    """Semi-hard negative mining (FaceNet, Schroff et al. 2015 §3.2) for a
+    fixed 8-anchor panel: per anchor, the top-4 cosine neighbors are the
+    POSITIVES and the next 4 candidates within a 0.15-cosine band below
+    the weakest positive are the SEMI-HARD NEGATIVES — similar enough to
+    exert gradient, dissimilar enough not to collide with the positives.
+    This is the contrastive-pair construction stage of an embedding-model
+    training pipeline; output carries (role, rank, cosine) evidence.
+
+    Scale shape: the anchor panel is CONSTANT-size (8 rows broadcast), so
+    the corpus streams once through the cosine projection and never
+    shuffles; per-anchor ranking is a WindowGroupLimit-pruned top-k (map
+    tasks emit ≤ panel·k rows) exactly like q_ann_recall's arms; the
+    4-row-per-anchor threshold table broadcasts back for the band filter.
+    Mining MANY anchors at 100 TB routes through the IVF index
+    (q_ivf_topk) to propose candidates first — this registered form is
+    the exact-math core that path verifies against.
+
+    Exactness: cosine is the family's strict sequential fold; every rank
+    ties on vec_id; the band test compares doubles produced by the
+    identical expression tree in both engines."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < _HN_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            F.expr(_cosine("spark", "embedding", "qv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    thresholds = ranked.where(F.col("rnk") == _HN_POS).select(
+        "q_id", F.col("cosine").alias("t")
+    )
+    positives = ranked.where(F.col("rnk") <= _HN_POS).select(
+        "q_id",
+        "vec_id",
+        "label",
+        "cosine",
+        F.lit("pos").alias("role"),
+        F.col("rnk").cast("bigint").alias("rank"),
+    )
+    band = (
+        ranked.where(F.col("rnk") > _HN_POS)
+        .join(F.broadcast(thresholds), "q_id")
+        .where(F.col("cosine") >= F.col("t") - F.expr(_HN_MARGIN))
+        .withColumn(
+            "nrk",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+            ),
+        )
+        .where(F.col("nrk") <= _HN_NEG)
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            "cosine",
+            F.lit("neg").alias("role"),
+            F.col("nrk").cast("bigint").alias("rank"),
+        )
+    )
+    return positives.unionAll(band)
