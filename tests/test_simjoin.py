@@ -134,3 +134,28 @@ def test_containment_flags_embedded_doc(spark, tmp_path):
     row = out.iloc[0]
     assert row["cont_a_in_b"] == 1.0  # every shingle of 1 is inside 2
     assert row["cont_b_in_a"] < 1.0
+
+
+def test_containment_finds_low_jaccard_quote_inclusion(spark, tmp_path):
+    """The pair class symmetric-Jaccard LSH is structurally blind to: a
+    short doc fully quoted inside a MUCH longer one (J ≈ 1/3, far below
+    any near-dup banding threshold; C(short→long) = 1.0). The asymmetric
+    prefix-filter candidate stage must surface it — the guarantee that
+    justified dropping the LSH-candidate form."""
+    from video_data_pipeline_spark.queries.simjoin import q_containment_pairs
+
+    short = _BASE  # 21 words -> 19 shingles
+    filler = " ".join(f"filler{i} pad{i} words{i}" for i in range(14))
+    long = short + " " + filler  # short's shingles ~1/3 of long's
+    rows = [(1, short, "en", "s"), (2, long, "en", "s"), (3, "unrelated other text " * 8, "en", "s")]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    d = d.withColumn("n_chars", F.length("text").cast("long"))
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    out = q_containment_pairs(spark, str(tmp_path)).toPandas().set_index(["doc_a", "doc_b"])
+    assert (1, 2) in out.index, "complete containment join missed the quote inclusion"
+    row = out.loc[(1, 2)]
+    assert row["cont_a_in_b"] == 1.0
+    # sanity: this IS the low-jaccard regime
+    na, nb = row["n_common"] / row["cont_a_in_b"], row["n_common"] / row["cont_b_in_a"]
+    jac = row["n_common"] / (na + nb - row["n_common"])
+    assert jac < 0.45, f"fixture not in the low-jaccard regime: J={jac:.2f}"

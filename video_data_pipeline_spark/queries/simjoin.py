@@ -257,64 +257,75 @@ _CONT_NUM, _CONT_DEN = 4, 5  # containment threshold 0.8
 
 def _duck_containment_sql() -> str:
     inter = "len(list_intersect(ta.hs, tb.hs))"
+    # smaller-side prefix length under containment t: p = n - ceil(t*n) + 1
     return f"""
 WITH reps AS MATERIALIZED ({_DUCK_REPS}),
-pairs AS ({{pairs}}),
 sets AS MATERIALIZED (
   SELECT doc_id, len(list_distinct({_DUCK_SHINGLES})) AS n,
          list_transform(list_distinct({_DUCK_SHINGLES}),
                         s -> {_duck_hash("s")}) AS hs
   FROM reps WHERE len({_DUCK_WORDS}) >= 3
+),
+prefix AS (
+  SELECT doc_id, n,
+         unnest(list_slice(list_sort(hs), 1,
+                n - (({_CONT_NUM} * n + {_CONT_DEN} - 1) // {_CONT_DEN}) + 1)) AS h
+  FROM sets
+),
+post AS (SELECT doc_id, n, unnest(hs) AS h FROM sets),
+cand AS (
+  SELECT DISTINCT least(p.doc_id, o.doc_id) AS doc_a,
+         greatest(p.doc_id, o.doc_id) AS doc_b
+  FROM prefix p JOIN post o ON o.h = p.h
+  WHERE (p.n < o.n) OR (p.n = o.n AND p.doc_id < o.doc_id)
 )
-SELECT p.doc_a, p.doc_b,
+SELECT c.doc_a, c.doc_b,
        CAST({inter} AS BIGINT) AS n_common,
        CAST({inter} AS DOUBLE) / ta.n AS cont_a_in_b,
        CAST({inter} AS DOUBLE) / tb.n AS cont_b_in_a
-FROM pairs p
-JOIN sets ta ON ta.doc_id = p.doc_a
-JOIN sets tb ON tb.doc_id = p.doc_b
+FROM cand c
+JOIN sets ta ON ta.doc_id = c.doc_a
+JOIN sets tb ON tb.doc_id = c.doc_b
 WHERE {_CONT_DEN} * {inter} >= {_CONT_NUM} * least(ta.n, tb.n)
 """
 
 
 @query(
     "q_containment_pairs",
-    oracle=_duck_containment_sql().format(
-        pairs=f"SELECT doc_a, doc_b FROM ({_duck_lsh_pairs_sql('reps')})"
-    ),
-    tags=("dedup", "containment", "join"),
+    oracle=_duck_containment_sql(),
+    tags=("dedup", "containment", "join", "prefix-filter"),
 )
 def q_containment_pairs(spark, sf_dir):
-    """Near-superset detection: CONTAINMENT C(A,B) = |A∩B| / |A| over the
-    rep-level LSH candidate pairs — the asymmetric similarity that catches
+    """Near-superset detection with GUARANTEED recall: CONTAINMENT
+    C(A,B) = |A∩B| / |A| ≥ 0.8 — the asymmetric similarity that catches
     quote inclusion and boilerplate wrapping, which symmetric Jaccard
     suppresses (a short doc fully quoted inside a long one has J ≈
-    |short|/|long| ≈ 0 but C(short→long) = 1). Pairs where the SMALLER
-    side is ≥ 80% contained are emitted with both directions' containment
-    so the consumer can tell quote-of from quoted-in.
+    |short|/|long| ≈ 0 but C(short→long) = 1; symmetric-Jaccard LSH is
+    structurally blind to exactly those pairs, which is why this query no
+    longer rides the banding plan). Pairs where the SMALLER side is ≥ 80%
+    contained are emitted with both directions' containment so the
+    consumer can tell quote-of from quoted-in.
 
-    Honest-recall caveat (documented, not hidden): candidates come from
-    the Jaccard-tuned MinHash banding, so this measures containment AMONG
-    near-dup candidates; a high-containment/low-Jaccard pair (tiny doc in
-    huge doc) can be missed by the banding itself — full containment
-    search needs asymmetric LSH or a prefix filter under the containment
-    bound, a different candidate generator by design.
+    Candidate generation is the ASYMMETRIC prefix filter: if |A| ≤ |B| and
+    C(A→B) ≥ t then |A∩B| ≥ ceil(t·|A|), so A's first
+    ``p = |A| − ceil(t·|A|) + 1`` tokens under ANY fixed global order must
+    contain an element of B (pigeonhole) — the prefix of the SMALLER side
+    joins against FULL postings of every candidate superset. The order
+    here is the hash itself (sorted hash array slice — per-row math, no df
+    pass; any total order preserves completeness, the
+    hash_ordered_prefix argument). Recall at the threshold is therefore
+    1.0 by construction — the LSH-candidate caveat of the earlier form is
+    gone.
 
-    Scale shape: identical to q_minhash_estimate — the audit rides the
-    production banding plan, attaching hashed shingle sets by uniform
-    doc_id joins over rep-sized tables; the threshold test is the integer
-    form 5·|∩| ≥ 4·min(n) (containment of the smaller side)."""
-    from video_data_pipeline_spark.queries.dedup import (
-        lsh_pairs_from_bands,
-        minhash_bands,
-    )
-
+    Scale shape: the hashed-set table builds once (lazy localCheckpoint,
+    four consumers); prefixes are an in-row sorted slice (~0.2·n tokens);
+    the candidate join keys on the uniform shingle hash with the size
+    asymmetry (smaller-side prefix vs larger-side posting) enforced in
+    the join predicate, so each unordered pair forms once; verification
+    joins hash arrays over candidates only. A shingle shared by millions
+    of docs makes a hot posting list — same pathology and same
+    cap-plus-transitivity guard as a hot LSH bucket."""
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
-    pairs = lsh_pairs_from_bands(minhash_bands(reps))
-    # both verification sides consume the hashed-set table; lazily
-    # checkpoint it so the reps+shingles subtree executes once, not twice
-    # (the q_prefix_filter_join measurement — Catalyst does not CSE across
-    # DataFrame references)
     sets = (
         _shingle_sets(reps)
         .select(
@@ -323,6 +334,33 @@ def q_containment_pairs(spark, sf_dir):
             F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
         )
         .localCheckpoint(eager=False)
+    )
+    prefix = sets.select(
+        F.col("doc_id").alias("s_id"),
+        F.col("n").alias("sn"),
+        F.explode(
+            F.expr(
+                "slice(sort_array(hs), 1,"
+                f" n - (({_CONT_NUM} * n + {_CONT_DEN - 1}) div {_CONT_DEN}) + 1)"
+            )
+        ).alias("h"),
+    )
+    post = sets.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("n").alias("bn"),
+        F.explode("hs").alias("h"),
+    )
+    pairs = (
+        prefix.join(post, "h")
+        .where(
+            (F.col("sn") < F.col("bn"))
+            | ((F.col("sn") == F.col("bn")) & (F.col("s_id") < F.col("b_id")))
+        )
+        .select(
+            F.least("s_id", "b_id").alias("doc_a"),
+            F.greatest("s_id", "b_id").alias("doc_b"),
+        )
+        .distinct()
     )
     ta = sets.select(
         F.col("doc_id").alias("doc_a"),
