@@ -382,7 +382,11 @@ def q_token_budget_mix(spark, sf_dir):
     then everything is BIGINT floor division on non-negative operands
     (Spark ``div`` == DuckDB ``//``); the fractional-pass membership is the
     shared md5 hash. Worst-case magnitude (budget · sm · 1e6) stays under
-    2^63 through sf30 (≈ 7e16).
+    2^63 through sf30 (≈ 7e16); at true 100 TB token counts (~1e13) the
+    product overflows BIGINT and the epochs expression must move to
+    DECIMAL(38,0) — same math, wider lane — or divide before multiplying
+    (epochs_micro = ((budget div total_sm) · sm · 1e6) div n_tokens at a
+    1-ppm precision cost). Documented rather than silently wrong.
 
     Scale shape: one map-side-combined aggregate to the #sources recipe
     table, totals via a single-partition window over that tiny table (not
