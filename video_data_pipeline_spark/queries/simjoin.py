@@ -40,7 +40,10 @@ so the PPJoin LENGTH FILTER (τ·max(n) ≤ min(n)) prunes inside the bucket
 lambda before any pair materializes; verification joins hash arrays by
 uniform doc_id keys over candidates only. A prefix token shared by
 millions of docs is the same pathology as a hot LSH bucket — the same
-cap-plus-transitivity guard applies if needed.
+cap-plus-transitivity guard is built in: :func:`prefix_filter_pairs` and
+:func:`containment_pairs_capped` take ``max_bucket_size`` /
+``max_posting_size`` with oversized-bucket Observation telemetry, exactly
+like ``lsh_pairs_from_bands`` and ``simhash_near_pairs_capped``.
 """
 
 from __future__ import annotations
@@ -54,7 +57,6 @@ from video_data_pipeline_spark.queries.dedup import (
     _DUCK_WORDS,
     _SPARK_WORDS,
     _duck_hash,
-    _duck_lsh_pairs_sql,
     _spark_hash,
     exact_dup_representatives,
 )
@@ -133,25 +135,39 @@ WHERE {_TAU_DEN + _TAU_NUM} * {inter} >= {_TAU_NUM} * (ta.n + tb.n)
 """
 
 
-@query(
-    "q_prefix_filter_join",
-    oracle=_duck_prefix_join_sql(),
-    tags=("dedup", "jaccard", "join", "prefix-filter"),
-)
-def q_prefix_filter_join(spark, sf_dir):
-    """Exact Jaccard ≥ 0.6 token-set join via prefix filtering — see the
-    module docstring for the completeness theorem and the LSH comparison.
-    Pipeline: distinct hashed shingle sets (localCheckpointed once) →
-    global df → per-doc rarity ranking → prefix explode → bucketed pair
-    generation with the in-lambda length filter → exact integer
-    verification on candidates only."""
+def prefix_filter_pairs(docs, max_bucket_size=None, observation=None):
+    """Core of :func:`q_prefix_filter_join`, parameterized with the family's
+    100 TB hot-bucket guard (the ``lsh_pairs_from_bands`` /
+    ``simhash_near_pairs_capped`` knob).
+
+    Rarity ordering already makes prefix postings the SMALLEST in the
+    corpus, but it is a heuristic, not a bound: a boilerplate shingle shared
+    by millions of documents (license headers, nav chrome — guaranteed at
+    100 TB) still lands in every short document's prefix, and in-bucket pair
+    expansion is quadratic in the bucket size. ``max_bucket_size`` caps each
+    prefix-token bucket to its first N members (sorted by (n, doc_id) —
+    deterministic). Recall argument under the cap: a true J ≥ τ pair is
+    missed only if EVERY shared prefix token of the pair is over-cap AND
+    both docs fall past the cap in each — each document carries
+    p = n − ceil(τ·n) + 1 ≈ 0.4·n independent prefix witnesses at τ = 0.6,
+    and over-cap buckets are by construction corpus-wide boilerplate whose
+    members the survivors keep pairing among themselves, so downstream
+    connected-components still merges capped cliques transitively through
+    the kept members (the lsh_pairs_from_bands argument). Pass an
+    ``Observation`` for n_buckets / oversized_buckets /
+    max_bucket_size_seen telemetry — the metric that tells an operator the
+    cap actually engaged.
+
+    Uncapped (the default) it IS the registered query (q_prefix_filter_join
+    delegates here), so the oracle-checked SQL remains the semantics
+    definition and this is the knob production jobs turn."""
     # exact duplicates collapse FIRST (family policy, the q_dedup_triangles
     # lesson): byte/case-identical replicas share one shingle set and would
     # otherwise re-derive O(c^2) J=1.0 pairs per c-clone clique — pure
     # replication cost with zero information (q_dedup_exact already reports
     # those cliques with certainty). Measured: the uncollapsed form blew the
     # sf1 clone-replicated sweep past its 10-minute budget.
-    d = exact_dup_representatives(table(spark, sf_dir, "documents"))
+    d = exact_dup_representatives(docs)
     # Hash every shingle ONCE (64-bit md5 prefix): from here on, ranking,
     # bucketing, and verification move/compare BIGINTs, never shingle text
     # — intersection of hash sets equals intersection of shingle sets
@@ -192,6 +208,18 @@ def q_prefix_filter_join(spark, sf_dir):
         .agg(F.sort_array(F.collect_list(F.struct("n", "doc_id"))).alias("xs"))
         .where(F.size("xs") > 1)
     )
+    if observation is not None:
+        cap = max_bucket_size if max_bucket_size is not None else 1 << 62
+        buckets = buckets.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum((F.size("xs") > cap).cast("long")).alias("oversized_buckets"),
+            F.max(F.size("xs")).alias("max_bucket_size_seen"),
+        )
+    if max_bucket_size is not None:
+        buckets = buckets.select(
+            "h", F.slice("xs", 1, max_bucket_size).alias("xs")
+        )
     pair_expr = (
         "flatten(transform(xs, x -> transform("
         f"filter(xs, y -> (y.n > x.n OR (y.n = x.n AND y.doc_id > x.doc_id))"
@@ -225,6 +253,23 @@ def q_prefix_filter_join(spark, sf_dir):
         )
         .select("doc_a", "doc_b", inter.alias("n_common"), jac.alias("jaccard"))
     )
+
+
+@query(
+    "q_prefix_filter_join",
+    oracle=_duck_prefix_join_sql(),
+    tags=("dedup", "jaccard", "join", "prefix-filter"),
+)
+def q_prefix_filter_join(spark, sf_dir):
+    """Exact Jaccard ≥ 0.6 token-set join via prefix filtering — see the
+    module docstring for the completeness theorem and the LSH comparison.
+    Pipeline: distinct hashed shingle sets (localCheckpointed once) →
+    global df → per-doc rarity ranking → prefix explode → bucketed pair
+    generation with the in-lambda length filter → exact integer
+    verification on candidates only. Delegates to
+    :func:`prefix_filter_pairs` uncapped; production jobs pass that core a
+    ``max_bucket_size`` (the 100 TB hot-bucket guard)."""
+    return prefix_filter_pairs(table(spark, sf_dir, "documents"))
 
 
 def hash_ordered_prefix(docs):
@@ -323,8 +368,9 @@ def q_containment_pairs(spark, sf_dir):
     asymmetry (smaller-side prefix vs larger-side posting) enforced in
     the join predicate, so each unordered pair forms once; verification
     joins hash arrays over candidates only. A shingle shared by millions
-    of docs makes a hot posting list — same pathology and same
-    cap-plus-transitivity guard as a hot LSH bucket."""
+    of docs makes a hot posting list — same pathology as a hot LSH
+    bucket; :func:`containment_pairs_capped` is the production form that
+    caps it (``max_posting_size`` + oversized-posting telemetry)."""
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
     sets = (
         _shingle_sets(reps)
@@ -349,6 +395,110 @@ def q_containment_pairs(spark, sf_dir):
         F.col("doc_id").alias("b_id"),
         F.col("n").alias("bn"),
         F.explode("hs").alias("h"),
+    )
+    pairs = (
+        prefix.join(post, "h")
+        .where(
+            (F.col("sn") < F.col("bn"))
+            | ((F.col("sn") == F.col("bn")) & (F.col("s_id") < F.col("b_id")))
+        )
+        .select(
+            F.least("s_id", "b_id").alias("doc_a"),
+            F.greatest("s_id", "b_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    tb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+    return (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(_CONT_DEN * inter >= _CONT_NUM * F.least("na", "nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            (inter.cast("double") / F.col("na")).alias("cont_a_in_b"),
+            (inter.cast("double") / F.col("nb")).alias("cont_b_in_a"),
+        )
+    )
+
+
+def containment_pairs_capped(docs, max_posting_size=None, observation=None):
+    """Production form of :func:`q_containment_pairs` with the family's
+    100 TB hot-posting guard (the ``lsh_pairs_from_bands`` /
+    ``simhash_near_pairs_capped`` knob, applied to the posting side of the
+    asymmetric join).
+
+    The registered query joins the smaller side's prefix against the FULL
+    postings of every shingle; one corpus-wide boilerplate shingle (license
+    header, nav chrome — guaranteed at 100 TB) makes a posting list whose
+    candidate expansion is quadratic. This variant groups postings per
+    shingle hash (ONE shuffle), caps each list to its first
+    ``max_posting_size`` members (sorted by (n, doc_id) — deterministic,
+    and ascending by size so the cheapest-to-verify candidate supersets
+    survive), then explodes back into the same asymmetric prefix-vs-posting
+    join. Recall argument under the cap: a true C(A→B) ≥ t pair is missed
+    only if EVERY one of A's ``p = |A| − ceil(t·|A|) + 1`` prefix witnesses
+    is an over-cap posting AND B falls past the cap in each — over-cap
+    postings are by construction corpus-wide boilerplate shingles, the
+    weakest containment witnesses, while a genuinely contained document
+    shares ceil(t·|A|) tokens and therefore carries many independent
+    witnesses. Pass an ``Observation`` for n_postings / oversized_postings
+    / max_posting_size_seen telemetry — the metric that tells an operator
+    the cap actually engaged (and which corpus shingle caused it to).
+
+    Uncapped (the default) it equals the registered query exactly
+    (pytest-pinned), so the oracle-checked SQL remains the semantics
+    definition and this is the knob production jobs turn."""
+    reps = exact_dup_representatives(docs)
+    sets = (
+        _shingle_sets(reps)
+        .select(
+            "doc_id",
+            "n",
+            F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    prefix = sets.select(
+        F.col("doc_id").alias("s_id"),
+        F.col("n").alias("sn"),
+        F.explode(
+            F.expr(
+                "slice(sort_array(hs), 1,"
+                f" n - (({_CONT_NUM} * n + {_CONT_DEN - 1}) div {_CONT_DEN}) + 1)"
+            )
+        ).alias("h"),
+    )
+    postings = (
+        sets.select("doc_id", "n", F.explode("hs").alias("h"))
+        .groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("n", "doc_id"))).alias("ps"))
+    )
+    if observation is not None:
+        cap = max_posting_size if max_posting_size is not None else 1 << 62
+        postings = postings.observe(
+            observation,
+            F.count(F.lit(1)).alias("n_postings"),
+            F.sum((F.size("ps") > cap).cast("long")).alias("oversized_postings"),
+            F.max(F.size("ps")).alias("max_posting_size_seen"),
+        )
+    if max_posting_size is not None:
+        postings = postings.select(
+            "h", F.slice("ps", 1, max_posting_size).alias("ps")
+        )
+    post = postings.select("h", F.explode("ps").alias("p")).select(
+        "h", F.col("p.doc_id").alias("b_id"), F.col("p.n").alias("bn")
     )
     pairs = (
         prefix.join(post, "h")
