@@ -26,9 +26,12 @@ uniform doc_id key) + one (node, label)-keyed partial-agg count + one
 node-keyed MAX — the same topology as distributed PageRank; nothing is
 ever windowed per component (hot components would serialize). The graph is
 rep-collapsed first (queries/dedup.py rationale), so byte/case-identical
-clones ride with their representative's community by construction. At
-100 TB the edge list would be localCheckpointed once before the 3 reuses,
-exactly as operators/components.py does for the open-ended CC loop.
+clones ride with their representative's community by construction. The
+edge list is localCheckpointed once and the label frame once per round
+(both lazy), exactly as operators/components.py does for the open-ended
+CC loop — without them the multi-consumer references re-instantiate the
+LSH subtree ~2^rounds times (r9 VERDICT #2); plan growth in ``rounds`` is
+pinned linear by tests/test_lpa_checkpoint.py.
 """
 
 from __future__ import annotations
@@ -85,11 +88,29 @@ def label_propagation_pairs(pairs, rounds: int = _LPA_ROUNDS):
     crafted edge lists without manufacturing a text corpus."""
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    sym = fwd.union(rev).distinct()
+    # sym is consumed by every round's neighbor join (plus the seed-label
+    # scan) and labels by two consumers per round (neighbor join +
+    # self-vote); Catalyst does not CSE across DataFrame references, so
+    # without the checkpoints the final plan re-instantiates the upstream
+    # (LSH) subtree ~2^rounds times — lazy localCheckpoint is the repo
+    # pattern (operators/components.py does the same for the CC loop).
+    # Plan growth is pinned linear by tests/test_lpa_checkpoint.py.
+    sym = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    # the packed-MAX trick needs every label (= doc_id) < 2^33: a wider id
+    # would alias under the % 2^33 unpack and SILENTLY corrupt communities,
+    # so violation raises inside the seed expression (an assert column
+    # would be pruned away; this one is the data).
+    guarded = F.when(F.col("node") < _PACK, F.col("node")).otherwise(
+        F.expr(
+            "raise_error(concat('label_propagation_pairs: doc_id ', "
+            f"CAST(node AS STRING), ' >= 2^33 would corrupt packed labels'))"
+        ).cast("long")
+    )
     labels = sym.select(F.col("u").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
+        "node", guarded.alias("lbl")
     )
     for _ in range(rounds):
+        labels = labels.localCheckpoint(eager=False)
         nb = sym.join(labels, sym["u"] == labels["node"]).select(
             F.col("v"), F.col("lbl")
         )
