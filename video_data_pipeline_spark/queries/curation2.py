@@ -322,6 +322,42 @@ _MICRO = 1_000_000
 _MIX_SEED = "budgetmix:"
 
 
+def token_budget_recipe(c):
+    """Per-source recipe table: (source, n_docs, n_tokens, sm) →
+    (source, n_docs, n_tokens, weight_micro, epochs_micro).
+
+    The epochs numerator ``budget · sm · 1e6`` reaches ~1e25 at real
+    100 TB token counts (~1e13 tokens/source → sm ~3e6), far past BIGINT,
+    so the multiply-then-divide runs in a DECIMAL(38,0) lane: Spark decimal
+    multiplication is exact up to 38 digits and ``div`` on decimals
+    performs exact integral division returning BIGINT — same values as the
+    narrow lane wherever that one didn't overflow, exact where it would
+    have (r9 VERDICT #3; the DuckDB oracle widens identically via HUGEINT).
+    Pinned against Python bignum math at 100 TB-scale token counts in
+    tests/test_token_budget_lane.py. Exposed separately from
+    q_token_budget_mix so that test can feed synthetic aggregates without
+    manufacturing 10^13 tokens of corpus."""
+    allw = Window.partitionBy()
+    return c.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.sum("n_tokens").over(allw).alias("total_tok"),
+        F.sum("sm").over(allw).alias("total_sm"),
+        "sm",
+    ).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"(sm * {_MICRO}) div total_sm").alias("weight_micro"),
+        F.expr(
+            f"(CAST(total_tok div {_BUDGET_DIV} AS DECIMAL(38,0))"
+            f" * sm * {_MICRO})"
+            f" div (CAST(total_sm AS DECIMAL(38,0)) * n_tokens)"
+        ).alias("epochs_micro"),
+    )
+
+
 @query(
     "q_token_budget_mix",
     oracle=f"""
@@ -344,8 +380,8 @@ t AS (
 r AS (
   SELECT c.source, c.n_docs, c.n_tokens,
          (c.sm * {_MICRO}) // t.total_sm AS weight_micro,
-         ((t.total_tok // {_BUDGET_DIV}) * c.sm * {_MICRO})
-           // (t.total_sm * c.n_tokens) AS epochs_micro
+         CAST((CAST(t.total_tok // {_BUDGET_DIV} AS HUGEINT) * c.sm * {_MICRO})
+           // (CAST(t.total_sm AS HUGEINT) * c.n_tokens) AS BIGINT) AS epochs_micro
   FROM c CROSS JOIN t
 ),
 frac AS (
@@ -379,14 +415,14 @@ def q_token_budget_mix(spark, sf_dir):
 
     Exactness: sqrt only on #sources aggregate values (correctly rounded
     per IEEE-754 in both engines — the q_lang_temperature_mix precedent),
-    then everything is BIGINT floor division on non-negative operands
-    (Spark ``div`` == DuckDB ``//``); the fractional-pass membership is the
-    shared md5 hash. Worst-case magnitude (budget · sm · 1e6) stays under
-    2^63 through sf30 (≈ 7e16); at true 100 TB token counts (~1e13) the
-    product overflows BIGINT and the epochs expression must move to
-    DECIMAL(38,0) — same math, wider lane — or divide before multiplying
-    (epochs_micro = ((budget div total_sm) · sm · 1e6) div n_tokens at a
-    1-ppm precision cost). Documented rather than silently wrong.
+    then everything is exact integer floor division on non-negative
+    operands (Spark ``div`` == DuckDB ``//``); the fractional-pass
+    membership is the shared md5 hash. The epochs product (budget · sm ·
+    1e6) would overflow BIGINT past ~sf30, so it runs in a DECIMAL(38,0)
+    lane (HUGEINT in the oracle) — exact integer math to ~1e38, i.e. the
+    expression is correct at real 100 TB token counts, not merely at the
+    tested scale factors (see :func:`token_budget_recipe` and
+    tests/test_token_budget_lane.py).
 
     Scale shape: one map-side-combined aggregate to the #sources recipe
     table, totals via a single-partition window over that tiny table (not
@@ -405,24 +441,7 @@ def q_token_budget_mix(spark, sf_dir):
         F.sum("n_tok").alias("n_tokens"),
         F.round(F.sqrt(F.sum("n_tok").cast("double"))).cast("bigint").alias("sm"),
     )
-    allw = Window.partitionBy()
-    r = c.select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.sum("n_tokens").over(allw).alias("total_tok"),
-        F.sum("sm").over(allw).alias("total_sm"),
-        "sm",
-    ).select(
-        "source",
-        "n_docs",
-        "n_tokens",
-        F.expr(f"(sm * {_MICRO}) div total_sm").alias("weight_micro"),
-        F.expr(
-            f"((total_tok div {_BUDGET_DIV}) * sm * {_MICRO})"
-            f" div (total_sm * n_tokens)"
-        ).alias("epochs_micro"),
-    )
+    r = token_budget_recipe(c)
     frac = (
         per_doc.join(F.broadcast(r.select("source", "epochs_micro")), "source")
         .groupBy("source")
