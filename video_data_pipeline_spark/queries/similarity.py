@@ -1020,7 +1020,15 @@ def q_hard_negatives(spark, sf_dir):
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    # ranked fans out to THREE consumers (thresholds, positives, band) and
+    # Catalyst does not CSE across DataFrame references — without the lazy
+    # checkpoint the full-corpus cosine scan + rank shuffle re-execute per
+    # consumer (repo reuse policy; the q_prefix_filter_join precedent).
+    # The pinned frame is panel×corpus rows (8·N) — the same rows the rank
+    # shuffle materializes once anyway, now paid once instead of thrice.
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).localCheckpoint(
+        eager=False
+    )
     thresholds = ranked.where(F.col("rnk") == _HN_POS).select(
         "q_id", F.col("cosine").alias("t")
     )
