@@ -282,3 +282,126 @@ def test_prefix_candidates_parity_across_restart(spark, tmp_path):
     pre = set(chunks[0]["doc_id"]) | set(chunks[1]["doc_id"])
     spans = [r for r in got.where("run = 2").collect() if r["doc_a"] in pre]
     assert spans, "no post-restart pair anchored pre-restart — state lost"
+
+
+def _python_containment(spark, pairs):
+    """Independent oracle for the containment verify stage: recompute
+    (n_common, cont_a_in_b, cont_b_in_a) per pair from raw corpus text with
+    plain Python sets (rep collapse, lower/trim/regex-split, distinct
+    3-gram shingles — the queries/simjoin.py semantics, reimplemented, not
+    reused), keeping pairs that pass 5·I >= 4·min(n_a, n_b)."""
+    import re
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    reps = {}
+    for r in docs:
+        fp = r["text"].strip().lower()
+        if fp not in reps or r["doc_id"] < reps[fp]:
+            reps[fp] = r["doc_id"]
+    rep_ids = set(reps.values())
+    sets = {}
+    for r in docs:
+        if r["doc_id"] not in rep_ids:
+            continue
+        w = re.split(" +", r["text"].strip().lower())
+        if len(w) >= 3:
+            sets[r["doc_id"]] = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+    out = set()
+    for a, b in pairs:
+        if a not in sets or b not in sets:
+            continue  # non-representative or <3 words: inner join drops it
+        inter = len(sets[a] & sets[b])
+        if 5 * inter >= 4 * min(len(sets[a]), len(sets[b])):
+            out.add((a, b, inter, inter / len(sets[a]), inter / len(sets[b])))
+    return out
+
+
+def test_containment_verify_parity_across_restart(spark, tmp_path):
+    """Batch equality for the stateless verify stage: batch-computed
+    candidate pairs stream through streaming_containment_verify (with a
+    restart between micro-batches) and the emitted rows must equal the
+    Python-recomputed containment verification of those same pairs —
+    row-for-row, float-for-float."""
+    from video_data_pipeline_spark.queries.dedup import lsh_pairs_from_bands
+    from video_data_pipeline_spark.queries.simjoin import (
+        hash_ordered_prefix,
+        hashed_shingle_sets,
+    )
+    from video_data_pipeline_spark.streaming.stateful import (
+        streaming_containment_verify,
+    )
+
+    static_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    cand_pdf = (
+        lsh_pairs_from_bands(hash_ordered_prefix(static_docs))
+        .toPandas()
+        .sample(frac=1.0, random_state=11)
+        .reset_index(drop=True)
+    )
+    sets = hashed_shingle_sets(static_docs)
+    got, _ = _run_with_restart(
+        spark, tmp_path, cand_pdf,
+        ["doc_a", "doc_b"], "doc_a bigint, doc_b bigint",
+        lambda s: streaming_containment_verify(s, sets), "append",
+    )
+    emitted = {
+        (r["doc_a"], r["doc_b"], r["n_common"], r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in got.collect()
+    }
+    want = _python_containment(
+        spark, {(r["doc_a"], r["doc_b"]) for _, r in cand_pdf.iterrows()}
+    )
+    assert emitted == want
+    assert emitted, "vacuous parity: no candidate verified"
+
+
+def test_chained_prefix_candidates_then_verify(spark, tmp_path):
+    """The full streaming LSH-then-verify chain (stateful candidate front →
+    stateless stream-static verify) composes in ONE query, survives the
+    restart, and every emitted row is exact vs the Python oracle and sound
+    vs the all-pairs containment truth (star candidates ⊆ all pairs)."""
+    from video_data_pipeline_spark.queries.simjoin import hashed_shingle_sets
+    from video_data_pipeline_spark.streaming.stateful import (
+        streaming_containment_verify,
+        streaming_prefix_candidates,
+    )
+
+    pdf = _docs_pdf(spark, ordered=False)
+    static_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sets = hashed_shingle_sets(static_docs)
+    got, chunks = _run_with_restart(
+        spark, tmp_path, pdf,
+        ["doc_id", "text"], "doc_id bigint, text string",
+        lambda s: streaming_containment_verify(
+            streaming_prefix_candidates(s), sets
+        ),
+        "append",
+    )
+    rows = got.collect()
+    assert rows, "chain emitted nothing"
+    truth = _python_containment(
+        spark,
+        {
+            (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+            for r in rows
+        },
+    )
+    by_pair = {(a, b): (i, ca, cb) for a, b, i, ca, cb in truth}
+    for r in rows:
+        key = (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        assert key in by_pair, f"{key} emitted but fails the Python verify"
+        i, ca, cb = by_pair[key]
+        assert r["n_common"] == i
+        if r["doc_a"] < r["doc_b"]:
+            assert (r["cont_a_in_b"], r["cont_b_in_a"]) == (ca, cb)
+        else:
+            assert (r["cont_a_in_b"], r["cont_b_in_a"]) == (cb, ca)
+    pre = set(chunks[0]["doc_id"]) | set(chunks[1]["doc_id"])
+    spans = [r for r in got.where("run = 2").collect() if r["doc_a"] in pre or r["doc_b"] in pre]
+    assert spans, "no post-restart verified pair anchored pre-restart — state lost"

@@ -96,6 +96,21 @@ def _shingle_sets(d):
     ).withColumn("n", F.size("toks"))
 
 
+def hashed_shingle_sets(docs, checkpoint: bool = True):
+    """(doc_id, text, …) → (doc_id, n, hs: BIGINT shingle-hash array) with
+    the exact-dup rep collapse applied — the shared front table of the
+    prefix-filter family (batch joins here; the streaming verify stage
+    joins it as its static side). Lazily localCheckpointed by default:
+    every caller fans it out to multiple consumers and Catalyst does not
+    CSE across DataFrame references."""
+    out = _shingle_sets(exact_dup_representatives(docs)).select(
+        "doc_id",
+        "n",
+        F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
+    )
+    return out.localCheckpoint(eager=False) if checkpoint else out
+
+
 def _duck_prefix_join_sql() -> str:
     inter = "len(list_intersect(ta.hs, tb.hs))"
     jac = f"CAST({inter} AS DOUBLE) / (ta.n + tb.n - {inter})"
@@ -161,32 +176,20 @@ def prefix_filter_pairs(docs, max_bucket_size=None, observation=None):
     Uncapped (the default) it IS the registered query (q_prefix_filter_join
     delegates here), so the oracle-checked SQL remains the semantics
     definition and this is the knob production jobs turn."""
-    # exact duplicates collapse FIRST (family policy, the q_dedup_triangles
-    # lesson): byte/case-identical replicas share one shingle set and would
-    # otherwise re-derive O(c^2) J=1.0 pairs per c-clone clique — pure
-    # replication cost with zero information (q_dedup_exact already reports
-    # those cliques with certainty). Measured: the uncollapsed form blew the
-    # sf1 clone-replicated sweep past its 10-minute budget.
-    d = exact_dup_representatives(docs)
-    # Hash every shingle ONCE (64-bit md5 prefix): from here on, ranking,
-    # bucketing, and verification move/compare BIGINTs, never shingle text
-    # — intersection of hash sets equals intersection of shingle sets
-    # modulo ~2^-60 collisions, which merge identically in both engines
-    # (the KMV width-independence argument). Lazily localCheckpoint the
-    # (doc_id, n, hs) table: it is reused by FOUR consumers (tokens, df
-    # via tokens, and both verification sides) and Catalyst does not CSE
+    # hashed_shingle_sets collapses exact duplicates FIRST (family policy,
+    # the q_dedup_triangles lesson: byte/case-identical replicas would
+    # re-derive O(c^2) J=1.0 pairs per c-clone clique — measured, the
+    # uncollapsed form blew the sf1 clone-replicated sweep past its
+    # 10-minute budget), hashes every shingle ONCE (64-bit md5 prefix: all
+    # later stages move/compare BIGINTs, never text; hash-set intersection
+    # equals shingle-set intersection modulo ~2^-60 collisions, which merge
+    # identically in both engines — the KMV width-independence argument),
+    # and lazily localCheckpoints: FOUR consumers reuse the table (tokens,
+    # df via tokens, both verification sides) and Catalyst does not CSE
     # across DataFrame references — measured, re-execution of the
     # reps+shingles subtree dominated the uncheckpointed plan.
-    docs = (
-        _shingle_sets(d)
-        .select(
-            "doc_id",
-            "n",
-            F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    tokens = docs.select("doc_id", "n", F.explode("hs").alias("h"))
+    sets = hashed_shingle_sets(docs)
+    tokens = sets.select("doc_id", "n", F.explode("hs").alias("h"))
     df_tbl = tokens.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
     ranked = tokens.join(df_tbl, "h").withColumn(
         "rnk",
@@ -232,12 +235,12 @@ def prefix_filter_pairs(docs, max_bucket_size=None, observation=None):
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    ta = docs.select(
+    ta = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hs").alias("hs_a"),
         F.col("n").alias("na"),
     )
-    tb = docs.select(
+    tb = sets.select(
         F.col("doc_id").alias("doc_b"),
         F.col("hs").alias("hs_b"),
         F.col("n").alias("nb"),
@@ -371,16 +374,7 @@ def q_containment_pairs(spark, sf_dir):
     of docs makes a hot posting list — same pathology as a hot LSH
     bucket; :func:`containment_pairs_capped` is the production form that
     caps it (``max_posting_size`` + oversized-posting telemetry)."""
-    reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
-    sets = (
-        _shingle_sets(reps)
-        .select(
-            "doc_id",
-            "n",
-            F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    sets = hashed_shingle_sets(table(spark, sf_dir, "documents"))
     prefix = sets.select(
         F.col("doc_id").alias("s_id"),
         F.col("n").alias("sn"),
@@ -460,16 +454,7 @@ def containment_pairs_capped(docs, max_posting_size=None, observation=None):
     Uncapped (the default) it equals the registered query exactly
     (pytest-pinned), so the oracle-checked SQL remains the semantics
     definition and this is the knob production jobs turn."""
-    reps = exact_dup_representatives(docs)
-    sets = (
-        _shingle_sets(reps)
-        .select(
-            "doc_id",
-            "n",
-            F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    sets = hashed_shingle_sets(docs)
     prefix = sets.select(
         F.col("doc_id").alias("s_id"),
         F.col("n").alias("sn"),

@@ -741,3 +741,54 @@ def streaming_prefix_candidates(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def streaming_containment_verify(candidates: DataFrame, sets: DataFrame) -> DataFrame:
+    """Stateless VERIFY stage completing the streaming LSH-then-verify
+    split for the prefix-candidate front: candidate pairs from
+    :func:`streaming_prefix_candidates` join the STATIC hashed shingle-set
+    table twice (stream-static inner equi-joins are stateless in Structured
+    Streaming — no watermark, no state store) and the exact integer
+    containment test filters, emitting the same (n_common, cont_a_in_b,
+    cont_b_in_a) evidence as the batch ``q_containment_pairs``
+    (queries/simjoin.py) computes on its candidates.
+
+    ``sets`` is the batch (doc_id, n, hs) table from
+    ``queries.simjoin.hashed_shingle_sets`` — in production the document
+    store's projection, refreshed per deployment (bucketed by doc_id so
+    both probe joins co-locate). Verification is a pure deterministic
+    function of the pair, so the streamed output row-for-row equals the
+    batch verify applied to the streamed candidates — pinned, restart leg
+    included, in tests/test_streaming_parity_matrix.py. The stage emits one
+    row per candidate ARRIVAL: a pair surfacing from several prefix-token
+    buckets verifies once per surfacing (dedup across batches would need a
+    state store; downstream consumers dedup or feed connected components,
+    which absorb duplicates — the same contract as the candidate front).
+    """
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.queries.simjoin import _CONT_DEN, _CONT_NUM
+
+    ta = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("hs").alias("hs_a"),
+        F.col("n").alias("na"),
+    )
+    tb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("n").alias("nb"),
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
+    return (
+        candidates.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(_CONT_DEN * inter >= _CONT_NUM * F.least("na", "nb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("n_common"),
+            (inter.cast("double") / F.col("na")).alias("cont_a_in_b"),
+            (inter.cast("double") / F.col("nb")).alias("cont_b_in_a"),
+        )
+    )
