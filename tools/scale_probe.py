@@ -27,6 +27,15 @@ def main() -> int:
     ap.add_argument("--sf-dirs", required=True, help="comma-separated")
     ap.add_argument("--queries", required=True, help="comma-separated")
     ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--count",
+        action="store_true",
+        help="run df.count() instead of the noop sink: same full plan plus "
+        "a trivial final agg, and the output row count lands in the record "
+        "as the TRUE-WORKLOAD measure for scaling-ratio analysis "
+        "(perturbed corpora grow pair workloads faster than data size; "
+        "time ratios only read against the workload ratio)",
+    )
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
@@ -48,7 +57,10 @@ def main() -> int:
             rec: dict = {}
             try:
                 df = registry[name].spark_fn(spark, sf_dir)
-                df.write.format("noop").mode("overwrite").save()
+                if args.count:
+                    rec["rows"] = df.count()
+                else:
+                    df.write.format("noop").mode("overwrite").save()
                 rec["secs"] = round(time.time() - t0, 2)
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 # post-execution AQE plan: record the surprise markers
@@ -60,7 +72,8 @@ def main() -> int:
                 rec["error"] = str(e)[:300]
                 rec["secs"] = round(time.time() - t0, 2)
             res[name] = rec
-            print(f"{sf_dir} {name}: {rec.get('secs')}s "
+            rows = f" rows={rec['rows']}" if "rows" in rec else ""
+            print(f"{sf_dir} {name}: {rec.get('secs')}s{rows} "
                   f"{rec.get('plan_flags', '')}{rec.get('error', '')}")
         out[sf_dir] = res
     dirs = list(out)
@@ -70,7 +83,9 @@ def main() -> int:
         for name in names:
             sa, sb = out[a][name].get("secs"), out[b][name].get("secs")
             if sa and sb:
-                print(f"  {name}: {sa}s -> {sb}s  ({sb / sa:.2f}x)")
+                ra, rb = out[a][name].get("rows"), out[b][name].get("rows")
+                w = f"  rows {ra} -> {rb} ({rb / max(ra, 1):.2f}x)" if ra is not None and rb is not None else ""
+                print(f"  {name}: {sa}s -> {sb}s  ({sb / sa:.2f}x){w}")
     if args.json:
         with open(args.json, "w") as f:
             json.dump(out, f, indent=1)
