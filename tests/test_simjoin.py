@@ -159,3 +159,76 @@ def test_containment_finds_low_jaccard_quote_inclusion(spark, tmp_path):
     na, nb = row["n_common"] / row["cont_a_in_b"], row["n_common"] / row["cont_b_in_a"]
     jac = row["n_common"] / (na + nb - row["n_common"])
     assert jac < 0.45, f"fixture not in the low-jaccard regime: J={jac:.2f}"
+
+
+def _brute_force_containment(rows):
+    """All-pairs containment reference (rep-collapse + the asymmetric
+    C(A,B) = |A∩B| / min(|A|,|B|) >= 0.8 test on distinct shingle sets) —
+    the recall-1.0 claim of q_containment_pairs checked against pure
+    Python, independent of both engines."""
+    reps = {}
+    for i, t, _, _ in rows:
+        reps.setdefault(t.lower().strip(), i)
+    sets = {
+        i: _shingle_set(t)
+        for i, t, _, _ in rows
+        if len(t.split()) >= 3 and reps[t.lower().strip()] == i
+    }
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        sa, sb = sets[a], sets[b]
+        inter = len(sa & sb)
+        if 5 * inter >= 4 * min(len(sa), len(sb)):
+            out[(a, b)] = (inter, inter / len(sa), inter / len(sb))
+    return out
+
+
+def test_containment_equals_brute_force(spark, corpus_dir):
+    from video_data_pipeline_spark.queries.simjoin import q_containment_pairs
+
+    path, rows = corpus_dir
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_common"],
+            r["cont_a_in_b"],
+            r["cont_b_in_a"],
+        )
+        for r in q_containment_pairs(spark, path).collect()
+    }
+    assert got == _brute_force_containment(rows)
+
+
+def test_containment_equals_brute_force_random_corpus(spark, tmp_path):
+    # seeded random corpus: mixed lengths (including <3-word drops and
+    # embedded subsets), many equal-size ties exercising the s_id < b_id
+    # branch of the asymmetric join predicate
+    import random
+
+    from video_data_pipeline_spark.queries.simjoin import q_containment_pairs
+
+    rng = random.Random(20260815)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for i in range(40):
+        n = rng.choice([2, 5, 8, 12, 20])
+        rows.append(
+            (i, " ".join(rng.choice(vocab) for _ in range(n)), "en", "s")
+        )
+    # plus guaranteed superset pairs: doc 100+k embeds doc k's text
+    for k in range(5):
+        rows.append((100 + k, rows[k][1] + " tail0 tail1 tail2", "en", "s"))
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    d.write.parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["doc_a"], r["doc_b"]): (
+            r["n_common"],
+            r["cont_a_in_b"],
+            r["cont_b_in_a"],
+        )
+        for r in q_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    want = _brute_force_containment(rows)
+    assert got == want
+    assert want, "vacuous: random corpus produced no contained pairs"
