@@ -86,7 +86,10 @@ def anchor_band(label: str) -> dict[str, tuple[float, float]]:
 def build_report(md: bool = False) -> str:
     rounds = load_rounds()
     fam = family_of()
-    labels = list(rounds)
+    labels = sorted(
+        rounds,
+        key=lambda k: (k.startswith("quiet-"), int(k.split("r")[-1])),
+    )
     families = sorted({fam.get(q, "misc") for qs in rounds.values() for q in qs})
 
     lines: list[str] = []
@@ -160,6 +163,23 @@ def build_report(md: bool = False) -> str:
                  f"{latest} vs {anchor}: beyond-ambient moves")
             )
             lines.append("")
+            # bench timer epoch (r10): BENCH_r*/anchors at r9 and earlier
+            # timed only the final action; r10+ include plan construction
+            # (AQE materializes lazy localCheckpoints there). Cross-epoch
+            # pairs are expected to flag uniformly — say so in the artifact.
+            l_n = int(latest[1:])
+            a_n = int(anchor.split("-r")[1])
+            if (l_n < 10) != (a_n < 10):
+                lines.append(
+                    "NOTE: cross-timer-epoch comparison — "
+                    f"{latest} used the pre-r10 post-construction timer, "
+                    f"{anchor} the r10+ construction-inclusive timer, and "
+                    "the two sides also sit in different ambient-speed "
+                    "epochs; the uniform offsets below conflate both and "
+                    "are NOT code regressions (see 'Round 10: bench timer "
+                    "epoch' and the r9 anchor-epoch analysis)."
+                )
+                lines.append("")
             flagged = 0
             for q, t in sorted(rounds[latest].items()):
                 base = rounds[anchor].get(q)
