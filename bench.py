@@ -45,6 +45,7 @@ HEADLINE = [
     "q_ann_lsh_topk",
     "q_embedding_near_dup",
     "q_pq_adc_topk",
+    "q_prototype_prune",
     # stateful packing / chunking (the reference pipelines' core)
     "q_bin_packing",
     "q_shard_rolling",

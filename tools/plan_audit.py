@@ -109,6 +109,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         _SP: "the scalar's aggregate",
     },
     "q_ivf_assign": {_BNLJ: "k-row centroid table, argmin has no equi key"},
+    "q_prototype_prune": {
+        _BNLJ: "k-row centroid table, argmin has no equi key "
+        "(the q_ivf_assign front)"
+    },
     "q_ivf_topk": {
         _BNLJ: "k-row centroid/probe tables (3 bounded builds)"
     },

@@ -230,6 +230,95 @@ def q_ivf_assign(spark, sf_dir):
     )
 
 
+_PRUNE_DEN = 4  # D4 prune fraction: the most-prototypical 1/4 per cluster
+
+
+@query(
+    "q_prototype_prune",
+    oracle=f"""
+WITH cents AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+               WHERE vec_id < {_N_CENTROIDS}),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         {_cosine("duck", "e.embedding", "c.cv")} AS cos,
+         ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                            ORDER BY {_cosine("duck", "e.embedding", "c.cv")} DESC, c.cid)
+           AS rk
+  FROM embeddings e, cents c
+),
+assign AS (SELECT vec_id, cid, cos FROM scored WHERE rk = 1),
+ranked AS (
+  SELECT vec_id, cid, cos,
+         ROW_NUMBER() OVER (PARTITION BY cid ORDER BY cos DESC, vec_id)
+           AS proto_rank,
+         COUNT(*) OVER (PARTITION BY cid) AS n_cluster
+  FROM assign
+)
+SELECT vec_id, cid AS centroid_id, cos AS cosine,
+       CAST(proto_rank AS BIGINT) AS proto_rank,
+       CAST(n_cluster AS BIGINT) AS n_cluster,
+       CAST(CASE WHEN {_PRUNE_DEN} * proto_rank <= n_cluster
+            THEN 1 ELSE 0 END AS BIGINT) AS pruned
+FROM ranked
+""",
+    tags=("similarity", "curation", "prune"),
+)
+def q_prototype_prune(spark, sf_dir):
+    """D4-style prototypicality pruning (Tirumala et al. 2023 §3: after
+    SemDeDup, drop the most PROTOTYPICAL points of each embedding cluster
+    — the dense template region contributes near-duplicate training
+    signal, while the cluster fringe carries the diversity). Every vector
+    is assigned to its nearest of the 8 IVF seed centroids (the
+    q_ivf_assign argmax, shared expression), then ranked within its
+    cluster by cosine-to-centroid DESC (ties on vec_id) and the top
+    floor(n_cluster/4) flagged ``pruned``. Output keeps (rank, cluster
+    size, flag) as audit evidence, mirroring q_gopher_rules' flag-don't-
+    drop contract so downstream recipes can tune the fraction.
+
+    Scale shape: the 8-row centroid panel broadcasts (same BNLJ argmin as
+    q_ivf_assign); the corpus then shuffles ONCE on centroid_id and both
+    windows (rank + cluster count) share that partitioning, so one sort
+    serves both. Cluster count is the parallelism knob: 8 centroids means
+    8-way parallel ranking here, and a real 100 TB run raises
+    _N_CENTROIDS (the D4 paper uses ~11k) which makes the per-cluster
+    sort arbitrarily fine-grained — the plan is unchanged.
+
+    Exactness: cosine is the family's strict sequential fold (identical
+    expression both engines); ranks tie on vec_id; the prune test is
+    integer (4·rank ≤ n)."""
+    e = table(spark, sf_dir, "embeddings")
+    cents = e.where(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    from pyspark.sql.window import Window
+
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.expr(_cosine("spark", "embedding", "cv")).alias("cos")
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    assign = (
+        scored.withColumn("rk", F.row_number().over(aw))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "cid", "cos")
+    )
+    cw = Window.partitionBy("cid")
+    rw = cw.orderBy(F.col("cos").desc(), "vec_id")
+    return assign.select(
+        "vec_id",
+        F.col("cid").alias("centroid_id"),
+        F.col("cos").alias("cosine"),
+        F.row_number().over(rw).cast("bigint").alias("proto_rank"),
+        F.count(F.lit(1)).over(cw).cast("bigint").alias("n_cluster"),
+    ).withColumn(
+        "pruned",
+        F.when(
+            _PRUNE_DEN * F.col("proto_rank") <= F.col("n_cluster"), 1
+        )
+        .otherwise(0)
+        .cast("bigint"),
+    )
+
+
 @query(
     "q_embedding_near_dup",
     oracle=f"""
