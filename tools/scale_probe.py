@@ -75,6 +75,14 @@ def main() -> int:
             rows = f" rows={rec['rows']}" if "rows" in rec else ""
             print(f"{sf_dir} {name}: {rec.get('secs')}s{rows} "
                   f"{rec.get('plan_flags', '')}{rec.get('error', '')}")
+            # flush after EVERY cell: a probe killed mid-run (the r10 sfp30
+            # uncapped OOM) must still leave a machine-written artifact —
+            # PROBE_SFP30_r10.json had to be hand-transcribed from the log
+            # because this writer only fired at the end (r10 VERDICT #2)
+            if args.json:
+                out[sf_dir] = res
+                with open(args.json, "w") as f:
+                    json.dump(out, f, indent=1)
         out[sf_dir] = res
     dirs = list(out)
     if len(dirs) == 2:
