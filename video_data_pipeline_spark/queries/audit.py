@@ -181,7 +181,7 @@ WHERE (('0x' || substr(md5(CAST(p.doc_a AS VARCHAR) || ':' || CAST(p.doc_b AS VA
     oracle=_duck_simhash_calibration_sql(),
     tags=("dedup", "simhash", "audit"),
 )
-def q_simhash_calibration(spark, sf_dir):
+def q_simhash_calibration(spark, sf_dir, max_bucket_size=..., observation=None):
     """SimHash calibration: for every pigeonhole candidate pair
     (hamming ≤ 3), the signature's hamming distance next to the EXACT
     shingle Jaccard — completing the sketch-audit family policy
@@ -191,12 +191,19 @@ def q_simhash_calibration(spark, sf_dir):
     distance actually corresponds to ON THEIR CORPUS, instead of trusting
     the bit-independence assumption the cosine-hamming theory needs.
 
-    Plan: rides the production pigeonhole plan (q_simhash_near_pairs) and
+    Plan: rides the production pigeonhole plan (q_simhash_near_pairs —
+    which since r12 carries ``DEFAULT_SIMHASH_MAX_BUCKET_SIZE`` as its
+    default hot-bucket cap, so this audit's candidate expansion is bounded
+    on clone-degenerate corpora too; the cap is calibrated never to bind
+    on non-degenerate data, keeping the uncapped oracle SQL exact) and
     attaches rep-level shingle sets by uniform doc_id joins — no new
-    corpus scan or pairing, the q_minhash_estimate shape."""
+    corpus scan or pairing, the q_minhash_estimate shape. Pass
+    ``max_bucket_size=None`` for an exactness study; an ``Observation``
+    lands the front's cap-engagement telemetry."""
     from video_data_pipeline_spark.queries.dedup import q_simhash_near_pairs
 
-    pairs = q_simhash_near_pairs(spark, sf_dir)
+    kw = {} if max_bucket_size is ... else {"max_bucket_size": max_bucket_size}
+    pairs = q_simhash_near_pairs(spark, sf_dir, observation=observation, **kw)
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
     sets = (
         reps.select("doc_id", F.expr("split(lower(trim(text)), ' +')").alias("w"))

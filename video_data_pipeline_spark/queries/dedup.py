@@ -337,6 +337,18 @@ _CHUNK_BITS = 15
 _N_CHUNKS = 4  # 4 chunks ⇒ pigeonhole guarantee for hamming ≤ 3
 _CHUNK_MASK = (1 << _CHUNK_BITS) - 1
 
+#: Production default hot-bucket cap for the REGISTERED simhash queries
+#: (q_simhash_near_pairs and, through its front, q_simhash_calibration) —
+#: r10/r11 VERDICT #1. Calibrated above every normal-corpus
+#: ``max_bucket_size_seen`` so the cap never binds off degenerate data and
+#: the uncapped oracle SQL stays the exact semantics: measured maxima are
+#: 155 at sf0.01 and 1,580 at sf0.1 (= the rep-level structure of sf1/sf10,
+#: whose byte-identical clones collapse to sf0.1's reps before chunking).
+#: On a clone-degenerate corpus (sfp30: ~4.6B candidate pairs uncapped —
+#: past a node's spill disk) the cap is what bounds the pigeonhole
+#: expansion; ``max_bucket_size=None`` is the exactness escape.
+DEFAULT_SIMHASH_MAX_BUCKET_SIZE = 2048
+
 
 def _simhash_from_hashes(dialect: str, col: str) -> str:
     """60-bit simhash from a word-hash array column: per-bit majority.
@@ -419,7 +431,9 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """,
     tags=("dedup", "simhash", "join"),
 )
-def q_simhash_near_pairs(spark, sf_dir):
+def q_simhash_near_pairs(
+    spark, sf_dir, max_bucket_size=DEFAULT_SIMHASH_MAX_BUCKET_SIZE, observation=None
+):
     """SimHash near-dup pairs (hamming ≤ 3) over distinct-content
     representatives, via pigeonhole: split the 60-bit signature into 4
     chunks of 15 bits — any pair within distance 3 must agree on ≥1 chunk,
@@ -429,26 +443,19 @@ def q_simhash_near_pairs(spark, sf_dir):
     so pair generation stays near-linear. Exact duplicates are collapsed
     to one representative first (see :func:`exact_dup_representatives`):
     replicated corpora otherwise stuff every clique into one bucket and
-    re-derive O(c²) hamming-0 pairs that q_dedup_exact already reports."""
-    reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
-    chunks = simhash_chunks(reps)
-    a = chunks.alias("a")
-    b = chunks.alias("b")
-    hamming = F.expr("bit_count(a.simhash ^ b.simhash)")
-    return (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        .where(F.col("hamming") <= 3)
-        .distinct()
+    re-derive O(c²) hamming-0 pairs that q_dedup_exact already reports.
+
+    Delegates to :func:`simhash_near_pairs_capped` with the PRODUCTION
+    default cap (``DEFAULT_SIMHASH_MAX_BUCKET_SIZE`` — r12: the 100 TB
+    hot-bucket guard is the default, not opt-in; calibrated never to bind
+    on non-degenerate corpora, so the uncapped oracle SQL stays the exact
+    semantics at every tested sf). q_simhash_calibration rides this same
+    front, so its pigeonhole expansion is bounded too. Pass
+    ``max_bucket_size=None`` for exactness studies."""
+    return simhash_near_pairs_capped(
+        table(spark, sf_dir, "documents"),
+        max_bucket_size=max_bucket_size,
+        observation=observation,
     )
 
 
@@ -458,10 +465,10 @@ def simhash_near_pairs_capped(
     observation=None,
     max_hamming: int = 3,
 ):
-    """Production form of :func:`q_simhash_near_pairs` with the same
-    100 TB hot-bucket guard :func:`lsh_pairs_from_bands` carries.
+    """Core of :func:`q_simhash_near_pairs`, carrying the same 100 TB
+    hot-bucket guard :func:`lsh_pairs_from_bands` carries.
 
-    The registered query's chunk equi-join generates O(bucket²) candidate
+    The uncapped pigeonhole join generates O(bucket²) candidate
     pairs per (chunk_idx, chunk_value) bucket. Usually buckets hold
     O(n/2^15) docs, but a UNIGRAM-dense corpus concentrates them: the r9
     sfp10 probe measured ~10⁸ true hamming≤3 pairs on a corpus whose
@@ -475,9 +482,10 @@ def simhash_near_pairs_capped(
     residual filters after. Pass an ``Observation`` for
     n_buckets / oversized_buckets / max_bucket_size_seen telemetry.
 
-    Uncapped (the default) it equals the registered query exactly
-    (pytest-pinned), so the oracle-checked SQL remains the semantics
-    definition and this is the knob production jobs turn."""
+    Uncapped it equals the oracle SQL exactly (pytest-pinned); the
+    registered query delegates here with
+    ``DEFAULT_SIMHASH_MAX_BUCKET_SIZE``, calibrated never to bind on
+    non-degenerate corpora, so both statements hold at once."""
     chunks = simhash_chunks(exact_dup_representatives(docs))
     buckets = (
         chunks.groupBy("c", "chunk")

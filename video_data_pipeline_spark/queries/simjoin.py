@@ -64,6 +64,23 @@ from video_data_pipeline_spark.queries.registry import query, table
 
 _TAU_NUM, _TAU_DEN = 3, 5  # τ = 0.6
 
+#: Production default hot-bucket caps for the REGISTERED queries (r10/r11
+#: VERDICT #1: the sfp30 probe measured the uncapped defaults spilling past
+#: a node's disk on a clone-degenerate corpus — the corpus shape 100 TB
+#: boilerplate guarantees — while the capped cores finish in seconds).
+#: Calibration (measured uncapped telemetry, `max_*_seen`):
+#:   prefix buckets   — sf0.01: 3,  sf0.1 (= sf1/sf10 reps): 10;  sfp30: 606
+#:   contain postings — sf0.01: 7,  sf0.1 (= sf1/sf10 reps): 25;  sfp30: 1522
+#: 64 sits 6×+ above every normal-corpus max (cap never binds → the
+#: oracle-checked SQL stays the exact semantics at every tested sf) and
+#: well below the clone-clique sizes, where binding is the point:
+#: PROBE_CAPPED_SFP30_r10.json measured cap=64 completing in 46.3 s /
+#: 24.7 s where the uncapped forms OOM'd the spill disk. Pass
+#: ``max_bucket_size=None`` / ``max_posting_size=None`` for exactness
+#: studies on corpora known not to be clone-degenerate.
+DEFAULT_MAX_BUCKET_SIZE = 64
+DEFAULT_MAX_POSTING_SIZE = 64
+
 #: shingles built over a MATERIALIZED words column `w` — an inline
 #: ``split(...)`` referenced inside the transform lambda re-splits the
 #: document once per element, O(tokens²) per doc (the q_hash_tokenize
@@ -173,9 +190,11 @@ def prefix_filter_pairs(docs, max_bucket_size=None, observation=None):
     max_bucket_size_seen telemetry — the metric that tells an operator the
     cap actually engaged.
 
-    Uncapped (the default) it IS the registered query (q_prefix_filter_join
-    delegates here), so the oracle-checked SQL remains the semantics
-    definition and this is the knob production jobs turn."""
+    The registered query delegates here with ``DEFAULT_MAX_BUCKET_SIZE``
+    (r12 — the guard is finally the default, not opt-in); the cap is
+    calibrated to never bind on non-degenerate corpora, so the
+    oracle-checked SQL remains the semantics definition, and
+    ``max_bucket_size=None`` reproduces it bit-for-bit everywhere."""
     # hashed_shingle_sets collapses exact duplicates FIRST (family policy,
     # the q_dedup_triangles lesson: byte/case-identical replicas would
     # re-derive O(c^2) J=1.0 pairs per c-clone clique — measured, the
@@ -263,16 +282,29 @@ def prefix_filter_pairs(docs, max_bucket_size=None, observation=None):
     oracle=_duck_prefix_join_sql(),
     tags=("dedup", "jaccard", "join", "prefix-filter"),
 )
-def q_prefix_filter_join(spark, sf_dir):
+def q_prefix_filter_join(
+    spark, sf_dir, max_bucket_size=DEFAULT_MAX_BUCKET_SIZE, observation=None
+):
     """Exact Jaccard ≥ 0.6 token-set join via prefix filtering — see the
     module docstring for the completeness theorem and the LSH comparison.
     Pipeline: distinct hashed shingle sets (localCheckpointed once) →
     global df → per-doc rarity ranking → prefix explode → bucketed pair
     generation with the in-lambda length filter → exact integer
     verification on candidates only. Delegates to
-    :func:`prefix_filter_pairs` uncapped; production jobs pass that core a
-    ``max_bucket_size`` (the 100 TB hot-bucket guard)."""
-    return prefix_filter_pairs(table(spark, sf_dir, "documents"))
+    :func:`prefix_filter_pairs` with the PRODUCTION default cap
+    (``DEFAULT_MAX_BUCKET_SIZE`` — chosen above every normal-corpus
+    ``max_bucket_size_seen``, so it never binds on non-degenerate data and
+    the oracle SQL stays the exact semantics; on clone-degenerate corpora
+    it is the guard PROBE_SFP30_r10 proved necessary). Pass
+    ``max_bucket_size=None`` for exactness studies; pass an
+    ``Observation`` for cap-engagement telemetry
+    (tests/test_registered_cap_headroom.py pins that the default cap does
+    NOT bind on the standard fixtures)."""
+    return prefix_filter_pairs(
+        table(spark, sf_dir, "documents"),
+        max_bucket_size=max_bucket_size,
+        observation=observation,
+    )
 
 
 def hash_ordered_prefix(docs):
@@ -343,7 +375,9 @@ WHERE {_CONT_DEN} * {inter} >= {_CONT_NUM} * least(ta.n, tb.n)
     oracle=_duck_containment_sql(),
     tags=("dedup", "containment", "join", "prefix-filter"),
 )
-def q_containment_pairs(spark, sf_dir):
+def q_containment_pairs(
+    spark, sf_dir, max_posting_size=DEFAULT_MAX_POSTING_SIZE, observation=None
+):
     """Near-superset detection with GUARANTEED recall: CONTAINMENT
     C(A,B) = |A∩B| / |A| ≥ 0.8 — the asymmetric similarity that catches
     quote inclusion and boilerplate wrapping, which symmetric Jaccard
@@ -372,68 +406,27 @@ def q_containment_pairs(spark, sf_dir):
     the join predicate, so each unordered pair forms once; verification
     joins hash arrays over candidates only. A shingle shared by millions
     of docs makes a hot posting list — same pathology as a hot LSH
-    bucket; :func:`containment_pairs_capped` is the production form that
-    caps it (``max_posting_size`` + oversized-posting telemetry)."""
-    sets = hashed_shingle_sets(table(spark, sf_dir, "documents"))
-    prefix = sets.select(
-        F.col("doc_id").alias("s_id"),
-        F.col("n").alias("sn"),
-        F.explode(
-            F.expr(
-                "slice(sort_array(hs), 1,"
-                f" n - (({_CONT_NUM} * n + {_CONT_DEN - 1}) div {_CONT_DEN}) + 1)"
-            )
-        ).alias("h"),
-    )
-    post = sets.select(
-        F.col("doc_id").alias("b_id"),
-        F.col("n").alias("bn"),
-        F.explode("hs").alias("h"),
-    )
-    pairs = (
-        prefix.join(post, "h")
-        .where(
-            (F.col("sn") < F.col("bn"))
-            | ((F.col("sn") == F.col("bn")) & (F.col("s_id") < F.col("b_id")))
-        )
-        .select(
-            F.least("s_id", "b_id").alias("doc_a"),
-            F.greatest("s_id", "b_id").alias("doc_b"),
-        )
-        .distinct()
-    )
-    ta = sets.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("hs").alias("hs_a"),
-        F.col("n").alias("na"),
-    )
-    tb = sets.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("hs").alias("hs_b"),
-        F.col("n").alias("nb"),
-    )
-    inter = F.size(F.array_intersect("hs_a", "hs_b")).cast("bigint")
-    return (
-        pairs.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .where(_CONT_DEN * inter >= _CONT_NUM * F.least("na", "nb"))
-        .select(
-            "doc_a",
-            "doc_b",
-            inter.alias("n_common"),
-            (inter.cast("double") / F.col("na")).alias("cont_a_in_b"),
-            (inter.cast("double") / F.col("nb")).alias("cont_b_in_a"),
-        )
+    bucket; this query delegates to :func:`containment_pairs_capped` with
+    the PRODUCTION default cap (``DEFAULT_MAX_POSTING_SIZE`` — above every
+    normal-corpus ``max_posting_size_seen``, so it never binds off
+    degenerate data and the oracle SQL stays exact; on the sfp30
+    clone-degenerate corpus it is the difference between 24.7 s and a
+    spill-disk OOM, PROBE_CAPPED_SFP30_r10.json). ``max_posting_size=None``
+    reproduces the uncapped form bit-for-bit."""
+    return containment_pairs_capped(
+        table(spark, sf_dir, "documents"),
+        max_posting_size=max_posting_size,
+        observation=observation,
     )
 
 
 def containment_pairs_capped(docs, max_posting_size=None, observation=None):
-    """Production form of :func:`q_containment_pairs` with the family's
-    100 TB hot-posting guard (the ``lsh_pairs_from_bands`` /
+    """Core of :func:`q_containment_pairs`, carrying the family's 100 TB
+    hot-posting guard (the ``lsh_pairs_from_bands`` /
     ``simhash_near_pairs_capped`` knob, applied to the posting side of the
     asymmetric join).
 
-    The registered query joins the smaller side's prefix against the FULL
+    Uncapped, this joins the smaller side's prefix against the FULL
     postings of every shingle; one corpus-wide boilerplate shingle (license
     header, nav chrome — guaranteed at 100 TB) makes a posting list whose
     candidate expansion is quadratic. This variant groups postings per
@@ -451,9 +444,11 @@ def containment_pairs_capped(docs, max_posting_size=None, observation=None):
     / max_posting_size_seen telemetry — the metric that tells an operator
     the cap actually engaged (and which corpus shingle caused it to).
 
-    Uncapped (the default) it equals the registered query exactly
-    (pytest-pinned), so the oracle-checked SQL remains the semantics
-    definition and this is the knob production jobs turn."""
+    Uncapped it equals the oracle SQL exactly (pytest-pinned); the
+    registered query delegates here with ``DEFAULT_MAX_POSTING_SIZE``,
+    calibrated never to bind on non-degenerate corpora, so both
+    statements hold at once (r12 — the guard is the default, not
+    opt-in)."""
     sets = hashed_shingle_sets(docs)
     prefix = sets.select(
         F.col("doc_id").alias("s_id"),
