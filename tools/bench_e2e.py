@@ -58,11 +58,19 @@ def main() -> int:
     shutil.rmtree(args.work_dir, ignore_errors=True)
     os.makedirs(args.work_dir)
 
+    from video_data_pipeline_spark.telemetry import StageMetricsDelta
+
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     n_docs = docs.count()
     stages: dict[str, dict] = {}
 
-    def record(stage: str, secs: float, samples: int, nbytes: int | None) -> None:
+    def record(
+        stage: str,
+        secs: float,
+        samples: int,
+        nbytes: int | None,
+        metrics: StageMetricsDelta | None = None,
+    ) -> None:
         row = {
             "sec": round(secs, 2),
             "samples": samples,
@@ -71,6 +79,14 @@ def main() -> int:
         if nbytes is not None:
             row["bytes"] = nbytes
             row["bytes_per_sec"] = round(nbytes / secs)
+        if metrics is not None:
+            # spill/shuffle budget per stage (r11 VERDICT #5): a healthy
+            # stage spills 0; a spill number here names a pathological
+            # corpus before the disk fills
+            row.update(metrics.delta)
+            if metrics.warning:
+                row["spill_warning"] = metrics.warning
+                print(metrics.warning)
         stages[stage] = row
         print(json.dumps({"stage": stage, **row}))
 
@@ -83,12 +99,13 @@ def main() -> int:
     )
     pack_out = f"{args.work_dir}/pack"
     t0 = time.time()
-    pack_manifest = pack_dataset(
-        meta, pack_out, samples_per_shard=args.samples_per_shard, hermetic=True
-    ).collect()
+    with StageMetricsDelta(spark) as pm:
+        pack_manifest = pack_dataset(
+            meta, pack_out, samples_per_shard=args.samples_per_shard, hermetic=True
+        ).collect()
     pack_secs = time.time() - t0
     pack_samples = sum(m.nsamples for m in pack_manifest)
-    record("pack", pack_secs, pack_samples, dir_bytes(pack_out))
+    record("pack", pack_secs, pack_samples, dir_bytes(pack_out), pm)
 
     # ---- stage 2: a text corpus for tokenize (one txt member per doc,
     # multi-shard) — built OUTSIDE the timed window
@@ -106,26 +123,29 @@ def main() -> int:
     # ---- stage 3: raw tar-source scan throughput (bytes of every member
     # stream through the DataSource; count is the action)
     t0 = time.time()
-    n_members = read_webdataset(spark, src).count()
+    with StageMetricsDelta(spark) as sm:
+        n_members = read_webdataset(spark, src).count()
     scan_secs = time.time() - t0
-    record("tar_scan", scan_secs, n_members, src_bytes)
+    record("tar_scan", scan_secs, n_members, src_bytes, sm)
 
     # ---- stage 4: tokenize + 8k-pack (tokenize/main.py analog)
     tok_out = f"{args.work_dir}/tok"
     t0 = time.time()
-    tok_manifest = tokenize_shards(spark, src, tok_out).collect()
+    with StageMetricsDelta(spark) as tm:
+        tok_manifest = tokenize_shards(spark, src, tok_out).collect()
     tok_secs = time.time() - t0
     tok_samples = sum(m.nsamples for m in tok_manifest)
-    record("tokenize", tok_secs, tok_samples, dir_bytes(tok_out))
+    record("tokenize", tok_secs, tok_samples, dir_bytes(tok_out), tm)
 
     # ---- stage 5: index + per-sample metadata (index/check_pair.py analog)
     t0 = time.time()
-    index, violations, _golden = index_shards(spark, tok_out)
-    n_indexed = index.agg(F.sum("nsamples")).first()[0] or 0
-    n_bad = violations.count()
-    n_sample_rows = sample_index(spark, tok_out).count()
+    with StageMetricsDelta(spark) as im:
+        index, violations, _golden = index_shards(spark, tok_out)
+        n_indexed = index.agg(F.sum("nsamples")).first()[0] or 0
+        n_bad = violations.count()
+        n_sample_rows = sample_index(spark, tok_out).count()
     index_secs = time.time() - t0
-    record("index", index_secs, int(n_indexed), dir_bytes(tok_out))
+    record("index", index_secs, int(n_indexed), dir_bytes(tok_out), im)
 
     summary = {
         "metric": "e2e_pipeline",

@@ -18,8 +18,19 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+
+def _dump_atomic(path: str, obj: dict) -> None:
+    """Write JSON via a same-directory temp file + os.replace: an OOM kill
+    mid-dump (the exact scenario the per-cell flush exists for) leaves the
+    last good snapshot instead of a truncated file."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
 
 
 def main() -> int:
@@ -48,6 +59,8 @@ def main() -> int:
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
+    from video_data_pipeline_spark.telemetry import StageMetricsDelta
+
     spark = get_spark("scale_probe")
     out: dict[str, dict] = {}
     for sf_dir in args.sf_dirs.split(","):
@@ -55,12 +68,14 @@ def main() -> int:
         for name in names:
             t0 = time.time()
             rec: dict = {}
+            m = StageMetricsDelta(spark)
             try:
-                df = registry[name].spark_fn(spark, sf_dir)
-                if args.count:
-                    rec["rows"] = df.count()
-                else:
-                    df.write.format("noop").mode("overwrite").save()
+                with m:
+                    df = registry[name].spark_fn(spark, sf_dir)
+                    if args.count:
+                        rec["rows"] = df.count()
+                    else:
+                        df.write.format("noop").mode("overwrite").save()
                 rec["secs"] = round(time.time() - t0, 2)
                 plan = df._jdf.queryExecution().executedPlan().toString()
                 # post-execution AQE plan: record the surprise markers
@@ -71,9 +86,17 @@ def main() -> int:
             except Exception as e:  # noqa: BLE001
                 rec["error"] = str(e)[:300]
                 rec["secs"] = round(time.time() - t0, 2)
+            # spill/shuffle delta lands for FAILED cells too (the spill of
+            # a dying query is the number that names the pathology)
+            rec.update(m.delta)
+            if m.warning:
+                rec["spill_warning"] = m.warning
+                print(m.warning)
             res[name] = rec
             rows = f" rows={rec['rows']}" if "rows" in rec else ""
-            print(f"{sf_dir} {name}: {rec.get('secs')}s{rows} "
+            spill = (f" spill={rec['disk_spill_bytes'] >> 20}MiB"
+                     if rec.get("disk_spill_bytes") else "")
+            print(f"{sf_dir} {name}: {rec.get('secs')}s{rows}{spill} "
                   f"{rec.get('plan_flags', '')}{rec.get('error', '')}")
             # flush after EVERY cell: a probe killed mid-run (the r10 sfp30
             # uncapped OOM) must still leave a machine-written artifact —
@@ -81,8 +104,7 @@ def main() -> int:
             # because this writer only fired at the end (r10 VERDICT #2)
             if args.json:
                 out[sf_dir] = res
-                with open(args.json, "w") as f:
-                    json.dump(out, f, indent=1)
+                _dump_atomic(args.json, out)
         out[sf_dir] = res
     dirs = list(out)
     if len(dirs) == 2:
@@ -95,8 +117,7 @@ def main() -> int:
                 w = f"  rows {ra} -> {rb} ({rb / max(ra, 1):.2f}x)" if ra is not None and rb is not None else ""
                 print(f"  {name}: {sa}s -> {sb}s  ({sb / sa:.2f}x){w}")
     if args.json:
-        with open(args.json, "w") as f:
-            json.dump(out, f, indent=1)
+        _dump_atomic(args.json, out)
         print(f"wrote {args.json}")
     return 0
 
