@@ -18,7 +18,7 @@ the mean is an algebraic aggregate with map-side partials).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _Q = 1048576  # 2^20 quantization for order-free exact mean sums
@@ -36,17 +36,31 @@ def _cos(a: str, b: str) -> str:
 
 def assign_step(df: DataFrame, centroids: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     """(id, vec) × centroids(cid, cv) → (id, vec, cid): nearest by cosine,
-    ties to the lowest cid."""
-    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cid"))
+    ties to the lowest cid.
+
+    Argmax shape (r11 VERDICT #3): ``groupBy(id).agg(max_by(...))``, NOT a
+    ``row_number()`` window over the broadcast-expanded frame — max_by is
+    an algebraic aggregate with MAP-SIDE PARTIAL aggregation, and the
+    broadcast join leaves each vector's k scored rows in one input
+    partition, so the per-vector argmax completes map-side and any
+    exchange moves ~corpus rows; the window shape exchanged and sorted
+    centroids×corpus rows, which is the wrong plan at the k≈11k centroids
+    a D4-scale run uses. Tie-break: ``max_by`` on the orderable struct
+    (cos, -cid) — lexicographic, so equal cosines go to the LOWEST cid,
+    matching the oracles' ``ROW_NUMBER(... ORDER BY cos DESC, cid)``."""
+    best = F.max_by(
+        F.struct(F.col(vec_col).alias("v"), F.col("cid").alias("cid")),
+        F.struct(F.col("cos").alias("cos"), (-F.col("cid")).alias("nc")),
+    )
     return (
         df.crossJoin(F.broadcast(centroids))
         .select(
             id_col, vec_col, "cid",
             F.expr(_cos(vec_col, "cv")).alias("cos"),
         )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select(id_col, vec_col, "cid")
+        .groupBy(id_col)
+        .agg(best.alias("b"))
+        .select(id_col, F.col("b.v").alias(vec_col), F.col("b.cid").alias("cid"))
     )
 
 

@@ -508,18 +508,32 @@ def simhash_near_pairs_capped(
         buckets = buckets.select(
             "c", "chunk", F.slice("members", 1, max_bucket_size).alias("members")
         )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(members, x -> "
-                "transform(filter(members, y -> y.doc_id > x.doc_id), "
-                "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                "bit_count(x.simhash ^ y.simhash) AS hamming))))"
-            )
-        ).alias("p")
-    )
+    # pair generation: explode the (capped) members back to rows and
+    # equi-join on the chunk key — NOT in-bucket array combinatorics. The
+    # flatten(transform(...)) form materializes a bucket²-element struct
+    # array PER BUCKET ROW before explode; at the default cap that is
+    # ~2.1M structs (~50 MB) per hot bucket and it OOM'd the executor heap
+    # on the sfp30 probe (332 over-cap buckets, r12). The equi-join
+    # streams: SMJ/SHJ buffers one key group — at most ``cap`` rows — and
+    # emits pairs incrementally, so memory is O(cap), not O(cap²). Both
+    # sides descend from the same grouped child (already hash-partitioned
+    # by the chunk key), so the join adds no new corpus shuffle.
+    flat = buckets.select(
+        "c", "chunk", F.explode("members").alias("m")
+    ).select("c", "chunk", F.col("m.doc_id").alias("doc_id"), F.col("m.simhash").alias("simhash"))
+    a, b = flat.alias("a"), flat.alias("b")
     return (
-        pairs.select("p.doc_a", "p.doc_b", "p.hamming")
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
