@@ -60,6 +60,30 @@ _DUCK_BIGRAMS = (
 _N_BUCKETS = 1024
 _FIXED_POINT = 10000  # 1e-4-nat resolution; see module docstring
 
+
+def dsir_lr_micro_col():
+    """The DSIR per-bucket log-ratio lane, over columns (t_cnt, r_cnt,
+    r_tot, t_tot): ``round(ln(((t+1)·(R+B)) / ((r+1)·(T+B))) · 1e4)`` as
+    BIGINT. The ratio is computed in the DOUBLE lane — at 100 TB counts
+    (~2.5e13 bigrams) the cross products reach ~1e26, far past double's
+    2^53 exact-integer range, but both engines (and the pytest bignum
+    pin, tests/test_fixed_point_lanes.py) evaluate the identical IEEE
+    ops, and ln of a 1e26 double is ulp-accurate, so the rounded
+    fixed-point value cannot overflow (|ln| ≤ ~60 nats ⇒ |lr_micro| ≤
+    6e5) or diverge between engines. Factored so the 1e13-scale lane
+    sweep drives exactly this expression."""
+    return (
+        F.round(
+            F.log(
+                ((F.col("t_cnt") + 1.0) * (F.col("r_tot") + _N_BUCKETS))
+                / ((F.col("r_cnt") + 1.0) * (F.col("t_tot") + _N_BUCKETS))
+            )
+            * _FIXED_POINT
+        )
+        .cast("bigint")
+    )
+
+
 _DUCK_HASH = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 # Shared oracle CTE chain: every document scored (sub-2-token docs at 0).
@@ -155,16 +179,7 @@ def _dsir_scored_full(spark, sf_dir):
         F.sum(F.when(F.col("is_tgt"), n_bg).otherwise(0)).alias("t_tot"),
     )
     lr = stats.join(F.broadcast(tot)).select(
-        "bucket",
-        F.round(
-            F.log(
-                ((F.col("t_cnt") + 1.0) * (F.col("r_tot") + _N_BUCKETS))
-                / ((F.col("r_cnt") + 1.0) * (F.col("t_tot") + _N_BUCKETS))
-            )
-            * _FIXED_POINT
-        )
-        .cast("bigint")
-        .alias("lr_micro"),
+        "bucket", dsir_lr_micro_col().alias("lr_micro")
     )
     scored = (
         feats.join(F.broadcast(lr), "bucket")

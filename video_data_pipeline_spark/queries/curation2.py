@@ -69,6 +69,13 @@ from video_data_pipeline_spark.queries.registry import query, table
 #: safe at any corpus size.
 _CENTI_DIV = 100  # logprob_micro is 1e-4 nat ⇒ div by (n_tokens · 100)
 
+#: the CCNet quantization lane, over columns (logprob_micro, n_tokens):
+#: integer centinats via BIGINT floor division. Headroom at 100 TB doc
+#: sizes: n_tokens·100 overflows only past ~9.2e16 tokens IN ONE DOCUMENT;
+#: the 1e13-scale lane sweep (tests/test_fixed_point_lanes.py) drives
+#: exactly this string.
+XENT_CENTI_SQL = f"(-logprob_micro) div (n_tokens * {_CENTI_DIV})"
+
 
 #: Full CCNet-split oracle — also reused by the composite pipeline query
 #: (q_modern_curation_pipeline), which nests it as a derived table.
@@ -139,9 +146,7 @@ def q_perplexity_buckets(spark, sf_dir):
     ).select(
         "doc_id",
         "lang",
-        F.expr(f"(-logprob_micro) div (n_tokens * {_CENTI_DIV})").alias(
-            "xent_centi"
-        ),
+        F.expr(XENT_CENTI_SQL).alias("xent_centi"),
     )
     hist = docs.groupBy("lang", "xent_centi").agg(F.count(F.lit(1)).alias("cnt"))
     w_cum = (
@@ -489,6 +494,26 @@ _LAMBDA = "CAST(0.7 AS DOUBLE)"
 _ONE_MINUS_LAMBDA = "CAST(0.3 AS DOUBLE)"
 _FP = 10000
 
+#: Jelinek-Mercer lane expressions over the TRAINING-AGGREGATE columns —
+#: smoothed unigram term over (uc, n, v); interpolated bigram over
+#: (c, pc, uc, n, v); OOV floor over (n, v). All probability math runs in
+#: the DOUBLE lane (counts at 2.5e13 are exact doubles — < 2^53) and lands
+#: as 1e-4-nat BIGINT micro-units, |lp_micro| ≤ ~60·1e4, so the per-doc
+#: integer fold Σ cnt·lp_micro stays under 2^63 until a single document
+#: holds ~1.5e13 transitions. The 1e13-scale lane sweep
+#: (tests/test_fixed_point_lanes.py) drives exactly these strings.
+P_UNI_SQL = (
+    f"({_ONE_MINUS_LAMBDA} * (CAST(uc AS DOUBLE) + CAST(1 AS DOUBLE))"
+    f" / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))"
+)
+P_BI_SQL = f"({_LAMBDA} * CAST(c AS DOUBLE) / CAST(pc AS DOUBLE))"
+BIGRAM_LP_MICRO_SQL = f"CAST(ROUND(ln({P_BI_SQL} + {P_UNI_SQL}) * {_FP}) AS BIGINT)"
+BACKOFF_LP_MICRO_SQL = f"CAST(ROUND(ln({P_UNI_SQL}) * {_FP}) AS BIGINT)"
+OOV_LP_MICRO_SQL = (
+    f"CAST(ROUND(ln({_ONE_MINUS_LAMBDA} * CAST(1 AS DOUBLE)"
+    f" / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * {_FP}) AS BIGINT)"
+)
+
 
 def _duck_bigram_lm_sql() -> str:
     p_uni = "({OML} * (CAST(u.c AS DOUBLE) + CAST(1 AS DOUBLE)) / (CAST(t.n AS DOUBLE) + CAST(t.v AS DOUBLE)))".format(
@@ -604,37 +629,18 @@ def q_bigram_logprob(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("c"))
     )
     prevc = bg.groupBy("prev").agg(F.sum("c").alias("pc"))
-    p_uni = (
-        f"({_ONE_MINUS_LAMBDA} * (CAST(uc AS DOUBLE) + CAST(1 AS DOUBLE))"
-        f" / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE)))"
-    )
-    p_bi = f"({_LAMBDA} * CAST(c AS DOUBLE) / CAST(pc AS DOUBLE))"
     bg_lp = (
         bg.join(prevc, "prev")
         .join(uni.select(F.col("term").alias("w"), F.col("c").alias("uc")), "w")
         .join(F.broadcast(totals))
-        .select(
-            "prev",
-            "w",
-            F.expr(f"CAST(ROUND(ln({p_bi} + {p_uni}) * {_FP}) AS BIGINT)").alias(
-                "lp_micro"
-            ),
-        )
+        .select("prev", "w", F.expr(BIGRAM_LP_MICRO_SQL).alias("lp_micro"))
     )
     backoff = (
         uni.select(F.col("term").alias("w"), F.col("c").alias("uc"))
         .join(F.broadcast(totals))
-        .select(
-            "w",
-            F.expr(f"CAST(ROUND(ln({p_uni}) * {_FP}) AS BIGINT)").alias(
-                "lp_micro"
-            ),
-        )
+        .select("w", F.expr(BACKOFF_LP_MICRO_SQL).alias("lp_micro"))
     )
-    oov = F.expr(
-        f"CAST(ROUND(ln({_ONE_MINUS_LAMBDA} * CAST(1 AS DOUBLE)"
-        f" / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))) * {_FP}) AS BIGINT)"
-    )
+    oov = F.expr(OOV_LP_MICRO_SQL)
     doc_pairs = pairs.groupBy("doc_id", "prev", "w").agg(
         F.count(F.lit(1)).alias("cnt")
     )
