@@ -205,8 +205,10 @@ def nearest_centroid(e, cents):
     co-located by construction), so the exchange moves ~one row per corpus
     vector; the window shape exchanged and sorted centroids×corpus rows,
     a plan that breaks down at the ~11k centroids D4-scale corpora use
-    (measured: at k=256 on 500k vectors the window shuffles 128M rows,
-    this shuffles 500k). Tie-break is the orderable struct (cos, -cid):
+    (measured at k=256 on sf10's 200k vectors: window 41.0 s — a 51.2M-row
+    exchange — vs 0.63 s here, and the window grows 3.5× from sf1 to sf10
+    while this stays scan-bound flat; TRENDS r12). Tie-break is the
+    orderable struct (cos, -cid):
     lexicographic max ⇒ equal cosines pick the LOWEST cid, matching every
     oracle's ``ROW_NUMBER(... ORDER BY cos DESC, cid) = 1``. Centroid
     count is a parameter everywhere (`n_centroids` on the registered
