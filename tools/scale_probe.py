@@ -66,6 +66,17 @@ def main() -> int:
     for sf_dir in args.sf_dirs.split(","):
         res: dict[str, dict] = {}
         for name in names:
+            # an executor/heap OOM in a previous cell stops the local-mode
+            # SparkContext, and every later cell then fails with 'Cannot
+            # call methods on a stopped SparkContext' (observed in the r12
+            # sfp30 run: one dead cell poisoned the rest of the matrix).
+            # Recreate the session so each cell's record is its own.
+            if spark.sparkContext._jsc.sc().isStopped():
+                print("SparkContext stopped by a previous cell — recreating")
+                # explicit stop() first: getOrCreate returns the stale
+                # session object while its JVM context is merely dead
+                spark.stop()
+                spark = get_spark("scale_probe")
             t0 = time.time()
             rec: dict = {}
             m = StageMetricsDelta(spark)
