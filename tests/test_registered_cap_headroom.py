@@ -26,7 +26,9 @@ from pyspark.sql.observation import Observation
 
 from video_data_pipeline_spark.queries.audit import q_simhash_calibration
 from video_data_pipeline_spark.queries.dedup import (
+    DEFAULT_LSH_MAX_BUCKET_SIZE,
     DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+    q_minhash_lsh_pairs,
     q_simhash_near_pairs,
 )
 from video_data_pipeline_spark.queries.simjoin import (
@@ -54,8 +56,11 @@ def _rows(df):
          "max_bucket_size", "max_bucket_size_seen"),
         (q_simhash_calibration, DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
          "max_bucket_size", "max_bucket_size_seen"),
+        (q_minhash_lsh_pairs, DEFAULT_LSH_MAX_BUCKET_SIZE,
+         "max_bucket_size", "max_bucket_size_seen"),
     ],
-    ids=["prefix_filter", "containment", "simhash_near", "simhash_calibration"],
+    ids=["prefix_filter", "containment", "simhash_near", "simhash_calibration",
+         "minhash_lsh"],
 )
 def test_default_cap_does_not_bind_on_standard_fixture(
     spark, fn, cap, cap_kw, seen_key

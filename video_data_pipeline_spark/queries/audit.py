@@ -26,6 +26,7 @@ from video_data_pipeline_spark.queries.dedup import (
     _DUCK_SHINGLES,
     _DUCK_WORDS,
     _N_HASHES,
+    DEFAULT_LSH_MAX_BUCKET_SIZE,
     _duck_lsh_pairs_sql,
     _duck_signatures_sql,
     exact_dup_representatives,
@@ -91,7 +92,9 @@ def q_minhash_estimate(spark, sf_dir):
     division of exact integer set sizes (array_intersect on distinct
     arrays == DuckDB list_intersect)."""
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
-    pairs = lsh_pairs_from_bands(minhash_bands(reps))
+    pairs = lsh_pairs_from_bands(
+        minhash_bands(reps), max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE
+    )
     sig = signatures(reps)
     sets = (
         reps.select("doc_id", F.expr("split(lower(trim(text)), ' +')").alias("w"))

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from video_data_pipeline_spark.queries.dedup import (
     _DUCK_REPS,
+    DEFAULT_LSH_MAX_BUCKET_SIZE,
     _duck_lsh_pairs_sql,
     exact_dup_representatives,
     lsh_pairs_from_bands,
@@ -151,7 +152,8 @@ def q_label_propagation(spark, sf_dir):
     seeds, so survivors can be picked per community exactly as
     q_dedup_survivors does per component."""
     pairs = lsh_pairs_from_bands(
-        minhash_bands(exact_dup_representatives(table(spark, sf_dir, "documents")))
+        minhash_bands(exact_dup_representatives(table(spark, sf_dir, "documents"))),
+        max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE,
     )
     return label_propagation_pairs(pairs).select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("community")

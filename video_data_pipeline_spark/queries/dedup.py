@@ -245,6 +245,19 @@ FROM bands a JOIN bands b
 """
 
 
+#: Production default hot-bucket cap for the REGISTERED minhash-LSH pair
+#: queries (q_minhash_lsh_pairs and, through it, the verified-pairs /
+#: clusters / survivors / triangles / pagerank / LPA family, plus
+#: q_minhash_estimate's front) — r12, closing the last uncapped-by-default
+#: pair generator. Calibrated above every normal-corpus band-bucket max
+#: (measured: 3 at sf0.01, 15 at sf0.1 = the rep-level structure of
+#: sf1/sf10) so the cap never binds off degenerate data and the uncapped
+#: oracle SQL stays the exact semantics; on the sfp30 clone corpus band
+#: buckets reach 904 members (1,005 buckets over this cap), where binding
+#: is the point. ``max_bucket_size=None`` is the exactness escape.
+DEFAULT_LSH_MAX_BUCKET_SIZE = 64
+
+
 def lsh_pairs_from_bands(bands, max_bucket_size: int | None = None, observation=None):
     """(doc_id, band_idx, band_key) → distinct candidate pairs (doc_a < doc_b).
 
@@ -299,7 +312,9 @@ def _duck_rep_lsh_pairs_sql() -> str:
 
 
 @query("q_minhash_lsh_pairs", oracle=_duck_rep_lsh_pairs_sql(), tags=("dedup", "minhash", "join"))
-def q_minhash_lsh_pairs(spark, sf_dir):
+def q_minhash_lsh_pairs(
+    spark, sf_dir, max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE, observation=None
+):
     """MinHash-LSH candidate pairs over DISTINCT-CONTENT representatives:
     collapse exact duplicates to their min-doc_id representative, band the
     signature (4 bands × 2 rows), bucket on band md5, emit distinct (a<b)
@@ -322,11 +337,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     one md5 shingle pass over reps only → the signature row explodes into
     its 4 band keys (no union of per-band branches), buckets form with ONE
     shuffle (groupBy band key, uniform md5 → skew-free), and pairs are
-    generated inside each bucket via :func:`lsh_pairs_from_bands` (which
-    also carries the 100 TB ``max_bucket_size`` guard — uncapped here so
-    the oracle SQL matches exactly; production calls pass a cap)."""
+    generated inside each bucket via :func:`lsh_pairs_from_bands` with the
+    PRODUCTION default cap (``DEFAULT_LSH_MAX_BUCKET_SIZE`` — r12:
+    calibrated never to bind on non-degenerate corpora, so the oracle SQL
+    stays exact; every downstream graph query — verified pairs, clusters,
+    survivors, triangles, pagerank, LPA — inherits the guard through this
+    entry). ``max_bucket_size=None`` is the exactness escape."""
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
-    return lsh_pairs_from_bands(minhash_bands(reps))
+    return lsh_pairs_from_bands(
+        minhash_bands(reps),
+        max_bucket_size=max_bucket_size,
+        observation=observation,
+    )
 
 
 # ------------------------------------------------------------------ simhash
@@ -1142,7 +1164,9 @@ def q_dedup_triangles(spark, sf_dir):
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
     from video_data_pipeline_spark.operators.graph import count_triangles
 
-    pairs = lsh_pairs_from_bands(minhash_bands(reps))
+    pairs = lsh_pairs_from_bands(
+        minhash_bands(reps), max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE
+    )
     n_tri = count_triangles(pairs, a="doc_a", b="doc_b", degree_order=True)
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_tri.crossJoin(F.broadcast(n_edges))
