@@ -60,3 +60,23 @@ def test_cap_above_bucket_sizes_is_lossless(spark):
     got = _pairs(simhash_near_pairs_capped(docs, max_bucket_size=1 << 20))
     want = _pairs(simhash_near_pairs_capped(docs))
     assert got == want
+
+
+def test_combo_geometry_is_output_invariant(spark):
+    """The Manku-style 20×30-bit combo decomposition and the 4×15-bit
+    chunk split are both complete pigeonholes for hamming ≤ 3, so the
+    uncapped output must be identical — the geometry is a pure
+    performance knob (see DEFAULT_SIMHASH_MAX_BUCKET_SIZE's docstring
+    for when each wins)."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    got = _pairs(simhash_near_pairs_capped(docs, geometry="combos"))
+    want = _pairs(simhash_near_pairs_capped(docs))
+    assert got == want
+
+
+def test_combo_geometry_rejects_incomplete_hamming(spark):
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with pytest.raises(ValueError, match="max_hamming"):
+        simhash_near_pairs_capped(docs, geometry="combos", max_hamming=4)

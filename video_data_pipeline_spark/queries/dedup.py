@@ -359,16 +359,48 @@ _CHUNK_BITS = 15
 _N_CHUNKS = 4  # 4 chunks ⇒ pigeonhole guarantee for hamming ≤ 3
 _CHUNK_MASK = (1 << _CHUNK_BITS) - 1
 
+#: Alternative wide-key pigeonhole geometry (Manku/Jain/Das Sarma,
+#: WWW'07 §3 — the multi-block simhash index): 6 chunks of 10 bits;
+#: hamming ≤ 3 flips bits in at most 3 chunks, so ≥ 3 of the 6 are
+#: identical and at least one of the C(6,3) = 20 three-chunk COMBINATIONS
+#: (a packed 30-bit key) matches exactly — same completeness theorem,
+#: 30-bit keys. On HIGH-entropy corpora this keeps bucket size ∝ true
+#: near-group size instead of ∝ n/2^15 random collisions. Measured
+#: honestly on THIS corpus family it does not help (TRENDS r12): the
+#: synthetic text is so self-similar that sub-threshold neighbors share
+#: whole 30-bit keys too (combo bucket maxima 57 / 561 / 2,497 / 66,285
+#: at sf0.01 / sf0.1 / sfp1 / sfp30 — still corpus-proportional), and the
+#: capped pair workload at any oracle-safe cap exceeds the 4×15 split's.
+#: Kept as the geometry knob a 100 TB diverse-text corpus would want;
+#: output-equality to the 4×15 geometry is pytest-pinned.
+_COMBO_CHUNK_BITS = 10
+_COMBO_N_CHUNKS = 6  # 60 bits = 6 × 10
+_COMBO_MASK = (1 << _COMBO_CHUNK_BITS) - 1
+_SIMHASH_COMBOS: list[tuple[int, int, int]] = [
+    (a, b, c)
+    for a in range(_COMBO_N_CHUNKS)
+    for b in range(a + 1, _COMBO_N_CHUNKS)
+    for c in range(b + 1, _COMBO_N_CHUNKS)
+]  # C(6,3) = 20, ordered — combo index is deterministic
+
 #: Production default hot-bucket cap for the REGISTERED simhash queries
 #: (q_simhash_near_pairs and, through its front, q_simhash_calibration) —
-#: r10/r11 VERDICT #1. Calibrated above every normal-corpus
-#: ``max_bucket_size_seen`` so the cap never binds off degenerate data and
-#: the uncapped oracle SQL stays the exact semantics: measured maxima are
-#: 155 at sf0.01 and 1,580 at sf0.1 (= the rep-level structure of sf1/sf10,
-#: whose byte-identical clones collapse to sf0.1's reps before chunking).
-#: On a clone-degenerate corpus (sfp30: ~4.6B candidate pairs uncapped —
-#: past a node's spill disk) the cap is what bounds the pigeonhole
-#: expansion; ``max_bucket_size=None`` is the exactness escape.
+#: r10/r11 VERDICT #1. Calibrated above every ``max_bucket_size_seen`` at
+#: the oracle-gate scales (155 at sf0.01; 1,580 at sf0.1 = the rep-level
+#: structure of sf1/sf10) so the cap never binds there and the uncapped
+#: oracle SQL stays the exact semantics. On PERTURBED corpora the cap
+#: BINDS EARLIER than the other families' caps and the output is a
+#: documented subset: at sfp1 chunk buckets reach ~14k (measured — the
+#: 15-bit key space collides ∝ corpus size on low-entropy text) and the
+#: registered query emits 3.28M of the oracle's 6.64M candidate pairs;
+#: connected-components over the capped pairs still merge every clique
+#: (the kept members of each bucket pair among themselves — the family's
+#: transitivity argument), and ``max_bucket_size=None`` recovers oracle
+#: exactness bit-for-bit (verified at sfp1, TRENDS r12). No single cap
+#: can be both sfp1-exact and sfp30-bounded on this corpus family — the
+#: candidate sets there are TRULY quadratic (~0.007B → ~4.6B pairs) —
+#: so the default keeps the verdict-specified calibration and the
+#: escape hatch carries the rest.
 DEFAULT_SIMHASH_MAX_BUCKET_SIZE = 2048
 
 
@@ -435,6 +467,34 @@ def simhash_chunks(docs):
     ).withColumn("chunk", F.expr(f"shiftright(simhash, {_CHUNK_BITS} * c) & {_CHUNK_MASK}"))
 
 
+def simhash_combo_keys(docs):
+    """(doc_id, text, ...) → (doc_id, simhash, c, chunk): the 60-bit
+    signature keyed by every 3-of-6 ten-bit chunk COMBINATION — c is the
+    combo index (0..19), chunk the packed 30-bit key. Hamming ≤ 3 ⇒ at
+    least one combo matches exactly (see ``_SIMHASH_COMBOS``); wide keys
+    keep bucket size ∝ true near-group size instead of ∝ corpus size.
+    Pure column math; same output column names as :func:`simhash_chunks`
+    so the capped join core is geometry-agnostic."""
+    wh = docs.select("doc_id", F.expr(_SPARK_WORD_HASHES).alias("hs"))
+    sh = wh.select(
+        "doc_id", F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash")
+    )
+    keys = ", ".join(
+        "struct({j} AS c, {key} AS chunk)".format(
+            j=j,
+            key=" | ".join(
+                f"(shiftleft(shiftright(simhash, {_COMBO_CHUNK_BITS * ch})"
+                f" & {_COMBO_MASK}, {_COMBO_CHUNK_BITS * pos}))"
+                for pos, ch in enumerate(combo)
+            ),
+        )
+        for j, combo in enumerate(_SIMHASH_COMBOS)
+    )
+    return sh.select(
+        "doc_id", "simhash", F.expr(f"explode(array({keys}))").alias("k")
+    ).select("doc_id", "simhash", F.col("k.c").alias("c"), F.col("k.chunk").alias("chunk"))
+
+
 @query(
     "q_simhash_near_pairs",
     oracle=f"""
@@ -486,6 +546,7 @@ def simhash_near_pairs_capped(
     max_bucket_size: int | None = None,
     observation=None,
     max_hamming: int = 3,
+    geometry: str = "chunks",
 ):
     """Core of :func:`q_simhash_near_pairs`, carrying the same 100 TB
     hot-bucket guard :func:`lsh_pairs_from_bands` carries.
@@ -506,9 +567,20 @@ def simhash_near_pairs_capped(
 
     Uncapped it equals the oracle SQL exactly (pytest-pinned); the
     registered query delegates here with
-    ``DEFAULT_SIMHASH_MAX_BUCKET_SIZE``, calibrated never to bind on
-    non-degenerate corpora, so both statements hold at once."""
-    chunks = simhash_chunks(exact_dup_representatives(docs))
+    ``DEFAULT_SIMHASH_MAX_BUCKET_SIZE``, calibrated never to bind at the
+    oracle-gate scales (see the constant's docstring for where it DOES
+    bind — heavily-perturbed corpora — and why that is the documented
+    contract rather than a calibration hole). ``geometry`` selects the
+    pigeonhole decomposition: ``"chunks"`` (default, 4×15-bit) or
+    ``"combos"`` (:func:`simhash_combo_keys`, 20×30-bit — the Manku-style
+    wide keys a high-entropy corpus prefers); both are complete for
+    hamming ≤ 3, so the uncapped output is geometry-invariant
+    (pytest-pinned)."""
+    if geometry == "combos" and max_hamming > _COMBO_N_CHUNKS - 3:
+        # 3-of-6 combos guarantee recall only while flips touch ≤ 3 chunks
+        raise ValueError("combos geometry is complete only for max_hamming <= 3")
+    front = simhash_combo_keys if geometry == "combos" else simhash_chunks
+    chunks = front(exact_dup_representatives(docs))
     buckets = (
         chunks.groupBy("c", "chunk")
         .agg(
