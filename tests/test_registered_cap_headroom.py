@@ -30,6 +30,7 @@ from video_data_pipeline_spark.queries.dedup import (
     DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
     q_minhash_lsh_pairs,
     q_simhash_near_pairs,
+    q_simhash_near_pairs_combo,
 )
 from video_data_pipeline_spark.queries.simjoin import (
     DEFAULT_MAX_BUCKET_SIZE,
@@ -58,9 +59,11 @@ def _rows(df):
          "max_bucket_size", "max_bucket_size_seen"),
         (q_minhash_lsh_pairs, DEFAULT_LSH_MAX_BUCKET_SIZE,
          "max_bucket_size", "max_bucket_size_seen"),
+        (q_simhash_near_pairs_combo, DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+         "max_bucket_size", "max_bucket_size_seen"),
     ],
     ids=["prefix_filter", "containment", "simhash_near", "simhash_calibration",
-         "minhash_lsh"],
+         "minhash_lsh", "simhash_combo"],
 )
 def test_default_cap_does_not_bind_on_standard_fixture(
     spark, fn, cap, cap_kw, seen_key

@@ -541,6 +541,46 @@ def q_simhash_near_pairs(
     )
 
 
+@query(
+    "q_simhash_near_pairs_combo",
+    oracle=f"""
+WITH reps AS ({_DUCK_REPS}),
+wh AS (SELECT doc_id, {_DUCK_WORD_HASHES} AS hs FROM reps),
+sh AS (SELECT doc_id, CAST({_simhash_from_hashes("duck", "hs")} AS BIGINT) AS simhash FROM wh),
+chunks AS (
+  SELECT doc_id, simhash, c, (simhash >> ({_CHUNK_BITS} * c)) & {_CHUNK_MASK} AS chunk
+  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+    tags=("dedup", "simhash", "join"),
+)
+def q_simhash_near_pairs_combo(
+    spark, sf_dir, max_bucket_size=DEFAULT_SIMHASH_MAX_BUCKET_SIZE, observation=None
+):
+    """q_simhash_near_pairs under the Manku-style WIDE-KEY pigeonhole
+    (:func:`simhash_combo_keys`: 20 three-of-six ten-bit chunk
+    combinations, 30-bit join keys). The two geometries are both complete
+    for hamming ≤ 3, so the oracle is the SAME SQL as the 4×15 query —
+    registering the knob puts its output-invariance under the driver's
+    hash gate, not just pytest. Choose this geometry on DIVERSE corpora:
+    measured at 1M high-entropy docs it enumerates 251,892 candidate
+    pairs where the 4×15 front enumerates 77.3M collision-noise pairs
+    (TRENDS r12); on low-entropy/boilerplate-heavy corpora prefer the
+    default query (collisions dilute cliques there, and the cap cuts
+    harder — same TRENDS entry, measured at sfp1/sfp30)."""
+    return simhash_near_pairs_capped(
+        table(spark, sf_dir, "documents"),
+        max_bucket_size=max_bucket_size,
+        observation=observation,
+        geometry="combos",
+    )
+
+
 def simhash_near_pairs_capped(
     docs,
     max_bucket_size: int | None = None,
