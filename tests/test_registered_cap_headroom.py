@@ -24,7 +24,10 @@ from __future__ import annotations
 import pytest
 from pyspark.sql.observation import Observation
 
-from video_data_pipeline_spark.queries.audit import q_simhash_calibration
+from video_data_pipeline_spark.queries.audit import (
+    q_simhash_calibration,
+    q_simhash_calibration_combo,
+)
 from video_data_pipeline_spark.queries.dedup import (
     DEFAULT_LSH_MAX_BUCKET_SIZE,
     DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
@@ -61,9 +64,11 @@ def _rows(df):
          "max_bucket_size", "max_bucket_size_seen"),
         (q_simhash_near_pairs_combo, DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
          "max_bucket_size", "max_bucket_size_seen"),
+        (q_simhash_calibration_combo, DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+         "max_bucket_size", "max_bucket_size_seen"),
     ],
     ids=["prefix_filter", "containment", "simhash_near", "simhash_calibration",
-         "minhash_lsh", "simhash_combo"],
+         "minhash_lsh", "simhash_combo", "simhash_calibration_combo"],
 )
 def test_default_cap_does_not_bind_on_standard_fixture(
     spark, fn, cap, cap_kw, seen_key

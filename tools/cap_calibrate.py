@@ -1,14 +1,18 @@
-"""Calibrate the hot-bucket caps against YOUR corpus.
+"""Calibrate the hot-bucket caps against YOUR corpus (manual pre-flight).
 
 Every pair generator ships its 100 TB hot-bucket guard ON by default
-(r12): minhash-LSH bands, prefix-filter buckets, containment postings,
-and the simhash pigeonhole front each cap their candidate buckets at a
-default calibrated on the shipped fixtures. Before a production run on a
-NEW corpus, this tool measures the actual bucket/posting size
-distribution for each front — one linear groupBy per front, no pair
-expansion, so it is safe on corpora whose joins would not be — and
-reports whether each default cap binds, i.e. whether the registered
-queries would return capped subsets rather than oracle-exact answers.
+(r12). This CLI measures the actual bucket/posting size distribution for
+each front — one linear groupBy per front, no pair expansion, so it is
+safe on corpora whose joins would not be — and reports whether each
+default cap binds, i.e. whether the registered queries would return
+capped subsets rather than oracle-exact answers.
+
+Since r13 the measurement core lives in
+``video_data_pipeline_spark.calibrate`` (NULL-safe aggregates, integer
+pair arithmetic), which also powers the ``calibrate=True`` knob on the
+registered simhash queries — the engine runs this pre-flight itself and
+proceeds-exact or refuses by name. Use the CLI for the full five-front
+matrix and for ahead-of-time corpus audits.
 
 Reading the report:
 - ``max <= default``: the cap is invisible — registered answers are
@@ -37,74 +41,13 @@ def main() -> int:
     args = ap.parse_args()
 
     sys.path.insert(0, ".")
-    from pyspark.sql import functions as F
-
-    from video_data_pipeline_spark.queries.dedup import (
-        DEFAULT_LSH_MAX_BUCKET_SIZE,
-        DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
-        exact_dup_representatives,
-        minhash_bands,
-        simhash_chunks,
-        simhash_combo_keys,
-    )
-    from video_data_pipeline_spark.queries.simjoin import (
-        DEFAULT_MAX_BUCKET_SIZE,
-        DEFAULT_MAX_POSTING_SIZE,
-        _TAU_DEN,
-        _TAU_NUM,
-        hashed_shingle_sets,
-    )
+    from video_data_pipeline_spark.calibrate import measure_front, standard_fronts
     from video_data_pipeline_spark.session import get_spark
-    from pyspark.sql import Window
 
     spark = get_spark("cap_calibrate")
-    docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
-    reps = exact_dup_representatives(docs)
-    sets = hashed_shingle_sets(docs)
-
-    def prefix_tokens():
-        # the rarity-ordered prefix rows of prefix_filter_pairs
-        tokens = sets.select("doc_id", "n", F.explode("hs").alias("h"))
-        df_tbl = tokens.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        ranked = tokens.join(df_tbl, "h").withColumn(
-            "rnk",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
-        )
-        return ranked.where(
-            F.col("rnk")
-            <= F.col("n")
-            - F.expr(f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}")
-            + 1
-        ).select(F.col("h").alias("key"))
-
-    fronts = [
-        ("minhash_bands", DEFAULT_LSH_MAX_BUCKET_SIZE,
-         lambda: minhash_bands(reps).select(
-             F.concat_ws("/", "band_idx", "band_key").alias("key"))),
-        ("prefix_buckets", DEFAULT_MAX_BUCKET_SIZE, prefix_tokens),
-        ("containment_postings", DEFAULT_MAX_POSTING_SIZE,
-         lambda: sets.select(F.explode("hs").alias("key"))),
-        ("simhash_chunks", DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
-         lambda: simhash_chunks(reps).select(
-             F.concat_ws("/", "c", "chunk").alias("key"))),
-        ("simhash_combos", DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
-         lambda: simhash_combo_keys(reps).select(
-             F.concat_ws("/", "c", "chunk").alias("key"))),
-    ]
     out: dict[str, dict] = {"sf_dir": args.sf_dir}
-    for name, default, make in fronts:
-        sizes = make().groupBy("key").count()
-        capped = F.least(F.col("count"), F.lit(default))
-        r = sizes.agg(
-            F.count(F.lit(1)).alias("n_buckets"),
-            F.max("count").alias("max"),
-            F.expr("percentile_approx(count, 0.99)").alias("p99"),
-            F.sum((F.col("count") > default).cast("long")).alias("oversized"),
-            F.sum(F.col("count") * (F.col("count") - 1) / 2).cast("long").alias("uncapped_pairs"),
-            F.sum(capped * (capped - 1) / 2).cast("long").alias("capped_pairs"),
-        ).collect()[0]
-        rec = {"default_cap": default, **{k: int(v) for k, v in r.asDict().items()}}
-        rec["binds"] = rec["oversized"] > 0
+    for name, default, make in standard_fronts(spark, args.sf_dir):
+        rec = measure_front(make(), default, name).as_dict()
         out[name] = rec
         print(f"{name:22s} default={default:5d} max={rec['max']:8d} "
               f"p99={rec['p99']:6d} oversized={rec['oversized']:6d} "

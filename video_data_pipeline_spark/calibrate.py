@@ -1,0 +1,341 @@
+"""Hot-bucket cap calibration: measure a corpus BEFORE the pair joins run.
+
+Every pair generator ships its 100 TB hot-bucket guard ON by default
+(r12): minhash-LSH bands, prefix-filter buckets, containment postings,
+and the simhash pigeonhole front each cap their candidate buckets. The
+caps are calibrated never to bind on non-degenerate corpora — but on a
+boilerplate-heavy crawl they CAN bind, and a bound cap means the
+registered query returns a capped SUBSET, not the oracle answer
+(measured: the simhash default emits 3.28M of 6.64M oracle pairs on the
+10x-perturbed sfp1 corpus, CORRECTNESS_sfp1_r12.json).
+
+This module is the job-surface fix (VERDICT r12 #1): a pre-flight that
+measures the actual bucket-size distribution of each front — ONE linear
+groupBy per front, no pair expansion, so it is safe on corpora whose
+joins would not be — and then *decides*:
+
+- the default cap does not bind → proceed with the registered default
+  (exact, bounded; the measurement cost was one cheap agg);
+- the cap binds but some complete pigeonhole geometry's EXACT (uncapped)
+  candidate workload fits ``pair_budget`` → proceed uncapped on the
+  cheapest such geometry (on low-entropy corpora that is typically the
+  Manku-style 20x30-bit combo keys: measured 58M vs 148M candidates at
+  sfp1 — both geometries are complete for hamming <= 3, so the output is
+  oracle-exact either way);
+- every exact plan exceeds the budget → raise :class:`CapBoundError`
+  naming the boundary and the measured workload, instead of silently
+  emitting a 49%-recall subset. The caller can re-run with an explicit
+  ``max_bucket_size`` (accepting documented partial recall) or
+  ``max_bucket_size=None`` (accepting the quadratic workload).
+
+The same measurement core backs ``tools/cap_calibrate.py`` (the manual
+pre-flight CLI) and the ``calibrate=True`` knob on the registered
+simhash queries.
+
+At 100 TB the measurement is one shuffle over the corpus per front —
+~the cost of a distinct-count — and the decision it buys is the
+difference between a silent recall hole and a named, budgeted plan.
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+log = logging.getLogger("video_data_pipeline_spark.calibrate")
+
+#: Default candidate-pair budget for an auto-selected EXACT plan. Sized
+#: from measured runs: 148M uncapped simhash candidates at sfp1 verified
+#: in 31.8 s on local[32] (TRENDS r12), and the sfp30 capped cells sit
+#: near 50M pairs at ~20 s — 200M keeps auto-exact plans in the
+#: tens-of-seconds-per-node class while refusing the truly quadratic
+#: regimes (sfp30 chunks: ~4.6B candidates) that exhaust spill disk.
+DEFAULT_PAIR_BUDGET = 200_000_000
+
+
+@dataclass
+class FrontStats:
+    """Bucket-size distribution of one pair-generator front, measured by
+    one linear groupBy (no pair expansion). ``uncapped_pairs`` /
+    ``capped_pairs`` are the in-bucket candidate workloads sum(n*(n-1)/2)
+    — computed with INTEGER arithmetic (``div``), not float division, so
+    the degenerate regimes this tool exists to measure don't lose
+    precision past 2^53."""
+
+    name: str
+    default_cap: int
+    n_buckets: int
+    max_bucket: int
+    p99_bucket: int
+    oversized: int
+    uncapped_pairs: int
+    capped_pairs: int
+
+    @property
+    def binds(self) -> bool:
+        return self.oversized > 0
+
+    def as_dict(self) -> dict:
+        return {
+            "default_cap": self.default_cap,
+            "n_buckets": self.n_buckets,
+            "max": self.max_bucket,
+            "p99": self.p99_bucket,
+            "oversized": self.oversized,
+            "uncapped_pairs": self.uncapped_pairs,
+            "capped_pairs": self.capped_pairs,
+            "binds": self.binds,
+        }
+
+
+def measure_front(keys: DataFrame, default_cap: int, name: str = "front") -> FrontStats:
+    """Measure one front's bucket-size distribution. ``keys`` is a
+    one-column (``key``) DataFrame with one row per (doc, bucket-key)
+    membership; the measurement is a single groupBy + agg — linear in the
+    corpus, never quadratic. NULL aggregates (an empty or single-bucket
+    corpus returns NULL max/p99) default to 0 instead of raising."""
+    sizes = keys.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    capped = f"least(n, {default_cap})"
+    r = (
+        sizes.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("n").alias("max_bucket"),
+            F.expr("percentile_approx(n, 0.99)").alias("p99_bucket"),
+            F.sum((F.col("n") > default_cap).cast("long")).alias("oversized"),
+            F.expr("sum(n * (n - 1) div 2)").alias("uncapped_pairs"),
+            F.expr(f"sum({capped} * ({capped} - 1) div 2)").alias("capped_pairs"),
+        )
+        .collect()[0]
+        .asDict()
+    )
+    return FrontStats(
+        name=name,
+        default_cap=default_cap,
+        **{k: int(v) if v is not None else 0 for k, v in r.items()},
+    )
+
+
+class CapBoundError(RuntimeError):
+    """The default cap binds on this corpus AND no exact plan fits the
+    pair budget: refusing is the honest answer (a silent capped subset
+    reads as oracle-exact). Carries the per-geometry :class:`FrontStats`
+    so the caller/artifact can record the named boundary."""
+
+    def __init__(self, message: str, stats: dict[str, FrontStats]):
+        super().__init__(message)
+        self.stats = stats
+
+
+@dataclass
+class SimhashPlan:
+    """Outcome of :func:`calibrate_simhash`: which pigeonhole geometry to
+    run and with what cap, plus the measurements that justify it.
+    ``decision`` is ``"default"`` (cap proven not to bind — registered
+    behavior, exact) or ``"exact_uncapped"`` (cap binds; run the cheapest
+    complete geometry uncapped within budget — exact). A corpus where
+    neither is possible raises :class:`CapBoundError` instead."""
+
+    decision: str
+    geometry: str
+    max_bucket_size: int | None
+    reason: str
+    stats: dict[str, FrontStats]
+    signatures: DataFrame | None = field(default=None, repr=False)
+
+    def as_dict(self) -> dict:
+        return {
+            "decision": self.decision,
+            "geometry": self.geometry,
+            "max_bucket_size": self.max_bucket_size,
+            "reason": self.reason,
+            "fronts": {k: v.as_dict() for k, v in self.stats.items()},
+        }
+
+
+def _key(df: DataFrame) -> DataFrame:
+    return df.select(F.concat_ws("/", "c", "chunk").alias("key"))
+
+
+def calibrate_simhash(
+    docs: DataFrame,
+    pair_budget: int = DEFAULT_PAIR_BUDGET,
+    default_cap: int | None = None,
+    max_hamming: int = 3,
+) -> SimhashPlan:
+    """Pre-flight for the simhash near-pair family (VERDICT r12 #1).
+
+    Measures the 4x15-bit chunk front first (one linear groupBy over the
+    rep-collapsed corpus); if the default cap does not bind, the
+    registered default IS exact here and the plan says so. If it binds,
+    the 20x30-bit combo front is measured too and the cheapest geometry
+    whose EXACT (uncapped) candidate workload fits ``pair_budget`` is
+    selected — both geometries are complete for hamming <= 3
+    (output-invariance pytest- and oracle-pinned), so the uncapped run is
+    oracle-exact regardless of which wins. If neither fits, raises
+    :class:`CapBoundError` naming the measured maxima and workloads.
+
+    The 60-bit signature is computed ONCE and lazily checkpointed; the
+    returned plan carries it (``signatures``) so the subsequent pair join
+    reuses the same frame instead of re-running the md5 pass.
+    """
+    from video_data_pipeline_spark.queries.dedup import (
+        DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+        chunk_keys,
+        combo_keys,
+        exact_dup_representatives,
+        simhash_signatures,
+    )
+
+    if default_cap is None:
+        default_cap = DEFAULT_SIMHASH_MAX_BUCKET_SIZE
+    sig = simhash_signatures(exact_dup_representatives(docs)).localCheckpoint(
+        eager=False
+    )
+    stats: dict[str, FrontStats] = {}
+    stats["chunks"] = measure_front(_key(chunk_keys(sig)), default_cap, "chunks")
+    if not stats["chunks"].binds:
+        reason = (
+            f"default cap {default_cap} does not bind (measured max bucket "
+            f"{stats['chunks'].max_bucket}) — registered default is exact here"
+        )
+        log.info("simhash calibration: %s", reason)
+        return SimhashPlan(
+            decision="default",
+            geometry="chunks",
+            max_bucket_size=default_cap,
+            reason=reason,
+            stats=stats,
+            signatures=sig,
+        )
+    if max_hamming <= 3:
+        # the 3-of-6 combo geometry is complete only for hamming <= 3;
+        # beyond that, chunks-uncapped is the only exact candidate
+        stats["combos"] = measure_front(
+            _key(combo_keys(sig)), default_cap, "combos"
+        )
+    affordable = [
+        s for s in stats.values() if s.uncapped_pairs <= pair_budget
+    ]
+    if affordable:
+        best = min(affordable, key=lambda s: s.uncapped_pairs)
+        reason = (
+            f"default cap {default_cap} BINDS on this corpus (chunk-bucket max "
+            f"{stats['chunks'].max_bucket}, {stats['chunks'].oversized} oversized "
+            f"buckets) — running geometry={best.name!r} UNCAPPED instead: its "
+            f"exact candidate workload {best.uncapped_pairs:,} pairs fits the "
+            f"budget ({pair_budget:,}); output stays oracle-exact"
+        )
+        log.warning("simhash calibration: %s", reason)
+        return SimhashPlan(
+            decision="exact_uncapped",
+            geometry=best.name,
+            max_bucket_size=None,
+            reason=reason,
+            stats=stats,
+            signatures=sig,
+        )
+    measured = "; ".join(
+        f"{s.name} front max bucket {s.max_bucket} ({s.oversized} oversized, "
+        f"{s.uncapped_pairs:,} exact candidate pairs)"
+        for s in stats.values()
+    )
+    raise CapBoundError(
+        f"simhash default cap {default_cap} BINDS on this corpus and no exact "
+        f"plan fits pair_budget={pair_budget:,}: {measured}. Refusing "
+        "rather than silently emitting a capped subset. Escapes: raise "
+        "pair_budget and re-calibrate; pass max_bucket_size=None to accept "
+        "the quadratic exact workload; or pass an explicit max_bucket_size "
+        "to accept DOCUMENTED partial recall (dropped over-cap members lose "
+        "their edges from that bucket).",
+        stats,
+    )
+
+
+def calibrated_simhash_near_pairs(
+    docs: DataFrame,
+    pair_budget: int = DEFAULT_PAIR_BUDGET,
+    default_cap: int | None = None,
+    observation=None,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """:func:`calibrate_simhash` + the pair join the plan prescribes —
+    the ``calibrate=True`` body of the registered ``q_simhash_near_pairs``.
+    Exact by construction: every path this function returns is either a
+    proven-not-to-bind default or an uncapped complete geometry; the
+    cap-binds-and-over-budget case raises :class:`CapBoundError`."""
+    from video_data_pipeline_spark.queries.dedup import simhash_near_pairs_capped
+
+    plan = calibrate_simhash(
+        docs, pair_budget=pair_budget, default_cap=default_cap, max_hamming=max_hamming
+    )
+    return simhash_near_pairs_capped(
+        docs,
+        max_bucket_size=plan.max_bucket_size,
+        observation=observation,
+        max_hamming=max_hamming,
+        geometry=plan.geometry,
+        signatures=plan.signatures,
+    )
+
+
+# ------------------------------------------------------------- CLI fronts
+
+
+def standard_fronts(spark, sf_dir: str):
+    """(name, default_cap, key-DataFrame builder) for every capped front
+    in the engine, over the documents table at ``sf_dir`` — the
+    measurement matrix ``tools/cap_calibrate.py`` reports. Builders are
+    lazy so the CLI can flush per-front."""
+    from pyspark.sql import Window
+
+    from video_data_pipeline_spark.queries.dedup import (
+        DEFAULT_LSH_MAX_BUCKET_SIZE,
+        DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+        exact_dup_representatives,
+        minhash_bands,
+        simhash_chunks,
+        simhash_combo_keys,
+    )
+    from video_data_pipeline_spark.queries.registry import table
+    from video_data_pipeline_spark.queries.simjoin import (
+        DEFAULT_MAX_BUCKET_SIZE,
+        DEFAULT_MAX_POSTING_SIZE,
+        _TAU_DEN,
+        _TAU_NUM,
+        hashed_shingle_sets,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    reps = exact_dup_representatives(docs)
+    sets = hashed_shingle_sets(docs)
+
+    def prefix_tokens():
+        # the rarity-ordered prefix rows of prefix_filter_pairs
+        tokens = sets.select("doc_id", "n", F.explode("hs").alias("h"))
+        df_tbl = tokens.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+        ranked = tokens.join(df_tbl, "h").withColumn(
+            "rnk",
+            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+        )
+        return ranked.where(
+            F.col("rnk")
+            <= F.col("n")
+            - F.expr(f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}")
+            + 1
+        ).select(F.col("h").alias("key"))
+
+    return [
+        ("minhash_bands", DEFAULT_LSH_MAX_BUCKET_SIZE,
+         lambda: minhash_bands(reps).select(
+             F.concat_ws("/", "band_idx", "band_key").alias("key"))),
+        ("prefix_buckets", DEFAULT_MAX_BUCKET_SIZE, prefix_tokens),
+        ("containment_postings", DEFAULT_MAX_POSTING_SIZE,
+         lambda: sets.select(F.explode("hs").alias("key"))),
+        ("simhash_chunks", DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+         lambda: _key(simhash_chunks(reps))),
+        ("simhash_combos", DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+         lambda: _key(simhash_combo_keys(reps))),
+    ]

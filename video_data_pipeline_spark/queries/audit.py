@@ -184,7 +184,9 @@ WHERE (('0x' || substr(md5(CAST(p.doc_a AS VARCHAR) || ':' || CAST(p.doc_b AS VA
     oracle=_duck_simhash_calibration_sql(),
     tags=("dedup", "simhash", "audit"),
 )
-def q_simhash_calibration(spark, sf_dir, max_bucket_size=..., observation=None):
+def q_simhash_calibration(
+    spark, sf_dir, max_bucket_size=..., observation=None, calibrate=False
+):
     """SimHash calibration: for every pigeonhole candidate pair
     (hamming ≤ 3), the signature's hamming distance next to the EXACT
     shingle Jaccard — completing the sketch-audit family policy
@@ -202,11 +204,43 @@ def q_simhash_calibration(spark, sf_dir, max_bucket_size=..., observation=None):
     attaches rep-level shingle sets by uniform doc_id joins — no new
     corpus scan or pairing, the q_minhash_estimate shape. Pass
     ``max_bucket_size=None`` for an exactness study; an ``Observation``
-    lands the front's cap-engagement telemetry."""
+    lands the front's cap-engagement telemetry; ``calibrate=True`` (r13)
+    forwards to the front's pre-flight — the audit proceeds only on an
+    exact plan or raises ``CapBoundError`` by name."""
     from video_data_pipeline_spark.queries.dedup import q_simhash_near_pairs
 
     kw = {} if max_bucket_size is ... else {"max_bucket_size": max_bucket_size}
-    pairs = q_simhash_near_pairs(spark, sf_dir, observation=observation, **kw)
+    pairs = q_simhash_near_pairs(
+        spark, sf_dir, observation=observation, calibrate=calibrate, **kw
+    )
+    return _calibration_from_pairs(spark, sf_dir, pairs)
+
+
+@query(
+    "q_simhash_calibration_combo",
+    oracle=_duck_simhash_calibration_sql(),
+    tags=("dedup", "simhash", "audit"),
+)
+def q_simhash_calibration_combo(spark, sf_dir, max_bucket_size=..., observation=None):
+    """q_simhash_calibration riding the Manku-style WIDE-KEY front
+    (q_simhash_near_pairs_combo: 20 three-of-six ten-bit chunk
+    combinations). Both pigeonhole geometries are complete for
+    hamming ≤ 3, so the oracle is the SAME SQL — registering the twin
+    (VERDICT r12 #4) puts the geometry knob under the driver's hash gate
+    on the AUDIT surface too, not just the pair surface. Choose this on
+    diverse/high-entropy corpora (see q_simhash_near_pairs_combo for the
+    measured trade)."""
+    from video_data_pipeline_spark.queries.dedup import q_simhash_near_pairs_combo
+
+    kw = {} if max_bucket_size is ... else {"max_bucket_size": max_bucket_size}
+    pairs = q_simhash_near_pairs_combo(spark, sf_dir, observation=observation, **kw)
+    return _calibration_from_pairs(spark, sf_dir, pairs)
+
+
+def _calibration_from_pairs(spark, sf_dir, pairs):
+    """Shared back half of the calibration audits: attach rep-level
+    shingle sets to a candidate-pair frame by uniform doc_id joins and
+    compute the exact Jaccard next to the hamming distance."""
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
     sets = (
         reps.select("doc_id", F.expr("split(lower(trim(text)), ' +')").alias("w"))

@@ -268,9 +268,10 @@ def lsh_pairs_from_bands(bands, max_bucket_size: int | None = None, observation=
     100 TB guard: in-bucket expansion is quadratic, so one pathological
     bucket (e.g. a boilerplate page duplicated millions of times) can
     dominate the job. ``max_bucket_size`` caps each bucket to its first N
-    ids (sorted — deterministic, and every kept doc still pairs with the
-    bucket's minimum, so downstream connected-components still merges the
-    over-cap members into one cluster via transitivity). Pass a
+    ids (sorted — deterministic). Note the recall contract: only the KEPT
+    members pair among themselves (transitivity merges those), while ids
+    sliced past the cap emit NO pairs from that bucket — a dropped doc is
+    merged downstream only if another band's bucket witnesses it. Pass a
     ``pyspark.sql.Observation`` to get per-run telemetry after the first
     action: n_buckets / oversized_buckets / max_bucket_size_seen."""
     buckets = (
@@ -392,15 +393,19 @@ _SIMHASH_COMBOS: list[tuple[int, int, int]] = [
 #: BINDS EARLIER than the other families' caps and the output is a
 #: documented subset: at sfp1 chunk buckets reach ~14k (measured — the
 #: 15-bit key space collides ∝ corpus size on low-entropy text) and the
-#: registered query emits 3.28M of the oracle's 6.64M candidate pairs;
-#: connected-components over the capped pairs still merge every clique
-#: (the kept members of each bucket pair among themselves — the family's
-#: transitivity argument), and ``max_bucket_size=None`` recovers oracle
-#: exactness bit-for-bit (verified at sfp1, TRENDS r12). No single cap
-#: can be both sfp1-exact and sfp30-bounded on this corpus family — the
-#: candidate sets there are TRULY quadratic (~0.007B → ~4.6B pairs) —
-#: so the default keeps the verdict-specified calibration and the
-#: escape hatch carries the rest.
+#: registered query emits 3.28M of the oracle's 6.64M candidate pairs.
+#: Capping DROPS the edges of members sliced past the cap — a recall loss
+#: for those docs, not just a pair-count trim: transitivity merges only
+#: the KEPT members of an over-cap bucket (they pair among themselves); a
+#: dropped member is merged only if another chunk's bucket happens to
+#: witness it. ``max_bucket_size=None`` recovers oracle exactness
+#: bit-for-bit (verified at sfp1, TRENDS r12), and r13's
+#: ``calibrate=True`` measures the bind up front and picks an exact plan
+#: or refuses by name (``video_data_pipeline_spark.calibrate``). No
+#: single cap can be both sfp1-exact and sfp30-bounded on this corpus
+#: family — the candidate sets there are TRULY quadratic (~0.007B →
+#: ~4.6B pairs) — so the default keeps the verdict-specified calibration
+#: and the calibrated/escape paths carry the rest.
 DEFAULT_SIMHASH_MAX_BUCKET_SIZE = 2048
 
 
@@ -453,32 +458,39 @@ def q_simhash(spark, sf_dir):
     return wh.select("doc_id", F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash"))
 
 
-def simhash_chunks(docs):
-    """(doc_id, text, ...) → (doc_id, simhash, c, chunk): the 60-bit
-    signature pigeonholed into 4 × 15-bit chunks. Pure column math."""
+def simhash_signatures(docs):
+    """(doc_id, text, ...) → (doc_id, simhash): the 60-bit signature —
+    one md5 pass per distinct word + one array-accumulator fold. Factored
+    out (r13) so the cap-calibration pre-flight can compute the signature
+    ONCE, lazily checkpoint it, and feed the same frame to both pigeonhole
+    fronts and the final pair join instead of re-running the md5 pass per
+    consumer."""
     wh = docs.select("doc_id", F.expr(_SPARK_WORD_HASHES).alias("hs"))
-    sh = wh.select(
+    return wh.select(
         "doc_id", F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash")
     )
-    return sh.select(
+
+
+def chunk_keys(sig):
+    """(doc_id, simhash) → (doc_id, simhash, c, chunk): the 4 × 15-bit
+    pigeonhole keys of a precomputed signature frame. Pure column math."""
+    return sig.select(
         "doc_id",
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(_N_CHUNKS - 1))).alias("c"),
     ).withColumn("chunk", F.expr(f"shiftright(simhash, {_CHUNK_BITS} * c) & {_CHUNK_MASK}"))
 
 
-def simhash_combo_keys(docs):
+def simhash_chunks(docs):
     """(doc_id, text, ...) → (doc_id, simhash, c, chunk): the 60-bit
-    signature keyed by every 3-of-6 ten-bit chunk COMBINATION — c is the
-    combo index (0..19), chunk the packed 30-bit key. Hamming ≤ 3 ⇒ at
-    least one combo matches exactly (see ``_SIMHASH_COMBOS``); wide keys
-    keep bucket size ∝ true near-group size instead of ∝ corpus size.
-    Pure column math; same output column names as :func:`simhash_chunks`
-    so the capped join core is geometry-agnostic."""
-    wh = docs.select("doc_id", F.expr(_SPARK_WORD_HASHES).alias("hs"))
-    sh = wh.select(
-        "doc_id", F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash")
-    )
+    signature pigeonholed into 4 × 15-bit chunks. Pure column math."""
+    return chunk_keys(simhash_signatures(docs))
+
+
+def combo_keys(sig):
+    """(doc_id, simhash) → (doc_id, simhash, c, chunk): the 20 × 30-bit
+    combo keys of a precomputed signature frame (see
+    :func:`simhash_combo_keys`). Pure column math."""
     keys = ", ".join(
         "struct({j} AS c, {key} AS chunk)".format(
             j=j,
@@ -490,9 +502,20 @@ def simhash_combo_keys(docs):
         )
         for j, combo in enumerate(_SIMHASH_COMBOS)
     )
-    return sh.select(
+    return sig.select(
         "doc_id", "simhash", F.expr(f"explode(array({keys}))").alias("k")
     ).select("doc_id", "simhash", F.col("k.c").alias("c"), F.col("k.chunk").alias("chunk"))
+
+
+def simhash_combo_keys(docs):
+    """(doc_id, text, ...) → (doc_id, simhash, c, chunk): the 60-bit
+    signature keyed by every 3-of-6 ten-bit chunk COMBINATION — c is the
+    combo index (0..19), chunk the packed 30-bit key. Hamming ≤ 3 ⇒ at
+    least one combo matches exactly (see ``_SIMHASH_COMBOS``); wide keys
+    keep bucket size ∝ true near-group size instead of ∝ corpus size.
+    Pure column math; same output column names as :func:`simhash_chunks`
+    so the capped join core is geometry-agnostic."""
+    return combo_keys(simhash_signatures(docs))
 
 
 @query(
@@ -514,7 +537,12 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     tags=("dedup", "simhash", "join"),
 )
 def q_simhash_near_pairs(
-    spark, sf_dir, max_bucket_size=DEFAULT_SIMHASH_MAX_BUCKET_SIZE, observation=None
+    spark,
+    sf_dir,
+    max_bucket_size=DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+    observation=None,
+    calibrate=False,
+    pair_budget=None,
 ):
     """SimHash near-dup pairs (hamming ≤ 3) over distinct-content
     representatives, via pigeonhole: split the 60-bit signature into 4
@@ -533,9 +561,27 @@ def q_simhash_near_pairs(
     on non-degenerate corpora, so the uncapped oracle SQL stays the exact
     semantics at every tested sf). q_simhash_calibration rides this same
     front, so its pigeonhole expansion is bounded too. Pass
-    ``max_bucket_size=None`` for exactness studies."""
+    ``max_bucket_size=None`` for exactness studies.
+
+    ``calibrate=True`` (r13, VERDICT r12 #1) runs the cap pre-flight
+    FIRST — one linear groupBy per pigeonhole front, no pair expansion —
+    and then either proceeds with the default (measured not to bind →
+    exact), switches to the cheapest EXACT plan whose measured candidate
+    workload fits ``pair_budget`` (auto-selecting ``geometry="combos"``
+    where the measurement says it wins), or raises
+    :class:`~video_data_pipeline_spark.calibrate.CapBoundError` naming
+    the boundary and the workload estimate — a capped-subset answer is
+    never silently produced on a corpus where the default binds."""
+    docs = table(spark, sf_dir, "documents")
+    if calibrate:
+        from video_data_pipeline_spark.calibrate import calibrated_simhash_near_pairs
+
+        kw = {} if pair_budget is None else {"pair_budget": pair_budget}
+        return calibrated_simhash_near_pairs(
+            docs, default_cap=max_bucket_size, observation=observation, **kw
+        )
     return simhash_near_pairs_capped(
-        table(spark, sf_dir, "documents"),
+        docs,
         max_bucket_size=max_bucket_size,
         observation=observation,
     )
@@ -587,6 +633,7 @@ def simhash_near_pairs_capped(
     observation=None,
     max_hamming: int = 3,
     geometry: str = "chunks",
+    signatures=None,
 ):
     """Core of :func:`q_simhash_near_pairs`, carrying the same 100 TB
     hot-bucket guard :func:`lsh_pairs_from_bands` carries.
@@ -597,13 +644,20 @@ def simhash_near_pairs_capped(
     sfp10 probe measured ~10⁸ true hamming≤3 pairs on a corpus whose
     scrambled copies share 2/3 of their unigrams (boilerplate-heavy real
     corpora behave the same way). This variant forms buckets with ONE
-    shuffle (groupBy chunk key), caps each to its first
-    ``max_bucket_size`` members (sorted — deterministic, and every kept
-    doc still pairs with the bucket minimum, so downstream connected
-    components still merge over-cap members via transitivity), and
-    generates pairs with in-bucket array combinatorics; the hamming
-    residual filters after. Pass an ``Observation`` for
-    n_buckets / oversized_buckets / max_bucket_size_seen telemetry.
+    shuffle (groupBy chunk key) and caps each to its first
+    ``max_bucket_size`` members (sorted — deterministic). Recall contract
+    when the cap binds: the KEPT members pair among themselves
+    (transitivity merges those), but members sliced past the cap emit NO
+    pairs from that bucket — a dropped doc is merged only if another
+    chunk's bucket witnesses it. The hamming residual filters after pair
+    generation. Pass an ``Observation`` for n_buckets /
+    oversized_buckets / max_bucket_size_seen telemetry.
+
+    ``signatures`` short-circuits the signature computation with a
+    precomputed (doc_id, simhash) frame — the calibration pre-flight
+    passes its lazily-checkpointed signature frame here so the md5 pass
+    runs once across measurement and join (``docs`` is ignored then, and
+    the caller owns rep-collapse).
 
     Uncapped it equals the oracle SQL exactly (pytest-pinned); the
     registered query delegates here with
@@ -619,8 +673,10 @@ def simhash_near_pairs_capped(
     if geometry == "combos" and max_hamming > _COMBO_N_CHUNKS - 3:
         # 3-of-6 combos guarantee recall only while flips touch ≤ 3 chunks
         raise ValueError("combos geometry is complete only for max_hamming <= 3")
-    front = simhash_combo_keys if geometry == "combos" else simhash_chunks
-    chunks = front(exact_dup_representatives(docs))
+    front = combo_keys if geometry == "combos" else chunk_keys
+    if signatures is None:
+        signatures = simhash_signatures(exact_dup_representatives(docs))
+    chunks = front(signatures)
     buckets = (
         chunks.groupBy("c", "chunk")
         .agg(
