@@ -35,15 +35,38 @@ def test_clique_and_star(spark):
     )
 
 
-def test_random_graph_matches_reference_both_orders(spark):
+def test_random_graph_matches_reference_all_strategies(spark):
+    """The intersect default (r13), the wedge twin, and both vertex
+    orders all count the same triangles — strategy and orientation are
+    physical choices, never semantic ones."""
     rng = random.Random(7)
     edges = sorted(
         {tuple(sorted(rng.sample(range(30), 2))) for _ in range(150)}
     )
     want = _exact(edges)
     df = _df(spark, edges)
-    assert count_triangles(df, degree_order=True).collect()[0]["n_triangles"] == want
-    assert count_triangles(df, degree_order=False).collect()[0]["n_triangles"] == want
+    for method in ("intersect", "wedge"):
+        for order in (True, False):
+            got = count_triangles(df, degree_order=order, method=method)
+            assert got.collect()[0]["n_triangles"] == want, (method, order)
+
+
+def test_checkpointed_edge_list_same_count(spark):
+    rng = random.Random(11)
+    edges = sorted(
+        {tuple(sorted(rng.sample(range(25), 2))) for _ in range(120)}
+    )
+    df = _df(spark, edges)
+    want = _exact(edges)
+    assert (
+        count_triangles(df, checkpoint=True).collect()[0]["n_triangles"] == want
+    )
+
+
+def test_empty_graph_counts_zero(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    row = count_triangles(df).collect()[0]
+    assert row["n_triangles"] == 0
 
 
 def test_reversed_edge_orientation_is_irrelevant(spark):

@@ -16,28 +16,59 @@ builds ~c³/6 wedges and degree order builds exactly the same (cliques are
 the worst case for everyone), but on the hub-and-spoke graphs real
 near-dup data produces, the hub orders LAST and emits zero wedges.
 
-The count itself is orientation-invariant, so the degree-ordered operator
-is drop-in testable against the id-ordered form.
+r13 (VERDICT r12 #5): the default pair-generation strategy is now
+EDGE-ITERATOR WITH ADJACENCY INTERSECTION rather than the wedge
+materialize-then-close join. The wedge form shuffles Σ deg⁺² wedge ROWS
+into a third join — on the sfp30 clone corpus that exchange was the one
+remaining heavy-spill cell in the probe matrix (5.37 GB memory + 197 MB
+disk). The intersection form builds each vertex's out-neighbor array once
+(one groupBy — |E| total array elements), joins it back to the |E| edge
+rows, and counts each edge's common out-neighbors with a per-row
+``array_intersect``: triangles close INSIDE the row, so the wedge set is
+never shuffled, and per-row memory is bounded by the degree-ordered
+out-degree, O(sqrt |E|). Both strategies are orientation-invariant and
+count each triangle exactly once (at its (lo, mid) edge), so the
+id-ordered SQL oracle stays bit-exact; equality is pytest-pinned.
+
+Measured at sfp30 (PROBE_TRI_SFP30_r13.json vs PROBE_LSH_SFP30_r12.json):
+the q_dedup_triangles cell drops from 69.9 s / 5.37 GB memory spill to
+seconds-scale with spill under the probe threshold.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
 def count_triangles(
-    edges: DataFrame, a: str = "a", b: str = "b", degree_order: bool = True
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    degree_order: bool = True,
+    method: str = "intersect",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Count triangles in an undirected simple graph given as a DataFrame
     of distinct edges (``a`` != ``b``; either orientation, no duplicates in
     the canonical a<b sense). Returns a 1-row DataFrame ``(n_triangles)``.
 
     ``degree_order=True`` re-orients every edge from its (degree, id)-
-    smaller endpoint to its larger one before the wedge-close joins —
-    two extra vertex-keyed joins against the (|V|-row) degree table buy
-    the O(|E|^1.5) wedge bound. ``False`` orients by id alone (no degree
-    join; fine for sparse, skew-free graphs)."""
+    smaller endpoint to its larger one before pair generation — two extra
+    vertex-keyed joins against the (|V|-row) degree table buy the
+    O(|E|^1.5) work bound. ``False`` orients by id alone (no degree join;
+    fine for sparse, skew-free graphs).
+
+    ``method``: ``"intersect"`` (default — adjacency arrays + per-edge
+    ``array_intersect``; the wedge set never shuffles) or ``"wedge"``
+    (materialize wedges, close with a third join — kept as the
+    cross-check twin; both counts are pinned equal in tests).
+
+    ``checkpoint=True`` lazily ``localCheckpoint``s the oriented edge
+    list: the orientation subtree (and everything beneath it — for
+    q_dedup_triangles that is the whole LSH pair generation) computes
+    once instead of once per consuming branch. Pass it whenever ``edges``
+    is itself expensive."""
     e = edges.select(F.col(a).alias("x"), F.col(b).alias("y"))
 
     if degree_order:
@@ -61,12 +92,31 @@ def count_triangles(
         F.when(x_first, F.col("x")).otherwise(F.col("y")).alias("lo"),
         F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("hi"),
     )
-    e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
-    e2 = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
-    # wedge u->v->w (u,w both ordered after... u<v<w in the chosen order);
-    # close with the oriented edge (u,w) — each triangle counted once
-    e3 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
-    wedges = e1.join(e2, "v")
-    return wedges.join(e3, ["u", "w"]).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    if checkpoint:
+        oriented = oriented.localCheckpoint(eager=False)
+
+    if method == "wedge":
+        e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        e2 = oriented.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+        # wedge u->v->w; close with the oriented edge (u,w) — each
+        # triangle counted once
+        e3 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("w"))
+        wedges = e1.join(e2, "v")
+        return wedges.join(e3, ["u", "w"]).agg(
+            F.count(F.lit(1)).alias("n_triangles")
+        )
+
+    # intersect: each triangle {u<v<w} (in the chosen order) closes at its
+    # (u, v) edge — w is a common OUT-neighbor of u and v. One groupBy
+    # builds the out-adjacency arrays; two vertex-keyed joins attach them
+    # to the edge rows; the close is per-row array math, no wedge shuffle.
+    adj = oriented.groupBy("lo").agg(F.collect_list("hi").alias("nbrs"))
+    tri = (
+        oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+        .join(adj.select(F.col("lo").alias("u"), F.col("nbrs").alias("nu")), "u")
+        .join(adj.select(F.col("lo").alias("v"), F.col("nbrs").alias("nv")), "v")
+        .select(F.size(F.array_intersect("nu", "nv")).alias("k"))
+    )
+    return tri.agg(
+        F.coalesce(F.sum("k"), F.lit(0)).cast("long").alias("n_triangles")
     )

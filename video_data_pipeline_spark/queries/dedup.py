@@ -279,6 +279,13 @@ def lsh_pairs_from_bands(bands, max_bucket_size: int | None = None, observation=
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .where(F.size("ids") > 1)
     )
+    if observation is None and max_bucket_size is not None:
+        # capped with no caller-supplied Observation: auto-attach a named
+        # one so the session-level listener (telemetry.py, r13) can warn
+        # when the cap BINDS — a capped subset must never read as exact
+        from video_data_pipeline_spark.telemetry import cap_observation_name
+
+        observation = cap_observation_name("minhash_bands")
     if observation is not None:
         cap = max_bucket_size if max_bucket_size is not None else 1 << 62
         buckets = buckets.observe(
@@ -686,6 +693,11 @@ def simhash_near_pairs_capped(
         )
         .where(F.size("members") > 1)
     )
+    if observation is None and max_bucket_size is not None:
+        # see lsh_pairs_from_bands: self-announcing cap engagement
+        from video_data_pipeline_spark.telemetry import cap_observation_name
+
+        observation = cap_observation_name(f"simhash_{geometry}")
     if observation is not None:
         cap = max_bucket_size if max_bucket_size is not None else 1 << 62
         buckets = buckets.observe(
@@ -1324,17 +1336,22 @@ def q_dedup_triangles(spark, sf_dir):
 
     Counting runs through :func:`operators.graph.count_triangles` with
     DEGREE ordering (Ortmann/Chiba-Nishizeki): every edge re-orients from
-    its (degree, id)-smaller endpoint, bounding wedge work by O(|E|^1.5)
+    its (degree, id)-smaller endpoint, bounding pair work by O(|E|^1.5)
     instead of hub-degree-squared, and each triangle still closes exactly
     once — the count is orientation-invariant, so the SQL oracle (id-
-    ordered wedge-close) stays bit-exact. At 100 TB the edge list would
-    additionally be checkpointed once before the 3-way self-reference."""
+    ordered wedge-close) stays bit-exact. r13 (VERDICT r12 #5): the close
+    runs via per-edge adjacency INTERSECTION (the wedge set never
+    shuffles — the wedge exchange was the probe matrix's one remaining
+    heavy-spill cell at sfp30, 5.37 GB) and the candidate-pair edge list
+    is lazily checkpointed ONCE, so the LSH pair generation beneath it
+    computes once across the adjacency build, the edge join, and the
+    n_edges aggregate instead of once per branch."""
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
     from video_data_pipeline_spark.operators.graph import count_triangles
 
     pairs = lsh_pairs_from_bands(
         minhash_bands(reps), max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE
-    )
+    ).localCheckpoint(eager=False)
     n_tri = count_triangles(pairs, a="doc_a", b="doc_b", degree_order=True)
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_tri.crossJoin(F.broadcast(n_edges))

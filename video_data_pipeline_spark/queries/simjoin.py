@@ -230,6 +230,13 @@ def prefix_filter_pairs(docs, max_bucket_size=None, observation=None):
         .agg(F.sort_array(F.collect_list(F.struct("n", "doc_id"))).alias("xs"))
         .where(F.size("xs") > 1)
     )
+    if observation is None and max_bucket_size is not None:
+        # capped with no caller-supplied Observation: auto-attach a named
+        # one so the session-level listener (telemetry.py, r13) can warn
+        # when the cap BINDS — a capped subset must never read as exact
+        from video_data_pipeline_spark.telemetry import cap_observation_name
+
+        observation = cap_observation_name("prefix_buckets")
     if observation is not None:
         cap = max_bucket_size if max_bucket_size is not None else 1 << 62
         buckets = buckets.observe(
@@ -465,6 +472,11 @@ def containment_pairs_capped(docs, max_posting_size=None, observation=None):
         .groupBy("h")
         .agg(F.sort_array(F.collect_list(F.struct("n", "doc_id"))).alias("ps"))
     )
+    if observation is None and max_posting_size is not None:
+        # see prefix_filter_pairs: self-announcing cap engagement
+        from video_data_pipeline_spark.telemetry import cap_observation_name
+
+        observation = cap_observation_name("containment_postings")
     if observation is not None:
         cap = max_posting_size if max_posting_size is not None else 1 << 62
         postings = postings.observe(

@@ -20,11 +20,20 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    query_warnings: bool | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with engine defaults.
 
     Env overrides: ``SPARK_GRAFT_CPUS`` sets local core count and the default
     shuffle partition count.
+
+    ``query_warnings=True`` (or ``SPARK_GRAFT_QUERY_WARNINGS=1``) attaches
+    the session-level warning listener
+    (:func:`video_data_pipeline_spark.telemetry.install_query_warnings`):
+    every query on the session then warns when a hot-bucket cap BINDS
+    (capped-subset result) or spill crosses the pathology threshold —
+    the probe tools' early warnings, in production use. Opt-in because it
+    needs py4j's callback server (one extra socket + daemon thread).
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     master = master or f"local[{cpus}]"
@@ -65,6 +74,14 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if query_warnings is None:
+        query_warnings = os.environ.get("SPARK_GRAFT_QUERY_WARNINGS", "") not in (
+            "", "0", "false",
+        )
+    if query_warnings:
+        from video_data_pipeline_spark.telemetry import install_query_warnings
+
+        install_query_warnings(spark)
     return spark
 
 

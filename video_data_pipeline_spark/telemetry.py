@@ -27,6 +27,9 @@ Caveats, by construction:
 
 from __future__ import annotations
 
+import threading
+import warnings
+
 #: AppStatusStore getter -> snake_case key in our records
 _METRICS = {
     "diskBytesSpilled": "disk_spill_bytes",
@@ -41,28 +44,51 @@ _METRICS = {
 SPILL_WARN_BYTES = 8 << 30
 
 
+_DEGRADED_WARNED = False
+
+
 def cumulative_stage_metrics(spark) -> dict[str, int]:
     """Sum spill/shuffle byte counters over every stage the driver's
     status store currently retains (completed, failed, and running —
-    failed stages matter: the spill that killed a cell is the datum)."""
-    sc = spark.sparkContext
-    jvm, gw = sc._jvm, sc._gateway
-    store = sc._jsc.sc().statusStore()
-    # full Scala signature (no py4j default-arg support):
-    # stageList(statuses, details, withSummaries, unsortedQuantiles, taskStatus)
-    stages = store.stageList(
-        jvm.java.util.ArrayList(),
-        False,
-        False,
-        gw.new_array(jvm.double, 0),
-        jvm.java.util.ArrayList(),
-    )
+    failed stages matter: the spill that killed a cell is the datum).
+
+    The ``stageList`` call below hardcodes a PRIVATE 5-arg Scala
+    signature (py4j has no default-arg support); a Spark minor-version
+    change to it would otherwise throw inside every delta and take the
+    probe/bench tools down with the telemetry (ADVICE r12). Any py4j
+    failure therefore degrades to all-zero metrics with a ONE-TIME
+    warning — measurement must never break the measured job."""
+    global _DEGRADED_WARNED
     out = dict.fromkeys(_METRICS.values(), 0)
-    it = stages.iterator()
-    while it.hasNext():
-        s = it.next()
-        for getter, key in _METRICS.items():
-            out[key] += int(getattr(s, getter)())
+    try:
+        sc = spark.sparkContext
+        jvm, gw = sc._jvm, sc._gateway
+        store = sc._jsc.sc().statusStore()
+        # full Scala signature (no py4j default-arg support):
+        # stageList(statuses, details, withSummaries, unsortedQuantiles, taskStatus)
+        stages = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            gw.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        )
+        it = stages.iterator()
+        while it.hasNext():
+            s = it.next()
+            for getter, key in _METRICS.items():
+                out[key] += int(getattr(s, getter)())
+    except Exception as e:  # noqa: BLE001 — Spark API drift / dead session
+        if not _DEGRADED_WARNED:
+            _DEGRADED_WARNED = True
+            warnings.warn(
+                "stage-metrics telemetry degraded to zeros (AppStatusStore "
+                f"read failed: {e!r}) — spill/shuffle numbers will be "
+                "missing, the measured job is unaffected",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+        return dict.fromkeys(_METRICS.values(), 0)
     return out
 
 
@@ -95,7 +121,9 @@ class StageMetricsDelta:
         self.delta = {
             k: max(0, after[k] - self._before.get(k, 0)) for k in after
         }
-        spilled = self.delta["disk_spill_bytes"] + self.delta["memory_spill_bytes"]
+        spilled = self.delta.get("disk_spill_bytes", 0) + self.delta.get(
+            "memory_spill_bytes", 0
+        )
         if spilled > self._warn_bytes:
             self.warning = (
                 f"SPILL WARNING: {self.delta['disk_spill_bytes'] >> 20} MiB disk "
@@ -104,3 +132,205 @@ class StageMetricsDelta:
                 "corpus shape (hot bucket / skewed key); check the operator's "
                 "cap telemetry before the spill disk fills"
             )
+
+
+# --------------------------------------------------- session-level warnings
+#
+# r13 (VERDICT r12 #6 + ADVICE): the probe tools wrap units of work in
+# StageMetricsDelta by hand; production use of the registered queries had
+# no equivalent, so a binding cap announced itself only through an
+# Observation the caller had to pass AND read. The opt-in listener below
+# gives EVERY query on the session both warnings for free:
+#
+# - cap divergence: every capped pair generator now auto-attaches a named
+#   observation ("cap:<family>#<n>") when the caller passes none; the
+#   listener scans each finished query's observed metrics and WARNS when
+#   any `oversized_*` counter is nonzero — a capped-subset answer can no
+#   longer be mistaken for oracle-exact.
+# - spill: per-query stage-metric deltas against the 8 GiB threshold —
+#   the same early warning the probes get, without the manual wrapper.
+#   (Under concurrent actions the delta attribution is approximate: the
+#   counters are session-cumulative, so a warning names the query that
+#   OBSERVED the spill crossing, which on a busy session may include a
+#   concurrent query's bytes. The binary signal — "this session is
+#   spilling past the pathology threshold" — is exact.)
+
+
+class CapDivergenceWarning(UserWarning):
+    """A registered query's hot-bucket cap BOUND: the result is a capped
+    subset, not the oracle-exact answer."""
+
+
+class SpillWarning(UserWarning):
+    """A query spilled past the pathology threshold."""
+
+
+_OBS_SEQ = iter(range(1 << 62))
+
+
+def cap_observation_name(family: str) -> str:
+    """Unique name for an auto-attached cap observation. Uniqueness
+    matters: two capped generators composed into ONE query would
+    otherwise collide on the CollectMetrics name at analysis time. The
+    ``cap:`` prefix is what :func:`install_query_warnings` matches."""
+    return f"cap:{family}#{next(_OBS_SEQ)}"
+
+
+class _QueryWarningListener:
+    """py4j-callback QueryExecutionListener behind
+    :func:`install_query_warnings`. Every callback body is exception-
+    proof: telemetry must never fail the listener bus."""
+
+    def __init__(self, spark, spill_warn_bytes: int, emit):
+        self._spark = spark
+        self._spill_warn_bytes = spill_warn_bytes
+        self._emit = emit
+        self._lock = threading.Lock()
+        self._last = cumulative_stage_metrics(spark)
+
+    # -- QueryExecutionListener interface -------------------------------
+    def onSuccess(self, funcName, qe, durationNs):  # noqa: N802 (Java name)
+        try:
+            self._check(funcName, qe)
+        except Exception:  # noqa: BLE001
+            pass
+
+    def onFailure(self, funcName, qe, exception):  # noqa: N802 (Java name)
+        try:
+            # the spill of a dying query is the number that names the
+            # pathology — check failed executions too
+            self._check(funcName, qe)
+        except Exception:  # noqa: BLE001
+            pass
+
+    class Java:
+        implements = ["org.apache.spark.sql.util.QueryExecutionListener"]
+
+    # -- internals -------------------------------------------------------
+    def _check(self, func_name, qe) -> None:
+        self._check_observed(qe)
+        self._check_spill(func_name)
+
+    def _check_observed(self, qe) -> None:
+        m = qe.observedMetrics()
+        it = m.iterator()
+        while it.hasNext():
+            kv = it.next()
+            name, row = kv._1(), kv._2()
+            fields = list(row.schema().fieldNames())
+            vals = {f: row.get(i) for i, f in enumerate(fields)}
+            oversized = sum(
+                int(v) for f, v in vals.items()
+                if f.startswith("oversized") and v is not None
+            )
+            if oversized <= 0:
+                continue
+            seen = {
+                f: int(v) for f, v in vals.items()
+                if f.startswith("max_") and v is not None
+            }
+            self._emit(
+                f"CAP DIVERGENCE [{name}]: {oversized} bucket(s) exceeded "
+                f"the hot-bucket cap ({seen or 'sizes n/a'}) — this result "
+                "is a CAPPED SUBSET, not the oracle-exact answer. Re-run "
+                "with calibrate=True (exact plan or named refusal) or "
+                "max_bucket_size=None (exact, quadratic workload), or "
+                "accept documented partial recall.",
+                CapDivergenceWarning,
+            )
+
+    def _check_spill(self, func_name) -> None:
+        now = cumulative_stage_metrics(self._spark)
+        with self._lock:
+            last, self._last = self._last, now
+        spilled = (
+            now.get("disk_spill_bytes", 0) - last.get("disk_spill_bytes", 0)
+            + now.get("memory_spill_bytes", 0) - last.get("memory_spill_bytes", 0)
+        )
+        if spilled > self._spill_warn_bytes:
+            self._emit(
+                f"SPILL WARNING [{func_name}]: {spilled >> 20} MiB spilled "
+                f"since the previous query (> "
+                f"{max(self._spill_warn_bytes, 0) >> 20} MiB threshold) — "
+                "pathological corpus shape (hot bucket / skewed key); check "
+                "the operator's cap telemetry before the spill disk fills",
+                SpillWarning,
+            )
+
+
+class QueryWarningsHandle:
+    """Returned by :func:`install_query_warnings`; keeps the Python
+    callback object alive (py4j requirement) and supports uninstall."""
+
+    def __init__(self, spark, listener):
+        self._spark = spark
+        self.listener = listener
+
+    def uninstall(self) -> None:
+        try:
+            self._spark._jsparkSession.listenerManager().unregister(self.listener)
+        except Exception:  # noqa: BLE001
+            pass
+        _INSTALLED.pop(id(self._spark), None)
+
+
+_INSTALLED: dict[int, QueryWarningsHandle] = {}
+
+
+def _ensure_callback_server(spark) -> None:
+    """Start py4j's callback server (JVM→Python calls) once per gateway,
+    on an ephemeral port, and point the JVM's callback client at it —
+    the documented dance for port-0 callback servers."""
+    from py4j.java_gateway import CallbackServerParameters
+
+    gw = spark.sparkContext._gateway
+    # pyspark's pinned-thread gateway (ClientServer) creates callback
+    # CONNECTION threads with the daemon flag from its python_parameters,
+    # NOT from the CallbackServerParameters below — with the stock False
+    # those non-daemon threads outlive the main thread and block
+    # interpreter exit (measured: a bench run with warnings enabled hung
+    # >3 min after completing). Flip them before any connection exists;
+    # a telemetry callback dropped at exit is the correct trade.
+    pp = getattr(gw, "python_parameters", None)
+    if pp is not None:
+        pp.daemonize = True
+        pp.daemonize_connections = True
+    started = gw.start_callback_server(
+        CallbackServerParameters(
+            port=0, daemonize=True, daemonize_connections=True
+        )
+    )
+    if started:
+        jgws = gw.java_gateway_server
+        jgws.resetCallbackClient(
+            jgws.getCallbackClient().getAddress(),
+            gw.get_callback_server().get_listening_port(),
+        )
+
+
+def install_query_warnings(
+    spark,
+    spill_warn_bytes: int = SPILL_WARN_BYTES,
+    emit=None,
+) -> QueryWarningsHandle:
+    """Attach the session-level warning listener (idempotent per
+    session). ``emit(message, category)`` defaults to ``warnings.warn``;
+    tests inject a collector (listener-bus callbacks run on a JVM-driven
+    thread, so a plain list sidesteps cross-thread warning capture).
+
+    Opt-in from :func:`video_data_pipeline_spark.session.get_spark` via
+    ``query_warnings=True`` or ``SPARK_GRAFT_QUERY_WARNINGS=1``. The py4j
+    callback server this needs is an extra socket + daemon thread — the
+    reason it is not unconditionally on (see module docstring)."""
+    key = id(spark)
+    if key in _INSTALLED:
+        return _INSTALLED[key]
+    if emit is None:
+        def emit(message, category):  # pragma: no cover - default path
+            warnings.warn(message, category, stacklevel=2)
+    _ensure_callback_server(spark)
+    listener = _QueryWarningListener(spark, spill_warn_bytes, emit)
+    spark._jsparkSession.listenerManager().register(listener)
+    handle = QueryWarningsHandle(spark, listener)
+    _INSTALLED[key] = handle
+    return handle
