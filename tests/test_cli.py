@@ -51,3 +51,25 @@ def test_cli_list_and_bad_query():
     r = run_cli("query", "no_such_query")
     assert r.returncode == 2
     assert "unknown query" in r.stderr
+
+
+def test_cli_calibrate_and_calibrated_query(tmp_path):
+    out = tmp_path / "caps.json"
+    r = run_cli("calibrate", "--sf-dir", "/root/testdata/sf0.001",
+                "--json", str(out))
+    # exit 0 = no default cap binds on the standard fixture
+    assert r.returncode == 0, r.stderr[-2000:]
+    caps = json.loads(out.read_text())
+    assert caps["simhash_chunks"]["binds"] is False
+    assert set(caps) >= {"minhash_bands", "prefix_buckets",
+                         "containment_postings", "simhash_chunks",
+                         "simhash_combos"}
+
+    r = run_cli("query", "q_simhash_near_pairs", "--calibrate",
+                "--sf-dir", "/root/testdata/sf0.001", "--show", "3")
+    assert r.returncode == 0, r.stderr[-2000:]
+
+    # a query with no calibrate path refuses the flag by name
+    r = run_cli("query", "q01_pricing_summary", "--calibrate")
+    assert r.returncode == 2
+    assert "no calibrate path" in r.stderr

@@ -164,6 +164,16 @@ def main() -> int:
         "'sampled': FRAC so the artifact can't read as a full check",
     )
     ap.add_argument(
+        "--calibrate",
+        action="store_true",
+        help="pass calibrate=True to every query whose function accepts "
+        "it (the cap pre-flight, r13): the query proceeds only on an "
+        "EXACT plan — so the oracle compare stays meaningful on corpora "
+        "where the default cap binds — or raises CapBoundError, which is "
+        "recorded as status 'refused' with the named boundary (an "
+        "explicit refusal record, not a fail and not a silent subset)",
+    )
+    ap.add_argument(
         "--resume",
         action="store_true",
         help="skip queries already recorded in --json (restartable sweeps: "
@@ -237,9 +247,15 @@ def main() -> int:
             return
         import json
 
+        summary = {"pass": n_pass, "fail": n_fail, "rows_only": n_nooracle}
+        n_refused = sum(
+            1 for r in results.values() if r.get("status") == "refused"
+        )
+        if n_refused:
+            summary["refused"] = n_refused
         payload = {
             "sf_dir": args.sf_dir,
-            "summary": {"pass": n_pass, "fail": n_fail, "rows_only": n_nooracle},
+            "summary": summary,
             "queries": results,
         }
         all_excluded = sorted(set(prior_excluded) | exclude)
@@ -267,9 +283,28 @@ def main() -> int:
         if args.resume and name in results:
             continue
         t0 = time.time()
+        calibrated = False
+        if args.calibrate:
+            import inspect
+
+            calibrated = "calibrate" in inspect.signature(q.spark_fn).parameters
         try:
-            sdf = q.spark_fn(spark, args.sf_dir).toPandas()
-        except Exception:
+            kw = {"calibrate": True} if calibrated else {}
+            sdf = q.spark_fn(spark, args.sf_dir, **kw).toPandas()
+        except Exception as e:
+            from video_data_pipeline_spark.calibrate import CapBoundError
+
+            if isinstance(e, CapBoundError):
+                # the engine REFUSED with the named boundary — the honest
+                # outcome on a corpus where no exact plan fits the budget
+                print(f"REFUSED {name}: {e}")
+                results[name] = {
+                    "status": "refused",
+                    "calibrated": True,
+                    "boundary": str(e)[:800],
+                }
+                flush_json()
+                continue
             print(f"FAIL {name}: spark raised\n{traceback.format_exc()}")
             results[name] = {"status": "fail", "err": traceback.format_exc()[-800:]}
             n_fail += 1
@@ -329,6 +364,8 @@ def main() -> int:
                 "rows": len(sdf),
                 "secs": round(time.time() - t0, 2),
             }
+            if calibrated:
+                rec["calibrated"] = True
             if sampled:
                 rec["sampled"] = args.oracle_sample
                 rec["sample_key"] = sampled[1]

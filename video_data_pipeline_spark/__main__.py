@@ -15,6 +15,8 @@ Usage::
     python -m video_data_pipeline_spark index --in out/tok [--golden 0.01]
     python -m video_data_pipeline_spark query q01_pricing_summary \
         [--sf-dir /root/testdata/sf0.01]
+    python -m video_data_pipeline_spark calibrate --sf-dir /data/corpus \
+        [--json caps.json]
 """
 
 from __future__ import annotations
@@ -59,6 +61,21 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     q.add_argument("--show", type=int, default=20)
+    q.add_argument(
+        "--calibrate", action="store_true",
+        help="for queries that support it: run the cap pre-flight first "
+        "and proceed only on an EXACT plan (or exit with the named "
+        "boundary instead of printing a capped subset)",
+    )
+
+    c = sub.add_parser(
+        "calibrate",
+        help="measure every hot-bucket cap front on a corpus (one linear "
+        "groupBy per front — safe where the pair joins would not be) and "
+        "report which registered defaults would bind",
+    )
+    c.add_argument("--sf-dir", required=True)
+    c.add_argument("--json", dest="json_out", default=None)
 
     sub.add_parser("list", help="list registry queries")
 
@@ -130,14 +147,53 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 1 if n_bad else 0
     elif args.cmd == "query":
+        import inspect
+
         from video_data_pipeline_spark.queries.registry import load_all
 
         registry = load_all()
         if args.name not in registry:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
-        df = registry[args.name].spark_fn(spark, args.sf_dir)
-        df.show(args.show, truncate=False)
+        fn = registry[args.name].spark_fn
+        kw = {}
+        if args.calibrate:
+            if "calibrate" not in inspect.signature(fn).parameters:
+                print(f"{args.name} has no calibrate path", file=sys.stderr)
+                return 2
+            kw["calibrate"] = True
+        from video_data_pipeline_spark.calibrate import CapBoundError
+
+        try:
+            df = fn(spark, args.sf_dir, **kw)
+            df.show(args.show, truncate=False)
+        except CapBoundError as e:
+            # the honest outcome on a corpus where no exact plan fits the
+            # budget: the named boundary, not a silently capped subset
+            print(f"REFUSED: {e}", file=sys.stderr)
+            return 3
+    elif args.cmd == "calibrate":
+        from video_data_pipeline_spark.calibrate import (
+            measure_front,
+            standard_fronts,
+        )
+
+        out: dict[str, dict] = {"sf_dir": args.sf_dir}
+        for name, default, make in standard_fronts(spark, args.sf_dir):
+            rec = measure_front(make(), default, name).as_dict()
+            out[name] = rec
+            verdict = (
+                "CAP BINDS — registered answers MAY be a capped subset"
+                if rec["binds"] else "cap invisible (exact)"
+            )
+            print(f"{name:22s} default={default:5d} max={rec['max']:8d} "
+                  f"oversized={rec['oversized']:6d} {verdict}")
+        if args.json_out:
+            with open(args.json_out, "w") as f:
+                json.dump(out, f, indent=1)
+        return 1 if any(
+            isinstance(v, dict) and v.get("binds") for v in out.values()
+        ) else 0
     return 0
 
 
