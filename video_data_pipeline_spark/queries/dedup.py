@@ -525,9 +525,10 @@ def simhash_combo_keys(docs):
     return combo_keys(simhash_signatures(docs))
 
 
-@query(
-    "q_simhash_near_pairs",
-    oracle=f"""
+#: the exact (uncapped) near-pair semantics — shared by the default,
+#: combo-geometry, and calibrated registered queries: all three are
+#: complete for hamming <= 3, so one oracle pins them all
+_DUCK_SIMHASH_NEAR_PAIRS_SQL = f"""
 WITH reps AS ({_DUCK_REPS}),
 wh AS (SELECT doc_id, {_DUCK_WORD_HASHES} AS hs FROM reps),
 sh AS (SELECT doc_id, CAST({_simhash_from_hashes("duck", "hs")} AS BIGINT) AS simhash FROM wh),
@@ -540,7 +541,12 @@ SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM chunks a JOIN chunks b
   ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-""",
+"""
+
+
+@query(
+    "q_simhash_near_pairs",
+    oracle=_DUCK_SIMHASH_NEAR_PAIRS_SQL,
     tags=("dedup", "simhash", "join"),
 )
 def q_simhash_near_pairs(
@@ -596,20 +602,7 @@ def q_simhash_near_pairs(
 
 @query(
     "q_simhash_near_pairs_combo",
-    oracle=f"""
-WITH reps AS ({_DUCK_REPS}),
-wh AS (SELECT doc_id, {_DUCK_WORD_HASHES} AS hs FROM reps),
-sh AS (SELECT doc_id, CAST({_simhash_from_hashes("duck", "hs")} AS BIGINT) AS simhash FROM wh),
-chunks AS (
-  SELECT doc_id, simhash, c, (simhash >> ({_CHUNK_BITS} * c)) & {_CHUNK_MASK} AS chunk
-  FROM sh, (SELECT unnest([0, 1, 2, 3]) AS c)
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM chunks a JOIN chunks b
-  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-""",
+    oracle=_DUCK_SIMHASH_NEAR_PAIRS_SQL,
     tags=("dedup", "simhash", "join"),
 )
 def q_simhash_near_pairs_combo(
@@ -631,6 +624,32 @@ def q_simhash_near_pairs_combo(
         max_bucket_size=max_bucket_size,
         observation=observation,
         geometry="combos",
+    )
+
+
+@query(
+    "q_simhash_near_pairs_calibrated",
+    oracle=_DUCK_SIMHASH_NEAR_PAIRS_SQL,
+    tags=("dedup", "simhash", "join", "calibrate"),
+)
+def q_simhash_near_pairs_calibrated(spark, sf_dir, pair_budget=None, observation=None):
+    """q_simhash_near_pairs through the r13 cap pre-flight as a REGISTERED
+    query: the driver's hash gate and the bench now pin the calibrated
+    path directly, not just via pytest. By construction the oracle
+    compare is meaningful at EVERY corpus this runs on — the pre-flight
+    proceeds only on an exact plan (default proven not to bind, or the
+    cheapest complete geometry uncapped within budget) and otherwise
+    raises ``CapBoundError`` by name, so the query never returns a
+    capped subset for the gate to mis-read. At no-bind scales (all the
+    oracle-gate fixtures) the decision is ``default`` and the only cost
+    over q_simhash_near_pairs is the one linear front measurement —
+    which the bench therefore measures."""
+    return q_simhash_near_pairs(
+        spark,
+        sf_dir,
+        observation=observation,
+        calibrate=True,
+        pair_budget=pair_budget,
     )
 
 
