@@ -34,6 +34,7 @@ HEADLINE = [
     "q_minhash_lsh_pairs",
     "q_simhash",
     "q_simhash_near_pairs",
+    "q_simhash_near_pairs_calibrated",
     "q_jaccard_verified_pairs",
     "q_levenshtein_verified_pairs",
     "q_pagerank",
