@@ -73,3 +73,15 @@ def test_cli_calibrate_and_calibrated_query(tmp_path):
     r = run_cli("query", "q01_pricing_summary", "--calibrate")
     assert r.returncode == 2
     assert "no calibrate path" in r.stderr
+
+
+def test_cli_calibrated_query_refuses_over_budget():
+    # force the bind (cap 8 << the fixture's max bucket) with an
+    # impossible budget: the refusal branch must exit 3 with the measured
+    # boundary on stderr instead of printing a silently capped table
+    r = run_cli("query", "q_simhash_near_pairs", "--calibrate",
+                "--max-bucket-size", "8", "--pair-budget", "1",
+                "--sf-dir", "/root/testdata/sf0.001", "--show", "3")
+    assert r.returncode == 3, (r.returncode, r.stderr[-800:])
+    assert "REFUSED" in r.stderr and "BINDS" in r.stderr
+    assert "pair_budget=1" in r.stderr

@@ -64,8 +64,18 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument(
         "--calibrate", action="store_true",
         help="for queries that support it: run the cap pre-flight first "
-        "and proceed only on an EXACT plan (or exit with the named "
+        "and proceed only on an EXACT plan (or exit 3 with the named "
         "boundary instead of printing a capped subset)",
+    )
+    q.add_argument(
+        "--pair-budget", type=int, default=None,
+        help="with --calibrate: max exact candidate-pair workload the "
+        "pre-flight may accept before refusing (default 200M)",
+    )
+    q.add_argument(
+        "--max-bucket-size", type=int, default=None,
+        help="override the query's hot-bucket cap (for queries that take "
+        "one); with --calibrate this is the cap the pre-flight tests",
     )
 
     c = sub.add_parser(
@@ -162,6 +172,13 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{args.name} has no calibrate path", file=sys.stderr)
                 return 2
             kw["calibrate"] = True
+            if args.pair_budget is not None:
+                kw["pair_budget"] = args.pair_budget
+        if args.max_bucket_size is not None:
+            if "max_bucket_size" not in inspect.signature(fn).parameters:
+                print(f"{args.name} takes no max_bucket_size", file=sys.stderr)
+                return 2
+            kw["max_bucket_size"] = args.max_bucket_size
         from video_data_pipeline_spark.calibrate import CapBoundError
 
         try:
