@@ -104,6 +104,30 @@ def test_install_is_idempotent_per_session(spark):
         h1.uninstall()
 
 
+def test_uninstalled_listener_stops_emitting(spark):
+    # py4j wraps the Python listener in a fresh Java proxy per call, so
+    # JVM-side unregister can never match — the off-switch is the
+    # Python-side active flag. An uninstalled listener must go silent
+    # while a newly installed one keeps working.
+    a: list[int] = []
+    b: list[int] = []
+    h1 = install_query_warnings(spark, spill_warn_bytes=-1,
+                                emit=lambda m, c: a.append(1))
+    spark.range(5).count()
+    assert _wait_for(lambda: len(a) > 0)
+    h1.uninstall()
+    h2 = install_query_warnings(spark, spill_warn_bytes=-1,
+                                emit=lambda m, c: b.append(1))
+    try:
+        n_a = len(a)
+        spark.range(5).count()
+        assert _wait_for(lambda: len(b) > 0)
+        time.sleep(1.0)  # drain any stragglers
+        assert len(a) == n_a, "uninstalled listener kept emitting"
+    finally:
+        h2.uninstall()
+
+
 def test_stage_metrics_degrade_instead_of_raising():
     # ADVICE r12: a Spark minor-version change to the private stageList
     # signature must degrade telemetry to zeros, not break the tools

@@ -187,11 +187,20 @@ class _QueryWarningListener:
         self._emit = emit
         self._lock = threading.Lock()
         self._last = cumulative_stage_metrics(spark)
+        # py4j wraps the Python object in a NEW Java proxy per call, so
+        # listenerManager().unregister(self) never matches the proxy that
+        # register() created (identity equals) — the JVM-side registration
+        # is effectively permanent. Deactivation is therefore PYTHON-side:
+        # uninstall flips this flag and the callbacks become no-ops
+        # (measured: without it, an uninstalled listener kept emitting
+        # into its old sink on every later query).
+        self.active = True
 
     # -- QueryExecutionListener interface -------------------------------
     def onSuccess(self, funcName, qe, durationNs):  # noqa: N802 (Java name)
         try:
-            self._check(funcName, qe)
+            if self.active:
+                self._check(funcName, qe)
         except Exception:  # noqa: BLE001
             pass
 
@@ -199,7 +208,8 @@ class _QueryWarningListener:
         try:
             # the spill of a dying query is the number that names the
             # pathology — check failed executions too
-            self._check(funcName, qe)
+            if self.active:
+                self._check(funcName, qe)
         except Exception:  # noqa: BLE001
             pass
 
@@ -267,6 +277,9 @@ class QueryWarningsHandle:
         self.listener = listener
 
     def uninstall(self) -> None:
+        # deactivate FIRST (the authoritative off-switch — see the
+        # listener's proxy-identity note), then best-effort unregister
+        self.listener.active = False
         try:
             self._spark._jsparkSession.listenerManager().unregister(self.listener)
         except Exception:  # noqa: BLE001
