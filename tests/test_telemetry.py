@@ -40,6 +40,18 @@ def test_delta_sees_shuffle_bytes(spark):
     assert m.warning is None, "healthy job must not warn"
 
 
+def test_delta_counts_only_window_stages(spark):
+    # deltas sum stages NEWER than the window start (r13: immune to the
+    # status store evicting pre-window stages mid-window, which zeroed
+    # the old cumulative-diff form on long sessions) — so work done
+    # BEFORE the window must not leak in, and an empty window reads zero
+    df = spark.range(50_000).select((F.col("id") % 13).alias("k"))
+    df.groupBy("k").count().write.format("noop").mode("overwrite").save()
+    with StageMetricsDelta(spark) as m:
+        pass
+    assert all(v == 0 for v in m.delta.values()), m.delta
+
+
 def test_delta_lands_on_exception(spark):
     with pytest.raises(Exception, match="boom"):
         with StageMetricsDelta(spark) as m:

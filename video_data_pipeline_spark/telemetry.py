@@ -19,10 +19,13 @@ store, so a killed probe cell still reports how much it had spilled).
 Caveats, by construction:
 - totals are CUMULATIVE across the session; use :class:`StageMetricsDelta`
   around a unit of work for per-query numbers.
-- the store retains ``spark.ui.retainedStages`` (default 1000) stages;
-  past that, evicted stages leave the cumulative total, so very long
-  sessions can see a delta UNDERCOUNT (never an overcount of live work).
-  Deltas clamp at zero.
+- the store retains ``spark.ui.retainedStages`` (default 1000) stages.
+  Deltas are therefore computed BY STAGE ID (sum over stages newer than
+  the window start), not as a difference of cumulative totals — the
+  cumulative diff went to zero whenever eviction removed pre-window
+  stages during the window (observed on a long pytest session, r13). A
+  window only undercounts if >1000 stages complete INSIDE it and its own
+  early stages get evicted — far beyond any single measured query here.
 """
 
 from __future__ import annotations
@@ -58,8 +61,16 @@ def cumulative_stage_metrics(spark) -> dict[str, int]:
     probe/bench tools down with the telemetry (ADVICE r12). Any py4j
     failure therefore degrades to all-zero metrics with a ONE-TIME
     warning — measurement must never break the measured job."""
+    return _scan_stages(spark)[0]
+
+
+def _scan_stages(spark, min_stage_id: int = -1) -> tuple[dict[str, int], int]:
+    """(metrics summed over retained stages with stageId > min_stage_id,
+    max stageId seen). Degrades to (zeros, min_stage_id) with a one-time
+    warning on any py4j failure — see :func:`cumulative_stage_metrics`."""
     global _DEGRADED_WARNED
     out = dict.fromkeys(_METRICS.values(), 0)
+    max_id = min_stage_id
     try:
         sc = spark.sparkContext
         jvm, gw = sc._jvm, sc._gateway
@@ -76,6 +87,11 @@ def cumulative_stage_metrics(spark) -> dict[str, int]:
         it = stages.iterator()
         while it.hasNext():
             s = it.next()
+            sid = int(s.stageId())
+            if sid > max_id:
+                max_id = sid
+            if sid <= min_stage_id:
+                continue
             for getter, key in _METRICS.items():
                 out[key] += int(getattr(s, getter)())
     except Exception as e:  # noqa: BLE001 — Spark API drift / dead session
@@ -88,8 +104,8 @@ def cumulative_stage_metrics(spark) -> dict[str, int]:
                 RuntimeWarning,
                 stacklevel=2,
             )
-        return dict.fromkeys(_METRICS.values(), 0)
-    return out
+        return dict.fromkeys(_METRICS.values(), 0), min_stage_id
+    return out, max_id
 
 
 class StageMetricsDelta:
@@ -110,17 +126,19 @@ class StageMetricsDelta:
         self.warning: str | None = None
 
     def __enter__(self) -> "StageMetricsDelta":
-        self._before = cumulative_stage_metrics(self._spark)
+        # record the newest stage id, NOT a cumulative snapshot: summing
+        # only stages newer than this is immune to the store evicting
+        # pre-window stages mid-window (which zeroed cumulative diffs on
+        # long sessions — r13 fix)
+        self._since = _scan_stages(self._spark)[1]
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
         try:
-            after = cumulative_stage_metrics(self._spark)
+            after, _ = _scan_stages(self._spark, self._since)
         except Exception:  # noqa: BLE001 — a dead session shouldn't mask exc
             return
-        self.delta = {
-            k: max(0, after[k] - self._before.get(k, 0)) for k in after
-        }
+        self.delta = {k: max(0, v) for k, v in after.items()}
         spilled = self.delta.get("disk_spill_bytes", 0) + self.delta.get(
             "memory_spill_bytes", 0
         )
@@ -186,7 +204,7 @@ class _QueryWarningListener:
         self._spill_warn_bytes = spill_warn_bytes
         self._emit = emit
         self._lock = threading.Lock()
-        self._last = cumulative_stage_metrics(spark)
+        self._since = _scan_stages(spark)[1]
         # py4j wraps the Python object in a NEW Java proxy per call, so
         # listenerManager().unregister(self) never matches the proxy that
         # register() created (identity equals) — the JVM-side registration
@@ -250,12 +268,11 @@ class _QueryWarningListener:
             )
 
     def _check_spill(self, func_name) -> None:
-        now = cumulative_stage_metrics(self._spark)
         with self._lock:
-            last, self._last = self._last, now
-        spilled = (
-            now.get("disk_spill_bytes", 0) - last.get("disk_spill_bytes", 0)
-            + now.get("memory_spill_bytes", 0) - last.get("memory_spill_bytes", 0)
+            since = self._since
+            delta, self._since = _scan_stages(self._spark, since)
+        spilled = delta.get("disk_spill_bytes", 0) + delta.get(
+            "memory_spill_bytes", 0
         )
         if spilled > self._spill_warn_bytes:
             self._emit(
