@@ -138,3 +138,35 @@ def test_measure_front_integer_pair_arithmetic(spark):
     assert s.uncapped_pairs == 10 + 3 + 0
     assert s.capped_pairs == 6 + 3 + 0  # bucket a capped 5 -> 4
     assert isinstance(s.uncapped_pairs, int)
+
+
+def test_explicit_uncapped_request_skips_preflight(spark, low_entropy_docs):
+    # ADVICE r13: calibrate + an EXPLICIT max_bucket_size=None used to map
+    # None back to the default cap, so the pre-flight could refuse with
+    # advice to "pass max_bucket_size=None" — the thing already passed.
+    # Explicit None now means the caller chose the uncapped exact join:
+    # no measurement, no possible refusal, even with a hostile budget.
+    plan = calibrate_simhash(low_entropy_docs, default_cap=None, pair_budget=1)
+    assert plan.decision == "explicit_uncapped"
+    assert plan.max_bucket_size is None
+    assert plan.stats == {}  # nothing was measured
+    exact = _rows(simhash_near_pairs_capped(low_entropy_docs, max_bucket_size=None))
+    got = _rows(
+        calibrated_simhash_near_pairs(
+            low_entropy_docs, default_cap=None, pair_budget=1
+        )
+    )
+    assert got == exact
+
+
+def test_registered_calibrate_with_explicit_none_runs_uncapped(spark):
+    # the registered-query spelling of the same contract: calibrate=True +
+    # max_bucket_size=None must run (uncapped) rather than raise, and
+    # equal the plain uncapped answer
+    exact = _rows(q_simhash_near_pairs(spark, SF_DIR, max_bucket_size=None))
+    got = _rows(
+        q_simhash_near_pairs(
+            spark, SF_DIR, max_bucket_size=None, calibrate=True, pair_budget=1
+        )
+    )
+    assert got == exact

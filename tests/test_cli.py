@@ -85,3 +85,20 @@ def test_cli_calibrated_query_refuses_over_budget():
     assert r.returncode == 3, (r.returncode, r.stderr[-800:])
     assert "REFUSED" in r.stderr and "BINDS" in r.stderr
     assert "pair_budget=1" in r.stderr
+
+
+def test_cli_pair_budget_gated_on_signature():
+    # ADVICE r13: --pair-budget used to be forwarded to any query that
+    # accepted `calibrate`, so q_simhash_calibration (calibrate, no
+    # pair_budget then) died in a TypeError traceback. Now: queries
+    # without the parameter refuse cleanly with exit 2 ...
+    r = run_cli("query", "q01_pricing_summary", "--pair-budget", "5")
+    assert r.returncode == 2
+    assert "takes no pair_budget" in r.stderr
+    # ... and q_simhash_calibration grew the parameter, so the originally
+    # crashing invocation now runs end-to-end (sf0.001: cap has headroom,
+    # the pre-flight proceeds on the default plan regardless of budget)
+    r = run_cli("query", "q_simhash_calibration", "--calibrate",
+                "--pair-budget", "5", "--sf-dir", "/root/testdata/sf0.001",
+                "--show", "3")
+    assert r.returncode == 0, r.stderr[-2000:]

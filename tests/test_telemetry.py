@@ -67,3 +67,76 @@ def test_spill_warning_threshold(spark):
     with StageMetricsDelta(spark, warn_bytes=-1) as m:
         df.groupBy("k").count().write.format("noop").mode("overwrite").save()
     assert m.warning is not None and "SPILL WARNING" in m.warning
+
+
+def test_degraded_enter_scan_reports_zeros_not_history(spark, monkeypatch):
+    # ADVICE r13: if the ENTER scan degrades (returns anchor -1) but the
+    # exit scan succeeds, the delta summed the session's entire retained
+    # stage history — an overcount. A degraded window must read all-zero.
+    from video_data_pipeline_spark import telemetry
+
+    # ensure there IS history that a -1 anchor would otherwise sweep up
+    df = spark.range(50_000).select((F.col("id") % 11).alias("k"))
+    df.groupBy("k").count().write.format("noop").mode("overwrite").save()
+    real = telemetry._scan_stages
+    calls = {"n": 0}
+
+    def flaky(s, min_stage_id=-1):
+        calls["n"] += 1
+        if calls["n"] == 1:  # the enter scan fails
+            return dict.fromkeys(telemetry._METRICS.values(), 0), min_stage_id, False
+        return real(s, min_stage_id)
+
+    monkeypatch.setattr(telemetry, "_scan_stages", flaky)
+    with telemetry.StageMetricsDelta(spark, warn_bytes=-1) as m:
+        df.groupBy("k").count().write.format("noop").mode("overwrite").save()
+    assert m.degraded
+    assert all(v == 0 for v in m.delta.values()), m.delta
+    assert m.warning is None, "a degraded window must not warn"
+
+
+def test_listener_degraded_anchor_reanchors_without_overcount(spark):
+    # same contract on the listener path: a failed anchor scan makes the
+    # next window re-anchor and SKIP its check instead of summing history
+    from video_data_pipeline_spark.telemetry import _QueryWarningListener
+
+    events = []
+    listener = _QueryWarningListener(spark, -1, lambda m, c: events.append(m))
+    listener._since, listener._since_ok = -1, False  # simulate failed anchor
+    spark.range(10_000).select((F.col("id") % 5).alias("k")).groupBy(
+        "k"
+    ).count().write.format("noop").mode("overwrite").save()
+    listener._check_spill("save")
+    assert events == [], "degraded-anchor window must skip, not warn"
+    assert listener._since_ok and listener._since >= 0
+    # and the NEXT window works normally (warn_bytes=-1 => any job warns)
+    spark.range(10_000).select((F.col("id") % 5).alias("k")).groupBy(
+        "k"
+    ).count().write.format("noop").mode("overwrite").save()
+    listener._check_spill("save")
+    assert events, "re-anchored listener must resume warning"
+
+
+def test_installed_registry_does_not_pin_or_alias_sessions():
+    # ADVICE r13: id()-keyed _INSTALLED let a new session reuse a dead
+    # session's CPython id and fetch the stale handle. The registry is now
+    # weak-keyed and its values hold the session weakly, so entries vanish
+    # with the session instead of pinning it.
+    import gc
+    import weakref
+
+    from video_data_pipeline_spark import telemetry
+
+    assert isinstance(telemetry._INSTALLED, weakref.WeakKeyDictionary)
+
+    class FakeSession:  # weakref-able stand-in
+        pass
+
+    fake = FakeSession()
+    handle = telemetry.QueryWarningsHandle(fake, listener=None)
+    telemetry._INSTALLED[fake] = handle
+    assert fake in telemetry._INSTALLED
+    ref = weakref.ref(fake)
+    del fake
+    gc.collect()
+    assert ref() is None, "handle/registry must not keep the session alive"

@@ -166,14 +166,21 @@ def main(argv: list[str] | None = None) -> int:
             print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
             return 2
         fn = registry[args.name].spark_fn
+        params = inspect.signature(fn).parameters
         kw = {}
         if args.calibrate:
-            if "calibrate" not in inspect.signature(fn).parameters:
+            if "calibrate" not in params:
                 print(f"{args.name} has no calibrate path", file=sys.stderr)
                 return 2
             kw["calibrate"] = True
-            if args.pair_budget is not None:
-                kw["pair_budget"] = args.pair_budget
+        if args.pair_budget is not None:
+            # gate on the actual signature (ADVICE r13): a query can accept
+            # `calibrate` without `pair_budget`; forwarding the flag blindly
+            # died in a TypeError traceback instead of a clean exit code
+            if "pair_budget" not in params:
+                print(f"{args.name} takes no pair_budget", file=sys.stderr)
+                return 2
+            kw["pair_budget"] = args.pair_budget
         if args.max_bucket_size is not None:
             if "max_bucket_size" not in inspect.signature(fn).parameters:
                 print(f"{args.name} takes no max_bucket_size", file=sys.stderr)

@@ -55,6 +55,13 @@ log = logging.getLogger("video_data_pipeline_spark.calibrate")
 #: regimes (sfp30 chunks: ~4.6B candidates) that exhaust spill disk.
 DEFAULT_PAIR_BUDGET = 200_000_000
 
+#: sentinel distinguishing "caller did not choose a cap" (use the family
+#: default) from an EXPLICIT ``default_cap=None`` (the caller already
+#: accepted the uncapped quadratic workload — ADVICE r13: mapping None
+#: back to the default made the pre-flight refuse with advice to "pass
+#: max_bucket_size=None", the exact thing the caller had already done)
+_UNSET = object()
+
 
 @dataclass
 class FrontStats:
@@ -162,7 +169,7 @@ def _key(df: DataFrame) -> DataFrame:
 def calibrate_simhash(
     docs: DataFrame,
     pair_budget: int = DEFAULT_PAIR_BUDGET,
-    default_cap: int | None = None,
+    default_cap=_UNSET,
     max_hamming: int = 3,
 ) -> SimhashPlan:
     """Pre-flight for the simhash near-pair family (VERDICT r12 #1).
@@ -180,6 +187,13 @@ def calibrate_simhash(
     The 60-bit signature is computed ONCE and lazily checkpointed; the
     returned plan carries it (``signatures``) so the subsequent pair join
     reuses the same frame instead of re-running the md5 pass.
+
+    ``default_cap`` semantics (ADVICE r13): leaving it unset means "test
+    the family default"; an EXPLICIT ``default_cap=None`` means the caller
+    already chose the uncapped exact join, so there is nothing to
+    calibrate — the plan is ``explicit_uncapped`` with no measurement (in
+    particular, no :class:`CapBoundError` can send the caller back to the
+    escape they already took).
     """
     from video_data_pipeline_spark.queries.dedup import (
         DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
@@ -189,11 +203,25 @@ def calibrate_simhash(
         simhash_signatures,
     )
 
-    if default_cap is None:
+    if default_cap is _UNSET:
         default_cap = DEFAULT_SIMHASH_MAX_BUCKET_SIZE
     sig = simhash_signatures(exact_dup_representatives(docs)).localCheckpoint(
         eager=False
     )
+    if default_cap is None:
+        reason = (
+            "caller passed max_bucket_size=None explicitly — the uncapped "
+            "exact join was already chosen, pre-flight skipped"
+        )
+        log.info("simhash calibration: %s", reason)
+        return SimhashPlan(
+            decision="explicit_uncapped",
+            geometry="chunks",
+            max_bucket_size=None,
+            reason=reason,
+            stats={},
+            signatures=sig,
+        )
     stats: dict[str, FrontStats] = {}
     stats["chunks"] = measure_front(_key(chunk_keys(sig)), default_cap, "chunks")
     if not stats["chunks"].binds:
@@ -257,14 +285,15 @@ def calibrate_simhash(
 def calibrated_simhash_near_pairs(
     docs: DataFrame,
     pair_budget: int = DEFAULT_PAIR_BUDGET,
-    default_cap: int | None = None,
+    default_cap=_UNSET,
     observation=None,
     max_hamming: int = 3,
 ) -> DataFrame:
     """:func:`calibrate_simhash` + the pair join the plan prescribes —
     the ``calibrate=True`` body of the registered ``q_simhash_near_pairs``.
     Exact by construction: every path this function returns is either a
-    proven-not-to-bind default or an uncapped complete geometry; the
+    proven-not-to-bind default, an uncapped complete geometry, or the
+    caller's own explicit ``default_cap=None`` uncapped request; the
     cap-binds-and-over-budget case raises :class:`CapBoundError`."""
     from video_data_pipeline_spark.queries.dedup import simhash_near_pairs_capped
 

@@ -185,7 +185,8 @@ WHERE (('0x' || substr(md5(CAST(p.doc_a AS VARCHAR) || ':' || CAST(p.doc_b AS VA
     tags=("dedup", "simhash", "audit"),
 )
 def q_simhash_calibration(
-    spark, sf_dir, max_bucket_size=..., observation=None, calibrate=False
+    spark, sf_dir, max_bucket_size=..., observation=None, calibrate=False,
+    pair_budget=None,
 ):
     """SimHash calibration: for every pigeonhole candidate pair
     (hamming ≤ 3), the signature's hamming distance next to the EXACT
@@ -206,12 +207,14 @@ def q_simhash_calibration(
     ``max_bucket_size=None`` for an exactness study; an ``Observation``
     lands the front's cap-engagement telemetry; ``calibrate=True`` (r13)
     forwards to the front's pre-flight — the audit proceeds only on an
-    exact plan or raises ``CapBoundError`` by name."""
+    exact plan or raises ``CapBoundError`` by name — and ``pair_budget``
+    (ADVICE r13) forwards the pre-flight's acceptance budget with it."""
     from video_data_pipeline_spark.queries.dedup import q_simhash_near_pairs
 
     kw = {} if max_bucket_size is ... else {"max_bucket_size": max_bucket_size}
     pairs = q_simhash_near_pairs(
-        spark, sf_dir, observation=observation, calibrate=calibrate, **kw
+        spark, sf_dir, observation=observation, calibrate=calibrate,
+        pair_budget=pair_budget, **kw
     )
     return _calibration_from_pairs(spark, sf_dir, pairs)
 

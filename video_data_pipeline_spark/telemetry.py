@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import threading
 import warnings
+import weakref
 
 #: AppStatusStore getter -> snake_case key in our records
 _METRICS = {
@@ -64,10 +65,17 @@ def cumulative_stage_metrics(spark) -> dict[str, int]:
     return _scan_stages(spark)[0]
 
 
-def _scan_stages(spark, min_stage_id: int = -1) -> tuple[dict[str, int], int]:
+def _scan_stages(
+    spark, min_stage_id: int = -1
+) -> tuple[dict[str, int], int, bool]:
     """(metrics summed over retained stages with stageId > min_stage_id,
-    max stageId seen). Degrades to (zeros, min_stage_id) with a one-time
-    warning on any py4j failure — see :func:`cumulative_stage_metrics`."""
+    max stageId seen, scan-succeeded flag). Degrades to
+    (zeros, min_stage_id, False) with a one-time warning on any py4j
+    failure — see :func:`cumulative_stage_metrics`. The flag lets window
+    anchors distinguish "no stages yet" (-1, ok) from "scan failed" (-1,
+    degraded): summing a later window from a FAILED anchor would count the
+    session's entire retained history — an overcount the never-overcount
+    contract forbids (ADVICE r13)."""
     global _DEGRADED_WARNED
     out = dict.fromkeys(_METRICS.values(), 0)
     max_id = min_stage_id
@@ -104,8 +112,8 @@ def _scan_stages(spark, min_stage_id: int = -1) -> tuple[dict[str, int], int]:
                 RuntimeWarning,
                 stacklevel=2,
             )
-        return dict.fromkeys(_METRICS.values(), 0), min_stage_id
-    return out, max_id
+        return dict.fromkeys(_METRICS.values(), 0), min_stage_id, False
+    return out, max_id, True
 
 
 class StageMetricsDelta:
@@ -124,18 +132,27 @@ class StageMetricsDelta:
         self._warn_bytes = warn_bytes
         self.delta: dict[str, int] = {}
         self.warning: str | None = None
+        self.degraded = False
 
     def __enter__(self) -> "StageMetricsDelta":
         # record the newest stage id, NOT a cumulative snapshot: summing
         # only stages newer than this is immune to the store evicting
         # pre-window stages mid-window (which zeroed cumulative diffs on
         # long sessions — r13 fix)
-        self._since = _scan_stages(self._spark)[1]
+        _, self._since, ok = _scan_stages(self._spark)
+        # a FAILED enter scan anchors at -1, which a succeeding exit scan
+        # would read as "sum every retained stage" — an overcount. Report
+        # zeros for the window instead (ADVICE r13): telemetry degrades,
+        # never overstates.
+        self.degraded = not ok
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
+        if self.degraded:
+            self.delta = dict.fromkeys(_METRICS.values(), 0)
+            return
         try:
-            after, _ = _scan_stages(self._spark, self._since)
+            after, _, _ = _scan_stages(self._spark, self._since)
         except Exception:  # noqa: BLE001 — a dead session shouldn't mask exc
             return
         self.delta = {k: max(0, v) for k, v in after.items()}
@@ -190,7 +207,12 @@ def cap_observation_name(family: str) -> str:
     """Unique name for an auto-attached cap observation. Uniqueness
     matters: two capped generators composed into ONE query would
     otherwise collide on the CollectMetrics name at analysis time. The
-    ``cap:`` prefix is what :func:`install_query_warnings` matches."""
+    ``cap:`` prefix is a NAMING convention for readability of the warning
+    text; the listener matches on the observation's FIELDS (any nonzero
+    ``oversized_*`` counter), not the name — deliberately, so a
+    caller-supplied Observation with its own name still trips the
+    cap-divergence warning (ADVICE r13: the docstring used to claim a
+    prefix match that never existed)."""
     return f"cap:{family}#{next(_OBS_SEQ)}"
 
 
@@ -200,11 +222,15 @@ class _QueryWarningListener:
     proof: telemetry must never fail the listener bus."""
 
     def __init__(self, spark, spill_warn_bytes: int, emit):
-        self._spark = spark
+        # weak: py4j's callback pool keeps THIS object alive for the
+        # gateway's lifetime (JVM-side unregister never matches — see
+        # below), so a strong session ref here would pin every stopped
+        # session forever and defeat _INSTALLED's weak keying
+        self._spark_ref = weakref.ref(spark)
         self._spill_warn_bytes = spill_warn_bytes
         self._emit = emit
         self._lock = threading.Lock()
-        self._since = _scan_stages(spark)[1]
+        _, self._since, self._since_ok = _scan_stages(spark)
         # py4j wraps the Python object in a NEW Java proxy per call, so
         # listenerManager().unregister(self) never matches the proxy that
         # register() created (identity equals) — the JVM-side registration
@@ -268,9 +294,18 @@ class _QueryWarningListener:
             )
 
     def _check_spill(self, func_name) -> None:
+        spark = self._spark_ref()
+        if spark is None:  # session collected; nothing to measure
+            return
         with self._lock:
-            since = self._since
-            delta, self._since = _scan_stages(self._spark, since)
+            since, since_ok = self._since, self._since_ok
+            delta, new_since, ok = _scan_stages(spark, since)
+            self._since, self._since_ok = new_since, ok
+            if not since_ok:
+                # the PREVIOUS anchor scan failed, so this window spans
+                # the session's whole retained history — an overcount.
+                # Re-anchor (done above) and skip the check (ADVICE r13).
+                return
         spilled = delta.get("disk_spill_bytes", 0) + delta.get(
             "memory_spill_bytes", 0
         )
@@ -290,21 +325,31 @@ class QueryWarningsHandle:
     callback object alive (py4j requirement) and supports uninstall."""
 
     def __init__(self, spark, listener):
-        self._spark = spark
+        # weak, like the listener's ref: the handle lives in _INSTALLED's
+        # VALUES, so a strong session ref would pin the weak KEY forever
+        self._spark_ref = weakref.ref(spark)
         self.listener = listener
 
     def uninstall(self) -> None:
         # deactivate FIRST (the authoritative off-switch — see the
         # listener's proxy-identity note), then best-effort unregister
         self.listener.active = False
+        spark = self._spark_ref()
+        if spark is None:  # session already collected — entry gone too
+            return
         try:
-            self._spark._jsparkSession.listenerManager().unregister(self.listener)
+            spark._jsparkSession.listenerManager().unregister(self.listener)
         except Exception:  # noqa: BLE001
             pass
-        _INSTALLED.pop(id(self._spark), None)
+        _INSTALLED.pop(spark, None)
 
 
-_INSTALLED: dict[int, QueryWarningsHandle] = {}
+# Weak-keyed by the live SparkSession object (ADVICE r13): an id()-keyed
+# dict let a NEW session that reused a garbage-collected session's CPython
+# id fetch the dead session's handle and silently skip installing the
+# listener on the live one. Weak keys make dead-session entries vanish
+# with the session, and identity keying cannot alias while the key lives.
+_INSTALLED: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _ensure_callback_server(spark) -> None:
@@ -352,9 +397,8 @@ def install_query_warnings(
     ``query_warnings=True`` or ``SPARK_GRAFT_QUERY_WARNINGS=1``. The py4j
     callback server this needs is an extra socket + daemon thread — the
     reason it is not unconditionally on (see module docstring)."""
-    key = id(spark)
-    if key in _INSTALLED:
-        return _INSTALLED[key]
+    if spark in _INSTALLED:
+        return _INSTALLED[spark]
     if emit is None:
         def emit(message, category):  # pragma: no cover - default path
             warnings.warn(message, category, stacklevel=2)
@@ -362,5 +406,5 @@ def install_query_warnings(
     listener = _QueryWarningListener(spark, spill_warn_bytes, emit)
     spark._jsparkSession.listenerManager().register(listener)
     handle = QueryWarningsHandle(spark, listener)
-    _INSTALLED[key] = handle
+    _INSTALLED[spark] = handle
     return handle
