@@ -1,8 +1,19 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
+Prints the full result JSON line
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
+then a SHORT summary JSON line (same shape minus the per-query map, plus
+``"full"`` naming the artifact file) as the LAST line of stdout, and
+writes the full result to a file (``--out`` / $SPARK_GRAFT_BENCH_OUT,
+default ``BENCH_FULL.json`` beside this script).
+
+Why three spellings of one result (r13 VERDICT #2): the driver records
+only the TAIL of stdout, and the full line (~2.3 KB at 68 queries)
+overflows that tail, clipping its head — BENCH_r13.json carried
+``"parsed": null`` with the first queries missing. The trailing summary
+line always fits any tail window, so the per-round artifact is parseable
+again, and the on-disk file carries every per-query number self-contained.
 
 Each query executes fully via a noop sink (no driver collect skew); timings
 are per-query wall clock after a session warm-up. Mirrors the reference's
@@ -179,24 +190,39 @@ def main() -> None:
         shutil.rmtree(pack_out, ignore_errors=True)
 
     lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "n_queries": len(timings),
-                **({"skipped": sorted(skip)} if skip else {}),
-                "lineitem_rows": lineitem_rows,
-                "rows_per_sec_q01": round(lineitem_rows / timings["q01_pricing_summary"]),
-                "pack_samples": n_samples,
-                "pack_sec": round(pack_sec, 3),
-                "pack_samples_per_sec": round(n_samples / pack_sec),
-            }
-        )
+    result = {
+        "metric": "headline_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "n_queries": len(timings),
+        **({"skipped": sorted(skip)} if skip else {}),
+        "lineitem_rows": lineitem_rows,
+        "rows_per_sec_q01": round(lineitem_rows / timings["q01_pricing_summary"]),
+        "pack_samples": n_samples,
+        "pack_sec": round(pack_sec, 3),
+        "pack_samples_per_sec": round(n_samples / pack_sec),
+    }
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
+    if len(sys.argv) > 2 and sys.argv[1] == "--out":
+        out_path = sys.argv[2]
+    try:
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError as e:  # a read-only checkout must not fail the bench
+        print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
+        out_path = None
+    # full line first (self-contained when the whole stdout is kept),
+    # compact summary LAST so any tail window ends with parseable JSON
+    print(json.dumps(result))
+    summary = {
+        k: v for k, v in result.items() if k != "queries"
+    }
+    summary["full"] = out_path
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

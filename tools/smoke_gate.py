@@ -22,6 +22,7 @@ failure printed with its traceback).
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 import traceback
@@ -71,6 +72,19 @@ def main() -> int:
     except Exception:
         failures.append("__spark_entry__.entry")
         print(f"entry FAIL\n{traceback.format_exc()}")
+
+    # 4. gate-artifact freshness (r14, VERDICT r13 #1): the latest
+    # committed plan-audit and full-sweep artifacts must describe THIS
+    # registry — a query registered after the gates ran must fail the
+    # pre-commit gate, not ship as a one-artifact lag
+    from tools.gate_freshness import check_gate_artifacts
+
+    stale = check_gate_artifacts(os.getcwd(), len(registry))
+    for p in stale:
+        failures.append(f"gate freshness: {p}")
+        print(f"gate STALE {p}")
+    if not stale:
+        print("gates OK  (plan audit + full sweep match the registry)")
 
     dt = time.time() - t_start
     if failures:
