@@ -43,6 +43,7 @@ HEADLINE = [
     # dedup family
     "q_dedup_exact",
     "q_minhash_lsh_pairs",
+    "q_minhash_lsh_pairs_calibrated",
     "q_simhash",
     "q_simhash_near_pairs",
     "q_simhash_near_pairs_calibrated",

@@ -1,0 +1,155 @@
+"""Generic cap pre-flight for the single-front pair generators (r14,
+VERDICT r13 #5): minhash-LSH bands, prefix-filter buckets, containment
+postings.
+
+The simhash family got calibrate= in r13; these fronts have one geometry
+each, so their ladder is calibrate_capped_front: measure (one linear
+groupBy, no pair expansion) → proceed default (cap proven not to bind,
+exact) / proceed uncapped (measured workload fits the budget, exact) /
+refuse by name. A crafted near-clone corpus (rotations: distinct content,
+near-identical shingle sets, hence identical signatures) drives the bind.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from video_data_pipeline_spark.calibrate import (
+    CapBoundError,
+    calibrate_capped_front,
+)
+from video_data_pipeline_spark.queries.dedup import (
+    lsh_pairs_from_bands,
+    minhash_bands,
+    q_minhash_lsh_pairs,
+    q_minhash_lsh_pairs_calibrated,
+    exact_dup_representatives,
+)
+from video_data_pipeline_spark.queries.simjoin import (
+    q_containment_pairs,
+    q_prefix_filter_join,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def near_clone_docs(spark):
+    """40 rotations of one 60-word sentence: distinct content (no exact-dup
+    collapse) but near-identical shingle SETS, so the min-hash over each
+    band is identical and every band bucket holds all 40 docs — a small
+    cap BINDS. The boilerplate-clique shape of real crawls."""
+    words = [f"word{i:03d}" for i in range(60)]
+    rows = [(i, " ".join(words[i:] + words[:i])) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+# ---------------------------------------------------------- unit ladder
+
+
+def test_front_plan_default_when_cap_has_headroom(spark):
+    keys = spark.createDataFrame([("a",)] * 3 + [("b",)] * 2, "key string")
+    plan = calibrate_capped_front(keys, 64, "toy")
+    assert plan.decision == "default"
+    assert plan.max_bucket_size == 64
+    assert not plan.stats["toy"].binds
+
+
+def test_front_plan_uncapped_within_budget(spark):
+    keys = spark.createDataFrame([("hot",)] * 10 + [("b",)] * 2, "key string")
+    plan = calibrate_capped_front(keys, 4, "toy", pair_budget=1000)
+    assert plan.decision == "exact_uncapped"
+    assert plan.max_bucket_size is None
+    assert plan.stats["toy"].binds
+    assert plan.stats["toy"].uncapped_pairs == 45 + 1
+
+
+def test_front_plan_refuses_over_budget_naming_escapes(spark):
+    keys = spark.createDataFrame([("hot",)] * 10, "key string")
+    with pytest.raises(CapBoundError) as ei:
+        calibrate_capped_front(
+            keys, 4, "containment_postings", pair_budget=10,
+            escape_arg="max_posting_size",
+        )
+    msg = str(ei.value)
+    assert "containment_postings" in msg and "BINDS" in msg
+    assert "pair_budget=10" in msg
+    assert "max_posting_size=None" in msg  # the family's OWN escape knob
+    assert ei.value.stats["containment_postings"].uncapped_pairs == 45
+
+
+# ----------------------------------------------------- minhash, end-to-end
+
+
+def test_minhash_calibrated_exact_when_cap_would_bind(spark, near_clone_docs):
+    reps = exact_dup_representatives(near_clone_docs)
+    bands = minhash_bands(reps)
+    capped = _rows(lsh_pairs_from_bands(bands, max_bucket_size=8))
+    exact = _rows(lsh_pairs_from_bands(bands, max_bucket_size=None))
+    assert len(capped) < len(exact), "fixture must actually bind the cap"
+    # the pre-flight on the same front must pick the uncapped exact plan
+    from pyspark.sql import functions as F
+
+    plan = calibrate_capped_front(
+        bands.select(F.concat_ws("/", "band_idx", "band_key").alias("key")),
+        8,
+        "minhash_bands",
+        pair_budget=10**6,
+    )
+    assert plan.decision == "exact_uncapped"
+    assert _rows(lsh_pairs_from_bands(bands, plan.max_bucket_size)) == exact
+
+
+def test_minhash_refusal_on_clone_corpus_tiny_budget(spark, near_clone_docs):
+    from pyspark.sql import functions as F
+
+    bands = minhash_bands(exact_dup_representatives(near_clone_docs))
+    with pytest.raises(CapBoundError) as ei:
+        calibrate_capped_front(
+            bands.select(F.concat_ws("/", "band_idx", "band_key").alias("key")),
+            8,
+            "minhash_bands",
+            pair_budget=10,
+        )
+    assert "minhash_bands" in str(ei.value)
+
+
+# ------------------------------------------- registered knobs, no-bind sf
+
+
+def test_registered_calibrate_knobs_match_default_on_standard_fixture(spark):
+    # on fixtures where the caps have headroom, calibrate=True is a no-op
+    # on the output for all three families (decision: default)
+    for fn in (q_minhash_lsh_pairs, q_prefix_filter_join, q_containment_pairs):
+        base = _rows(fn(spark, SF_DIR))
+        calibrated = _rows(fn(spark, SF_DIR, calibrate=True))
+        assert calibrated == base, fn.__name__
+
+
+def test_registered_calibrated_twin_matches_base(spark):
+    base = _rows(q_minhash_lsh_pairs(spark, SF_DIR))
+    assert _rows(q_minhash_lsh_pairs_calibrated(spark, SF_DIR)) == base
+
+
+def test_explicit_uncapped_skips_preflight_all_families(spark):
+    # ADVICE-r13 contract, applied to the new knobs: calibrate=True with
+    # the family's explicit uncapped escape must run uncapped, never
+    # refuse — even with a hostile budget
+    exact = _rows(q_minhash_lsh_pairs(spark, SF_DIR, max_bucket_size=None))
+    got = _rows(
+        q_minhash_lsh_pairs(
+            spark, SF_DIR, max_bucket_size=None, calibrate=True, pair_budget=1
+        )
+    )
+    assert got == exact
+    exact = _rows(q_containment_pairs(spark, SF_DIR, max_posting_size=None))
+    got = _rows(
+        q_containment_pairs(
+            spark, SF_DIR, max_posting_size=None, calibrate=True, pair_budget=1
+        )
+    )
+    assert got == exact

@@ -310,6 +310,91 @@ def calibrated_simhash_near_pairs(
     )
 
 
+# ---------------------------------------------- generic single-front plan
+#
+# r14 (VERDICT r13 #5): the simhash pre-flight above juggles two complete
+# pigeonhole geometries; every OTHER capped pair generator — minhash-LSH
+# bands, prefix-filter buckets, containment postings — has exactly one
+# front, so its pre-flight is the simpler ladder below. Their caps were
+# measured never to bind off clone corpora, which is why calibrate= stays
+# OFF by default there (zero added cost on the registered path); turning
+# it on buys the same contract the simhash family has: proceed on a
+# proven-exact plan or refuse by name — never a silent capped subset.
+
+
+@dataclass
+class FrontPlan:
+    """Outcome of :func:`calibrate_capped_front`. ``decision`` is
+    ``"default"`` (cap measured not to bind — registered behavior, exact)
+    or ``"exact_uncapped"`` (cap binds; the measured uncapped in-bucket
+    workload fits the budget, so run uncapped — exact). Over-budget binds
+    raise :class:`CapBoundError` instead."""
+
+    decision: str
+    max_bucket_size: int | None
+    reason: str
+    stats: dict[str, FrontStats]
+
+    def as_dict(self) -> dict:
+        return {
+            "decision": self.decision,
+            "max_bucket_size": self.max_bucket_size,
+            "reason": self.reason,
+            "fronts": {k: v.as_dict() for k, v in self.stats.items()},
+        }
+
+
+def calibrate_capped_front(
+    keys: DataFrame,
+    default_cap: int,
+    name: str,
+    pair_budget: int | None = None,
+    escape_arg: str = "max_bucket_size",
+) -> FrontPlan:
+    """Single-front cap pre-flight: one linear groupBy over ``keys`` (one
+    row per (doc, bucket-key) membership — no pair expansion), then decide.
+
+    ``uncapped_pairs`` is the in-bucket candidate workload sum(n*(n-1)/2)
+    — for the prefix/containment fronts an UPPER bound on real candidates
+    (their joins are length-filtered / asymmetric), so a proceed decision
+    is always safe and a refusal is conservative by at most that slack.
+    ``escape_arg`` names the family's uncapped knob in the refusal text
+    (``max_bucket_size`` / ``max_posting_size``)."""
+    if pair_budget is None:
+        pair_budget = DEFAULT_PAIR_BUDGET
+    s = measure_front(keys, default_cap, name)
+    stats = {name: s}
+    if not s.binds:
+        reason = (
+            f"default cap {default_cap} does not bind (measured max bucket "
+            f"{s.max_bucket}) — registered default is exact here"
+        )
+        log.info("%s calibration: %s", name, reason)
+        return FrontPlan("default", default_cap, reason, stats)
+    if s.uncapped_pairs <= pair_budget:
+        reason = (
+            f"default cap {default_cap} BINDS on this corpus (max bucket "
+            f"{s.max_bucket}, {s.oversized} oversized buckets) — running "
+            f"UNCAPPED instead: the exact in-bucket workload "
+            f"{s.uncapped_pairs:,} pairs fits the budget ({pair_budget:,}); "
+            "output stays oracle-exact"
+        )
+        log.warning("%s calibration: %s", name, reason)
+        return FrontPlan("exact_uncapped", None, reason, stats)
+    raise CapBoundError(
+        f"{name} default cap {default_cap} BINDS on this corpus and the "
+        f"exact plan does not fit pair_budget={pair_budget:,}: max bucket "
+        f"{s.max_bucket} ({s.oversized} oversized, {s.uncapped_pairs:,} "
+        "exact candidate pairs). Refusing rather than silently emitting a "
+        "capped subset. Escapes: raise pair_budget and re-calibrate; pass "
+        f"{escape_arg}=None to accept the quadratic exact workload; or "
+        f"pass an explicit {escape_arg} to accept DOCUMENTED partial "
+        "recall (dropped over-cap members lose their edges from that "
+        "bucket).",
+        stats,
+    )
+
+
 # ------------------------------------------------------------- CLI fronts
 
 
@@ -318,8 +403,6 @@ def standard_fronts(spark, sf_dir: str):
     in the engine, over the documents table at ``sf_dir`` — the
     measurement matrix ``tools/cap_calibrate.py`` reports. Builders are
     lazy so the CLI can flush per-front."""
-    from pyspark.sql import Window
-
     from video_data_pipeline_spark.queries.dedup import (
         DEFAULT_LSH_MAX_BUCKET_SIZE,
         DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
@@ -332,9 +415,8 @@ def standard_fronts(spark, sf_dir: str):
     from video_data_pipeline_spark.queries.simjoin import (
         DEFAULT_MAX_BUCKET_SIZE,
         DEFAULT_MAX_POSTING_SIZE,
-        _TAU_DEN,
-        _TAU_NUM,
         hashed_shingle_sets,
+        rarity_prefix_rows,
     )
 
     docs = table(spark, sf_dir, "documents")
@@ -342,19 +424,9 @@ def standard_fronts(spark, sf_dir: str):
     sets = hashed_shingle_sets(docs)
 
     def prefix_tokens():
-        # the rarity-ordered prefix rows of prefix_filter_pairs
-        tokens = sets.select("doc_id", "n", F.explode("hs").alias("h"))
-        df_tbl = tokens.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-        ranked = tokens.join(df_tbl, "h").withColumn(
-            "rnk",
-            F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
-        )
-        return ranked.where(
-            F.col("rnk")
-            <= F.col("n")
-            - F.expr(f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}")
-            + 1
-        ).select(F.col("h").alias("key"))
+        # the SAME rarity-ordered prefix rows prefix_filter_pairs joins
+        # (shared builder since r14 — measurement can't drift from the join)
+        return rarity_prefix_rows(sets).select(F.col("h").alias("key"))
 
     return [
         ("minhash_bands", DEFAULT_LSH_MAX_BUCKET_SIZE,

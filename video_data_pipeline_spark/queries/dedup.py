@@ -321,7 +321,8 @@ def _duck_rep_lsh_pairs_sql() -> str:
 
 @query("q_minhash_lsh_pairs", oracle=_duck_rep_lsh_pairs_sql(), tags=("dedup", "minhash", "join"))
 def q_minhash_lsh_pairs(
-    spark, sf_dir, max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE, observation=None
+    spark, sf_dir, max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE, observation=None,
+    calibrate=False, pair_budget=None,
 ):
     """MinHash-LSH candidate pairs over DISTINCT-CONTENT representatives:
     collapse exact duplicates to their min-doc_id representative, band the
@@ -350,12 +351,60 @@ def q_minhash_lsh_pairs(
     calibrated never to bind on non-degenerate corpora, so the oracle SQL
     stays exact; every downstream graph query — verified pairs, clusters,
     survivors, triangles, pagerank, LPA — inherits the guard through this
-    entry). ``max_bucket_size=None`` is the exactness escape."""
+    entry). ``max_bucket_size=None`` is the exactness escape.
+
+    ``calibrate=True`` (r14, VERDICT r13 #5) runs the generic cap
+    pre-flight first — ONE linear groupBy over the band front, no pair
+    expansion — and proceeds with the default (measured not to bind →
+    exact), runs uncapped where the measured in-bucket workload fits
+    ``pair_budget`` (exact), or raises
+    :class:`~video_data_pipeline_spark.calibrate.CapBoundError` naming
+    the boundary. An explicit ``max_bucket_size=None`` skips the
+    pre-flight: the caller already chose the uncapped exact join (the
+    simhash family's ADVICE-r13 contract)."""
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
+    if calibrate and max_bucket_size is not None:
+        from video_data_pipeline_spark.calibrate import calibrate_capped_front
+
+        # lazy checkpoint: the banding front runs ONCE across the
+        # measurement agg and the pair join (the calibrate_simhash
+        # signature-reuse pattern)
+        bands = minhash_bands(reps).localCheckpoint(eager=False)
+        plan = calibrate_capped_front(
+            bands.select(F.concat_ws("/", "band_idx", "band_key").alias("key")),
+            max_bucket_size,
+            "minhash_bands",
+            pair_budget=pair_budget,
+        )
+        return lsh_pairs_from_bands(
+            bands, max_bucket_size=plan.max_bucket_size, observation=observation
+        )
     return lsh_pairs_from_bands(
         minhash_bands(reps),
         max_bucket_size=max_bucket_size,
         observation=observation,
+    )
+
+
+@query(
+    "q_minhash_lsh_pairs_calibrated",
+    oracle=_duck_rep_lsh_pairs_sql(),
+    tags=("dedup", "minhash", "join", "calibrate"),
+)
+def q_minhash_lsh_pairs_calibrated(spark, sf_dir, pair_budget=None, observation=None):
+    """q_minhash_lsh_pairs through the r14 cap pre-flight as a REGISTERED
+    query (the q_simhash_near_pairs_calibrated pattern): the driver's
+    hash gate and the bench pin the calibrated path directly. By
+    construction the oracle compare is meaningful on EVERY corpus this
+    runs on — the pre-flight proceeds only on an exact plan (default
+    proven not to bind, or uncapped within budget) and otherwise raises
+    ``CapBoundError`` by name, so the query never returns a capped subset
+    for the gate to mis-read. At no-bind scales (all the oracle-gate
+    fixtures) the decision is ``default`` and the only cost over
+    q_minhash_lsh_pairs is the one linear front measurement."""
+    return q_minhash_lsh_pairs(
+        spark, sf_dir, observation=observation, calibrate=True,
+        pair_budget=pair_budget,
     )
 
 

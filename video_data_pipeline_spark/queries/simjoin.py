@@ -167,7 +167,26 @@ WHERE {_TAU_DEN + _TAU_NUM} * {inter} >= {_TAU_NUM} * (ta.n + tb.n)
 """
 
 
-def prefix_filter_pairs(docs, max_bucket_size=None, observation=None):
+def rarity_prefix_rows(sets):
+    """(doc_id, n, hs) → the rarity-ordered prefix rows (doc_id, n, h):
+    global document frequency per shingle hash, per-doc rank by (df, h),
+    keep the first p = n − ceil(τ·n) + 1 tokens. Shared by the pair join
+    and the cap pre-flight (r14) so both measure/join the SAME front."""
+    tokens = sets.select("doc_id", "n", F.explode("hs").alias("h"))
+    df_tbl = tokens.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tokens.join(df_tbl, "h").withColumn(
+        "rnk",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+    )
+    return ranked.where(
+        F.col("rnk")
+        <= F.col("n")
+        - F.expr(f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}")
+        + 1
+    ).select("doc_id", "n", "h")
+
+
+def prefix_filter_pairs(docs, max_bucket_size=None, observation=None, sets=None):
     """Core of :func:`q_prefix_filter_join`, parameterized with the family's
     100 TB hot-bucket guard (the ``lsh_pairs_from_bands`` /
     ``simhash_near_pairs_capped`` knob).
@@ -206,20 +225,12 @@ def prefix_filter_pairs(docs, max_bucket_size=None, observation=None):
     # and lazily localCheckpoints: FOUR consumers reuse the table (tokens,
     # df via tokens, both verification sides) and Catalyst does not CSE
     # across DataFrame references — measured, re-execution of the
-    # reps+shingles subtree dominated the uncheckpointed plan.
-    sets = hashed_shingle_sets(docs)
-    tokens = sets.select("doc_id", "n", F.explode("hs").alias("h"))
-    df_tbl = tokens.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    ranked = tokens.join(df_tbl, "h").withColumn(
-        "rnk",
-        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
-    )
-    prefix = ranked.where(
-        F.col("rnk")
-        <= F.col("n")
-        - F.expr(f"({_TAU_NUM} * n + {_TAU_DEN - 1}) div {_TAU_DEN}")
-        + 1
-    ).select("doc_id", "n", "h")
+    # reps+shingles subtree dominated the uncheckpointed plan. A caller
+    # that already built the set table (the r14 pre-flight) passes it via
+    # ``sets`` so measurement and join share one checkpoint.
+    if sets is None:
+        sets = hashed_shingle_sets(docs)
+    prefix = rarity_prefix_rows(sets)
     # bucketed pair generation WITH the PPJoin length filter evaluated
     # inside the bucket lambda: J >= τ forces τ·max(n) <= min(n), so most
     # cross-size pairs never materialize (measured: 299k -> far fewer
@@ -290,7 +301,8 @@ def prefix_filter_pairs(docs, max_bucket_size=None, observation=None):
     tags=("dedup", "jaccard", "join", "prefix-filter"),
 )
 def q_prefix_filter_join(
-    spark, sf_dir, max_bucket_size=DEFAULT_MAX_BUCKET_SIZE, observation=None
+    spark, sf_dir, max_bucket_size=DEFAULT_MAX_BUCKET_SIZE, observation=None,
+    calibrate=False, pair_budget=None,
 ):
     """Exact Jaccard ≥ 0.6 token-set join via prefix filtering — see the
     module docstring for the completeness theorem and the LSH comparison.
@@ -306,9 +318,30 @@ def q_prefix_filter_join(
     ``max_bucket_size=None`` for exactness studies; pass an
     ``Observation`` for cap-engagement telemetry
     (tests/test_registered_cap_headroom.py pins that the default cap does
-    NOT bind on the standard fixtures)."""
+    NOT bind on the standard fixtures).
+
+    ``calibrate=True`` (r14, VERDICT r13 #5) measures the prefix-bucket
+    front first — one linear groupBy, no pair expansion — then proceeds
+    exact (default or uncapped-within-``pair_budget``) or raises
+    ``CapBoundError`` by name. An explicit ``max_bucket_size=None`` skips
+    the pre-flight (uncapped was already chosen)."""
+    docs = table(spark, sf_dir, "documents")
+    if calibrate and max_bucket_size is not None:
+        from video_data_pipeline_spark.calibrate import calibrate_capped_front
+
+        sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
+        plan = calibrate_capped_front(
+            rarity_prefix_rows(sets).select(F.col("h").alias("key")),
+            max_bucket_size,
+            "prefix_buckets",
+            pair_budget=pair_budget,
+        )
+        return prefix_filter_pairs(
+            docs, max_bucket_size=plan.max_bucket_size,
+            observation=observation, sets=sets,
+        )
     return prefix_filter_pairs(
-        table(spark, sf_dir, "documents"),
+        docs,
         max_bucket_size=max_bucket_size,
         observation=observation,
     )
@@ -383,7 +416,8 @@ WHERE {_CONT_DEN} * {inter} >= {_CONT_NUM} * least(ta.n, tb.n)
     tags=("dedup", "containment", "join", "prefix-filter"),
 )
 def q_containment_pairs(
-    spark, sf_dir, max_posting_size=DEFAULT_MAX_POSTING_SIZE, observation=None
+    spark, sf_dir, max_posting_size=DEFAULT_MAX_POSTING_SIZE, observation=None,
+    calibrate=False, pair_budget=None,
 ):
     """Near-superset detection with GUARANTEED recall: CONTAINMENT
     C(A,B) = |A∩B| / |A| ≥ 0.8 — the asymmetric similarity that catches
@@ -419,15 +453,39 @@ def q_containment_pairs(
     degenerate data and the oracle SQL stays exact; on the sfp30
     clone-degenerate corpus it is the difference between 24.7 s and a
     spill-disk OOM, PROBE_CAPPED_SFP30_r10.json). ``max_posting_size=None``
-    reproduces the uncapped form bit-for-bit."""
+    reproduces the uncapped form bit-for-bit.
+
+    ``calibrate=True`` (r14, VERDICT r13 #5) measures the posting front
+    first — one linear groupBy over the exploded hash sets — then
+    proceeds exact (default or uncapped-within-``pair_budget``; the
+    measured in-posting workload upper-bounds the asymmetric join's real
+    candidates, so proceeding is always safe) or raises ``CapBoundError``
+    naming the boundary. An explicit ``max_posting_size=None`` skips the
+    pre-flight (uncapped was already chosen)."""
+    docs = table(spark, sf_dir, "documents")
+    if calibrate and max_posting_size is not None:
+        from video_data_pipeline_spark.calibrate import calibrate_capped_front
+
+        sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
+        plan = calibrate_capped_front(
+            sets.select(F.explode("hs").alias("key")),
+            max_posting_size,
+            "containment_postings",
+            pair_budget=pair_budget,
+            escape_arg="max_posting_size",
+        )
+        return containment_pairs_capped(
+            docs, max_posting_size=plan.max_bucket_size,
+            observation=observation, sets=sets,
+        )
     return containment_pairs_capped(
-        table(spark, sf_dir, "documents"),
+        docs,
         max_posting_size=max_posting_size,
         observation=observation,
     )
 
 
-def containment_pairs_capped(docs, max_posting_size=None, observation=None):
+def containment_pairs_capped(docs, max_posting_size=None, observation=None, sets=None):
     """Core of :func:`q_containment_pairs`, carrying the family's 100 TB
     hot-posting guard (the ``lsh_pairs_from_bands`` /
     ``simhash_near_pairs_capped`` knob, applied to the posting side of the
@@ -456,7 +514,8 @@ def containment_pairs_capped(docs, max_posting_size=None, observation=None):
     calibrated never to bind on non-degenerate corpora, so both
     statements hold at once (r12 — the guard is the default, not
     opt-in)."""
-    sets = hashed_shingle_sets(docs)
+    if sets is None:
+        sets = hashed_shingle_sets(docs)
     prefix = sets.select(
         F.col("doc_id").alias("s_id"),
         F.col("n").alias("sn"),
