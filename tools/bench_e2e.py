@@ -58,7 +58,19 @@ def main() -> int:
     shutil.rmtree(args.work_dir, ignore_errors=True)
     os.makedirs(args.work_dir)
 
-    from video_data_pipeline_spark.telemetry import StageMetricsDelta
+    from video_data_pipeline_spark.telemetry import (
+        StageMetricsDelta,
+        install_query_warnings,
+    )
+
+    # r14 (VERDICT r13 #6): ride the session-level warning listener through
+    # the whole healthy pipeline and ASSERT silence — any cap-divergence or
+    # spill warning on this run is a regression, so the listener is a
+    # tripwire here, not just a probe feature.
+    warnings_seen: list[str] = []
+    install_query_warnings(
+        spark, emit=lambda msg, cat: warnings_seen.append(f"{cat.__name__}: {msg}")
+    )
 
     docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
     n_docs = docs.count()
@@ -147,6 +159,9 @@ def main() -> int:
     index_secs = time.time() - t0
     record("index", index_secs, int(n_indexed), dir_bytes(tok_out), im)
 
+    # drain the asynchronous listener bus before reading the tripwire
+    # (QueryExecutionListener callbacks run on a JVM-driven thread)
+    time.sleep(2.0)
     summary = {
         "metric": "e2e_pipeline",
         "sf_dir": args.sf_dir,
@@ -156,6 +171,8 @@ def main() -> int:
         "sample_index_rows": n_sample_rows,
         "stages": stages,
         "total_sec": round(sum(s["sec"] for s in stages.values()), 2),
+        "n_warnings": len(warnings_seen),
+        **({"warnings": warnings_seen} if warnings_seen else {}),
     }
     print(json.dumps(summary))
     if args.out:
@@ -163,6 +180,14 @@ def main() -> int:
             json.dump(summary, f, indent=1)
         print(f"wrote {args.out}")
     shutil.rmtree(args.work_dir, ignore_errors=True)
+    if warnings_seen:
+        print(
+            f"E2E TRIPWIRE: {len(warnings_seen)} session warning(s) fired "
+            "on a run that must be silent:", file=sys.stderr
+        )
+        for w in warnings_seen:
+            print(f"  - {w}", file=sys.stderr)
+        return 1
     return 0
 
 
