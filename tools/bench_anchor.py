@@ -69,9 +69,13 @@ def one_run() -> dict:
         check=True,
         cwd=ROOT,
     )
-    # bench.py prints exactly one JSON line on stdout (warnings go to stderr)
-    line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
-    return json.loads(line)
+    # bench.py prints the FULL result line then a compact tail-safe summary
+    # (r14); the anchor wants the full per-query record — take the last
+    # JSON line that carries the "queries" map
+    records = [
+        json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")
+    ]
+    return next(r for r in reversed(records) if "queries" in r)
 
 
 def main() -> int:

@@ -364,17 +364,29 @@ def q_minhash_lsh_pairs(
     simhash family's ADVICE-r13 contract)."""
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
     if calibrate and max_bucket_size is not None:
-        from video_data_pipeline_spark.calibrate import calibrate_capped_front
+        from video_data_pipeline_spark.calibrate import (
+            DEFAULT_PAIR_BUDGET,
+            cached_plan,
+            calibrate_capped_front,
+            corpus_fingerprint,
+        )
 
+        budget = DEFAULT_PAIR_BUDGET if pair_budget is None else pair_budget
         # lazy checkpoint: the banding front runs ONCE across the
         # measurement agg and the pair join (the calibrate_simhash
-        # signature-reuse pattern)
+        # signature-reuse pattern); on a decision-cache hit the
+        # checkpoint is just a no-op wrapper around the single join pass
         bands = minhash_bands(reps).localCheckpoint(eager=False)
-        plan = calibrate_capped_front(
-            bands.select(F.concat_ws("/", "band_idx", "band_key").alias("key")),
-            max_bucket_size,
-            "minhash_bands",
-            pair_budget=pair_budget,
+        fp = corpus_fingerprint(sf_dir)
+        key = None if fp is None else ("minhash_bands", fp, max_bucket_size, budget)
+        plan = cached_plan(
+            key,
+            lambda: calibrate_capped_front(
+                bands.select(F.concat_ws("/", "band_idx", "band_key").alias("key")),
+                max_bucket_size,
+                "minhash_bands",
+                pair_budget=budget,
+            ),
         )
         return lsh_pairs_from_bands(
             bands, max_bucket_size=plan.max_bucket_size, observation=observation
@@ -633,14 +645,36 @@ def q_simhash_near_pairs(
     where the measurement says it wins), or raises
     :class:`~video_data_pipeline_spark.calibrate.CapBoundError` naming
     the boundary and the workload estimate — a capped-subset answer is
-    never silently produced on a corpus where the default binds."""
+    never silently produced on a corpus where the default binds. The
+    decision is memoized by corpus fingerprint + knobs (r14), so repeat
+    runs on an unchanged table skip the measurement shuffle."""
     docs = table(spark, sf_dir, "documents")
     if calibrate:
-        from video_data_pipeline_spark.calibrate import calibrated_simhash_near_pairs
+        from video_data_pipeline_spark.calibrate import (
+            DEFAULT_PAIR_BUDGET,
+            cached_plan,
+            calibrate_simhash,
+            corpus_fingerprint,
+        )
 
-        kw = {} if pair_budget is None else {"pair_budget": pair_budget}
-        return calibrated_simhash_near_pairs(
-            docs, default_cap=max_bucket_size, observation=observation, **kw
+        budget = DEFAULT_PAIR_BUDGET if pair_budget is None else pair_budget
+        # decision cache (r14): keyed by the corpus fingerprint + knobs,
+        # so a repeat run on the unchanged table skips the measurement
+        # shuffle (and a cached refusal re-raises without re-measuring)
+        fp = corpus_fingerprint(sf_dir)
+        key = None if fp is None else ("simhash", fp, max_bucket_size, budget)
+        plan = cached_plan(
+            key,
+            lambda: calibrate_simhash(
+                docs, pair_budget=budget, default_cap=max_bucket_size
+            ),
+        )
+        return simhash_near_pairs_capped(
+            docs,
+            max_bucket_size=plan.max_bucket_size,
+            observation=observation,
+            geometry=plan.geometry,
+            signatures=plan.signatures,
         )
     return simhash_near_pairs_capped(
         docs,

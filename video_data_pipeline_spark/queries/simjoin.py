@@ -327,14 +327,25 @@ def q_prefix_filter_join(
     the pre-flight (uncapped was already chosen)."""
     docs = table(spark, sf_dir, "documents")
     if calibrate and max_bucket_size is not None:
-        from video_data_pipeline_spark.calibrate import calibrate_capped_front
+        from video_data_pipeline_spark.calibrate import (
+            DEFAULT_PAIR_BUDGET,
+            cached_plan,
+            calibrate_capped_front,
+            corpus_fingerprint,
+        )
 
+        budget = DEFAULT_PAIR_BUDGET if pair_budget is None else pair_budget
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
-        plan = calibrate_capped_front(
-            rarity_prefix_rows(sets).select(F.col("h").alias("key")),
-            max_bucket_size,
-            "prefix_buckets",
-            pair_budget=pair_budget,
+        fp = corpus_fingerprint(sf_dir)
+        key = None if fp is None else ("prefix_buckets", fp, max_bucket_size, budget)
+        plan = cached_plan(
+            key,
+            lambda: calibrate_capped_front(
+                rarity_prefix_rows(sets).select(F.col("h").alias("key")),
+                max_bucket_size,
+                "prefix_buckets",
+                pair_budget=budget,
+            ),
         )
         return prefix_filter_pairs(
             docs, max_bucket_size=plan.max_bucket_size,
@@ -464,15 +475,29 @@ def q_containment_pairs(
     pre-flight (uncapped was already chosen)."""
     docs = table(spark, sf_dir, "documents")
     if calibrate and max_posting_size is not None:
-        from video_data_pipeline_spark.calibrate import calibrate_capped_front
+        from video_data_pipeline_spark.calibrate import (
+            DEFAULT_PAIR_BUDGET,
+            cached_plan,
+            calibrate_capped_front,
+            corpus_fingerprint,
+        )
 
+        budget = DEFAULT_PAIR_BUDGET if pair_budget is None else pair_budget
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
-        plan = calibrate_capped_front(
-            sets.select(F.explode("hs").alias("key")),
-            max_posting_size,
-            "containment_postings",
-            pair_budget=pair_budget,
-            escape_arg="max_posting_size",
+        fp = corpus_fingerprint(sf_dir)
+        key = (
+            None if fp is None
+            else ("containment_postings", fp, max_posting_size, budget)
+        )
+        plan = cached_plan(
+            key,
+            lambda: calibrate_capped_front(
+                sets.select(F.explode("hs").alias("key")),
+                max_posting_size,
+                "containment_postings",
+                pair_budget=budget,
+                escape_arg="max_posting_size",
+            ),
         )
         return containment_pairs_capped(
             docs, max_posting_size=plan.max_bucket_size,
