@@ -21,6 +21,7 @@ import re
 import statistics
 import subprocess
 import sys
+import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -83,7 +84,22 @@ def main() -> int:
     ap.add_argument("--round", type=int, required=True)
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--max-load", type=float, default=1.0,
+        help="refuse to anchor while the 1-min load average exceeds this "
+        "(r14: a post-pytest load drain produced a 141s anchor where the "
+        "idle rerun read 97s — a uniform 1.25x of pure ambient). Waits up "
+        "to 10 min for the machine to quiet, then proceeds WITH the load "
+        "recorded so a noisy anchor can never pose as quiet.",
+    )
     args = ap.parse_args()
+
+    deadline = time.time() + 600
+    while os.getloadavg()[0] > args.max_load and time.time() < deadline:
+        print(f"load {os.getloadavg()[0]:.2f} > {args.max_load} — waiting "
+              "for the machine to quiet (anchor must run idle)")
+        time.sleep(30)
+    load_at_start = round(os.getloadavg()[0], 2)
 
     runs = [one_run() for _ in range(args.runs)]
     names = list(runs[0]["queries"])
@@ -104,6 +120,7 @@ def main() -> int:
         },
         "sf": runs[0]["sf"],
         "n_queries": len(names),
+        "load_at_start": load_at_start,
         "queries": per_q,
     }
     out = args.out or os.path.join(ROOT, f"BENCH_BASELINE_r{args.round}.json")
@@ -111,9 +128,12 @@ def main() -> int:
         json.dump(payload, f, indent=1)
     print(f"wrote {out}: total median {payload['headline_total']['median']}s "
           f"over {args.runs} runs, {len(names)} queries")
-    update_roadmap_anchor_line(
-        args.round, payload["headline_total"]["median"], len(names)
-    )
+    if args.out is None:
+        # only the official per-round artifact maintains the ROADMAP
+        # anchor line; an explicit --out is a side study / smoke run
+        update_roadmap_anchor_line(
+            args.round, payload["headline_total"]["median"], len(names)
+        )
     return 0
 
 
