@@ -57,6 +57,20 @@ log = logging.getLogger("video_data_pipeline_spark.calibrate")
 #: regimes (sfp30 chunks: ~4.6B candidates) that exhaust spill disk.
 DEFAULT_PAIR_BUDGET = 200_000_000
 
+#: Default budget for the VERIFIED-join families (prefix-filter,
+#: containment): their candidates are not scalar pairs — each one carries
+#: two ~100-element BIGINT shingle arrays into an exact array_intersect
+#: verification, so per-candidate cost (bytes shuffled + CPU) runs ~two
+#: orders heavier than a simhash/minhash candidate. Measured at sfp10
+#: (PROBE_PREFIX_CAL_SFP10_r14.json): the capped default's 35.5M
+#: candidates verify in 78 s with ZERO spill, while a 200M-budget
+#: "proceed" on the same corpus (151.2M exact candidates) spilled 36 GB
+#: disk + 59 GB memory over 316 s for +2.2% more rows — the exact
+#: pathology the pre-flight exists to refuse. 50M keeps proceeds in the
+#: measured zero-spill regime; callers who want the spill anyway pass
+#: ``pair_budget`` explicitly (the refusal names the escape).
+DEFAULT_VERIFIED_PAIR_BUDGET = 50_000_000
+
 #: sentinel distinguishing "caller did not choose a cap" (use the family
 #: default) from an EXPLICIT ``default_cap=None`` (the caller already
 #: accepted the uncapped quadratic workload — ADVICE r13: mapping None

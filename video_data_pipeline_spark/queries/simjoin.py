@@ -328,13 +328,16 @@ def q_prefix_filter_join(
     docs = table(spark, sf_dir, "documents")
     if calibrate and max_bucket_size is not None:
         from video_data_pipeline_spark.calibrate import (
-            DEFAULT_PAIR_BUDGET,
+            DEFAULT_VERIFIED_PAIR_BUDGET,
             cached_plan,
             calibrate_capped_front,
             corpus_fingerprint,
         )
 
-        budget = DEFAULT_PAIR_BUDGET if pair_budget is None else pair_budget
+        # verified-join budget (see DEFAULT_VERIFIED_PAIR_BUDGET): each
+        # candidate carries array payloads into the exact verification,
+        # so the generation-family 200M default is ~2 orders too loose
+        budget = DEFAULT_VERIFIED_PAIR_BUDGET if pair_budget is None else pair_budget
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
         fp = corpus_fingerprint(sf_dir)
         key = None if fp is None else ("prefix_buckets", fp, max_bucket_size, budget)
@@ -476,13 +479,15 @@ def q_containment_pairs(
     docs = table(spark, sf_dir, "documents")
     if calibrate and max_posting_size is not None:
         from video_data_pipeline_spark.calibrate import (
-            DEFAULT_PAIR_BUDGET,
+            DEFAULT_VERIFIED_PAIR_BUDGET,
             cached_plan,
             calibrate_capped_front,
             corpus_fingerprint,
         )
 
-        budget = DEFAULT_PAIR_BUDGET if pair_budget is None else pair_budget
+        # verified-join budget — the prefix-family argument applies
+        # verbatim (the containment verify joins the same hash arrays)
+        budget = DEFAULT_VERIFIED_PAIR_BUDGET if pair_budget is None else pair_budget
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
         fp = corpus_fingerprint(sf_dir)
         key = (
