@@ -23,6 +23,7 @@ at whole-query granularity.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -120,6 +121,17 @@ HEADLINE = [
 
 
 def main() -> None:
+    # argparse (ADVICE r14): the hand-rolled argv scan recognized --out
+    # only in position 1 and silently ignored everything else, so a typo
+    # wrote the default BENCH_FULL.json without any error
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--out",
+        default=None,
+        help="result file (default: $SPARK_GRAFT_BENCH_OUT or BENCH_FULL.json"
+        " beside this script)",
+    )
+    args = ap.parse_args()
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from video_data_pipeline_spark.queries.registry import load_all
     from video_data_pipeline_spark.session import get_spark
@@ -205,11 +217,9 @@ def main() -> None:
         "pack_sec": round(pack_sec, 3),
         "pack_samples_per_sec": round(n_samples / pack_sec),
     }
-    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
+    out_path = args.out or os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
     )
-    if len(sys.argv) > 2 and sys.argv[1] == "--out":
-        out_path = sys.argv[2]
     try:
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)

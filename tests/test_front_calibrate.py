@@ -153,3 +153,66 @@ def test_explicit_uncapped_skips_preflight_all_families(spark):
         )
     )
     assert got == exact
+
+
+# ------------------------------------- explicit non-default cap (r15,
+# ADVICE r14 medium): an accepted partial-recall choice must MEASURE and
+# proceed, never refuse the caller back into the escape they already took
+
+
+def test_explicit_cap_plan_measures_and_never_refuses(spark):
+    from video_data_pipeline_spark.calibrate import explicit_cap_plan
+
+    keys = spark.createDataFrame([("hot",)] * 10 + [("b",)] * 2, "key string")
+    plan = explicit_cap_plan(keys, 4, "toy")
+    assert plan.decision == "explicit_capped"
+    assert plan.max_bucket_size == 4
+    s = plan.stats["toy"]
+    assert s.binds and s.uncapped_pairs == 46 and s.capped_pairs == 6 + 1
+    # the reason carries the measured recall arithmetic (VERDICT r14 #8)
+    assert "7" in plan.reason and "46" in plan.reason
+
+
+def test_explicit_cap_under_calibrate_proceeds_all_families(spark):
+    # the CapBoundError escape's own advice must terminate: an explicit
+    # non-default cap with calibrate=True proceeds with that cap (same
+    # rows as the plain capped run), even under a hostile budget that
+    # would otherwise refuse
+    for fn, knob in (
+        (q_minhash_lsh_pairs, "max_bucket_size"),
+        (q_prefix_filter_join, "max_bucket_size"),
+        (q_containment_pairs, "max_posting_size"),
+    ):
+        plain = _rows(fn(spark, SF_DIR, **{knob: 3}))
+        got = _rows(fn(spark, SF_DIR, calibrate=True, pair_budget=1, **{knob: 3}))
+        assert got == plain, fn.__name__
+
+
+def test_explicit_cap_under_calibrate_proceeds_simhash(spark):
+    from video_data_pipeline_spark.queries.dedup import q_simhash_near_pairs
+
+    plain = _rows(q_simhash_near_pairs(spark, SF_DIR, max_bucket_size=3))
+    got = _rows(
+        q_simhash_near_pairs(
+            spark, SF_DIR, max_bucket_size=3, calibrate=True, pair_budget=1
+        )
+    )
+    assert got == plain
+
+
+def test_explicit_cap_terminates_on_binding_corpus(spark, near_clone_docs):
+    # the full loop the ADVICE described: refusal names the escape, the
+    # caller follows it, the second run must SUCCEED (capped) — before
+    # r15 it re-refused (and the decision cache made the loop infinite)
+    from pyspark.sql import functions as F
+
+    from video_data_pipeline_spark.calibrate import explicit_cap_plan
+
+    bands = minhash_bands(exact_dup_representatives(near_clone_docs))
+    front = bands.select(F.concat_ws("/", "band_idx", "band_key").alias("key"))
+    with pytest.raises(CapBoundError):
+        calibrate_capped_front(front, 8, "minhash_bands", pair_budget=10)
+    plan = explicit_cap_plan(front, 8, "minhash_bands")
+    assert plan.decision == "explicit_capped"
+    capped = _rows(lsh_pairs_from_bands(bands, plan.max_bucket_size))
+    assert capped == _rows(lsh_pairs_from_bands(bands, max_bucket_size=8))

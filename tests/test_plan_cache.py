@@ -79,6 +79,27 @@ def test_fingerprint_changes_when_table_rewritten(tmp_path):
     assert corpus_fingerprint("/nonexistent") is None
 
 
+def test_fingerprint_sees_nested_part_rewrite(tmp_path):
+    # ADVICE r14: a partitioned layout (key=val subdirs) can have a nested
+    # part file rewritten IN PLACE — same top-level names, same subdir
+    # size, and the subdir mtime does not change on child-content
+    # modification — so the fingerprint must walk to the leaves
+    import os
+
+    table_dir = tmp_path / "documents.parquet" / "year=2026"
+    table_dir.mkdir(parents=True)
+    part = table_dir / "part-00000.parquet"
+    part.write_bytes(b"AAAA")
+    a = corpus_fingerprint(str(tmp_path))
+    assert a is not None
+    # in-place rewrite: same path, same size, different mtime
+    part.write_bytes(b"BBBB")
+    os.utime(part, ns=(1, 1))
+    os.utime(table_dir, ns=(2, 2))  # pin dir mtimes so only the leaf moved
+    b = corpus_fingerprint(str(tmp_path))
+    assert a != b
+
+
 def test_registered_calibrated_queries_hit_cache_on_repeat(spark, monkeypatch):
     # count actual front measurements through the real query surface
     calls = {"n": 0}

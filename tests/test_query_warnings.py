@@ -62,6 +62,10 @@ def test_cap_divergence_warning_fires_on_hot_bucket_corpus(spark, hot_bucket_doc
         assert "cap:simhash_chunks" in msg
         assert "CAPPED SUBSET" in msg
         assert "calibrate=True" in msg  # the escape hatches are named
+        # r15 (VERDICT r14 #8): the warning carries the MEASURED recall
+        # arithmetic — emitted vs total in-bucket candidate workload
+        assert "Emitted in-bucket candidate workload" in msg
+        assert "%" in msg
     finally:
         handle.uninstall()
 

@@ -160,8 +160,18 @@ def main() -> int:
     record("index", index_secs, int(n_indexed), dir_bytes(tok_out), im)
 
     # drain the asynchronous listener bus before reading the tripwire
-    # (QueryExecutionListener callbacks run on a JVM-driven thread)
-    time.sleep(2.0)
+    # (QueryExecutionListener callbacks run on a JVM-driven thread).
+    # Poll for QUIESCENCE instead of a fixed sleep (ADVICE r14): under
+    # load a late onSuccess could land after a one-shot check, silently
+    # passing a run that should have tripped — wait until the count is
+    # stable for 2 s (bounded at 30 s so a wedged bus can't hang the run).
+    deadline = time.time() + 30.0
+    stable_since, last_n = time.time(), len(warnings_seen)
+    while time.time() - stable_since < 2.0 and time.time() < deadline:
+        time.sleep(0.25)
+        n = len(warnings_seen)
+        if n != last_n:
+            stable_since, last_n = time.time(), n
     summary = {
         "metric": "e2e_pipeline",
         "sf_dir": args.sf_dir,

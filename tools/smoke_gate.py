@@ -79,7 +79,11 @@ def main() -> int:
     # pre-commit gate, not ship as a one-artifact lag
     from tools.gate_freshness import check_gate_artifacts
 
-    stale = check_gate_artifacts(os.getcwd(), len(registry))
+    # resolve artifacts against the REPO ROOT, not the invoker's cwd
+    # (ADVICE r14: run from any other directory, the mandatory pre-commit
+    # gate failed spuriously with "no PLANAUDIT artifact found")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    stale = check_gate_artifacts(repo_root, len(registry))
     for p in stale:
         failures.append(f"gate freshness: {p}")
         print(f"gate STALE {p}")

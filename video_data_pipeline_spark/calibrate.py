@@ -209,7 +209,12 @@ def calibrate_simhash(
     already chose the uncapped exact join, so there is nothing to
     calibrate — the plan is ``explicit_uncapped`` with no measurement (in
     particular, no :class:`CapBoundError` can send the caller back to the
-    escape they already took).
+    escape they already took). An integer ``default_cap`` keeps the full
+    LADDER semantics here — this is the library pre-flight probes and the
+    CLI use to test arbitrary caps; the REGISTERED-query layer is where
+    an explicit non-default cap means accepted partial recall (r15,
+    ADVICE r14 — see :func:`explicit_cap_plan` and the ``calibrate=True``
+    branches in ``queries/dedup.py`` / ``queries/simjoin.py``).
     """
     from video_data_pipeline_spark.queries.dedup import (
         DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
@@ -291,9 +296,11 @@ def calibrate_simhash(
         f"plan fits pair_budget={pair_budget:,}: {measured}. Refusing "
         "rather than silently emitting a capped subset. Escapes: raise "
         "pair_budget and re-calibrate; pass max_bucket_size=None to accept "
-        "the quadratic exact workload; or pass an explicit max_bucket_size "
-        "to accept DOCUMENTED partial recall (dropped over-cap members lose "
-        "their edges from that bucket).",
+        "the quadratic exact workload; or pass an explicit non-default "
+        "max_bucket_size to accept DOCUMENTED partial recall — under "
+        "calibrate=True the pre-flight then MEASURES the recall "
+        "(emitted-vs-total candidate workload) and proceeds with your cap "
+        "instead of refusing again.",
         stats,
     )
 
@@ -348,17 +355,26 @@ def clear_plan_cache() -> None:
 
 def corpus_fingerprint(sf_dir: str, table: str = "documents"):
     """Stat-based fingerprint of one parquet table (file or directory of
-    part files). Returns None when the path can't be statted — callers
-    then bypass the cache rather than guess."""
+    part files). Walks the FULL tree (ADVICE r14): a partitioned layout
+    (key=val subdirs) can have a nested part file rewritten in place
+    without changing top-level names or subdir sizes — and directory
+    mtime does not change on child-CONTENT modification — so every leaf
+    file's (relpath, mtime_ns, size) enters the key. Returns None when
+    the path can't be statted — callers then bypass the cache rather
+    than guess."""
     path = os.path.join(sf_dir, f"{table}.parquet")
     try:
         if os.path.isdir(path):
-            entries = tuple(
-                (name, st.st_mtime_ns, st.st_size)
-                for name in sorted(os.listdir(path))
-                for st in (os.stat(os.path.join(path, name)),)
-            )
-            return (os.path.realpath(path), entries)
+            entries = []
+            for dirpath, dirnames, filenames in os.walk(path):
+                dirnames.sort()
+                rel = os.path.relpath(dirpath, path)
+                for name in sorted(filenames):
+                    st = os.stat(os.path.join(dirpath, name))
+                    entries.append(
+                        (os.path.join(rel, name), st.st_mtime_ns, st.st_size)
+                    )
+            return (os.path.realpath(path), tuple(entries))
         st = os.stat(path)
         return (os.path.realpath(path), st.st_mtime_ns, st.st_size)
     except OSError:
@@ -471,11 +487,47 @@ def calibrate_capped_front(
         "exact candidate pairs). Refusing rather than silently emitting a "
         "capped subset. Escapes: raise pair_budget and re-calibrate; pass "
         f"{escape_arg}=None to accept the quadratic exact workload; or "
-        f"pass an explicit {escape_arg} to accept DOCUMENTED partial "
-        "recall (dropped over-cap members lose their edges from that "
-        "bucket).",
+        f"pass an explicit non-default {escape_arg} to accept DOCUMENTED "
+        "partial recall — under calibrate=True the pre-flight then "
+        "MEASURES the recall (emitted-vs-total candidate workload) and "
+        "proceeds with your cap instead of refusing again.",
         stats,
     )
+
+
+def explicit_cap_plan(
+    keys: DataFrame, cap: int, name: str
+) -> FrontPlan:
+    """Pre-flight for a caller-EXPLICIT cap under ``calibrate=True``
+    (r15, ADVICE r14 medium): an explicit non-default cap is an accepted
+    partial-recall choice — the escape the refusal itself names — so this
+    path NEVER raises :class:`CapBoundError` (the old behavior re-refused
+    the caller's own escape, and with the decision cache the refusal
+    re-raised instantly: an infinite loop by instruction-following).
+    Instead it measures the front at the caller's cap and reports the
+    recall arithmetic: the capped in-bucket candidate workload vs the
+    uncapped total (an upper bound on emitted candidates for the
+    length-filtered families), so "accepted partial recall" comes with
+    the measured number, not a shrug (VERDICT r14 #8)."""
+    s = measure_front(keys, cap, name)
+    stats = {name: s}
+    if not s.binds:
+        reason = (
+            f"explicit cap {cap} does not bind (measured max bucket "
+            f"{s.max_bucket}) — output is exact here"
+        )
+        log.info("%s calibration (explicit cap): %s", name, reason)
+    else:
+        pct = 100.0 * s.capped_pairs / max(s.uncapped_pairs, 1)
+        reason = (
+            f"explicit cap {cap} BINDS (max bucket {s.max_bucket}, "
+            f"{s.oversized} oversized buckets): proceeding with the "
+            f"caller's accepted partial recall — in-bucket candidate "
+            f"workload {s.capped_pairs:,} of {s.uncapped_pairs:,} "
+            f"({pct:.1f}%)"
+        )
+        log.warning("%s calibration (explicit cap): %s", name, reason)
+    return FrontPlan("explicit_capped", cap, reason, stats)
 
 
 # ------------------------------------------------------------- CLI fronts

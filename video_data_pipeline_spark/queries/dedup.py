@@ -293,6 +293,16 @@ def lsh_pairs_from_bands(bands, max_bucket_size: int | None = None, observation=
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum((F.size("ids") > cap).cast("long")).alias("oversized_buckets"),
             F.max(F.size("ids")).alias("max_bucket_size_seen"),
+            # recall arithmetic (r15, VERDICT r14 #8): a capped run
+            # self-reports "emitted ~X of Y in-bucket candidates", not
+            # just that the cap bound; integer div (the measure_front
+            # precision argument)
+            F.expr("sum(size(ids) * (size(ids) - 1) div 2)").alias(
+                "uncapped_candidate_pairs"
+            ),
+            F.expr(
+                f"sum(least(size(ids), {cap}) * (least(size(ids), {cap}) - 1) div 2)"
+            ).alias("capped_candidate_pairs"),
         )
     if max_bucket_size is not None:
         buckets = buckets.select(
@@ -369,6 +379,7 @@ def q_minhash_lsh_pairs(
             cached_plan,
             calibrate_capped_front,
             corpus_fingerprint,
+            explicit_cap_plan,
         )
 
         budget = DEFAULT_PAIR_BUDGET if pair_budget is None else pair_budget
@@ -377,17 +388,23 @@ def q_minhash_lsh_pairs(
         # signature-reuse pattern); on a decision-cache hit the
         # checkpoint is just a no-op wrapper around the single join pass
         bands = minhash_bands(reps).localCheckpoint(eager=False)
+        front = bands.select(
+            F.concat_ws("/", "band_idx", "band_key").alias("key")
+        )
         fp = corpus_fingerprint(sf_dir)
         key = None if fp is None else ("minhash_bands", fp, max_bucket_size, budget)
-        plan = cached_plan(
-            key,
-            lambda: calibrate_capped_front(
-                bands.select(F.concat_ws("/", "band_idx", "band_key").alias("key")),
-                max_bucket_size,
-                "minhash_bands",
-                pair_budget=budget,
-            ),
-        )
+        if max_bucket_size != DEFAULT_LSH_MAX_BUCKET_SIZE:
+            # explicit non-default cap = accepted partial recall (r15,
+            # ADVICE r14): measure + report, never refuse the caller's
+            # own escape (see calibrate.explicit_cap_plan)
+            compute = lambda: explicit_cap_plan(  # noqa: E731
+                front, max_bucket_size, "minhash_bands"
+            )
+        else:
+            compute = lambda: calibrate_capped_front(  # noqa: E731
+                front, max_bucket_size, "minhash_bands", pair_budget=budget
+            )
+        plan = cached_plan(key, compute)
         return lsh_pairs_from_bands(
             bands, max_bucket_size=plan.max_bucket_size, observation=observation
         )
@@ -655,6 +672,7 @@ def q_simhash_near_pairs(
             cached_plan,
             calibrate_simhash,
             corpus_fingerprint,
+            explicit_cap_plan,
         )
 
         budget = DEFAULT_PAIR_BUDGET if pair_budget is None else pair_budget
@@ -663,6 +681,33 @@ def q_simhash_near_pairs(
         # shuffle (and a cached refusal re-raises without re-measuring)
         fp = corpus_fingerprint(sf_dir)
         key = None if fp is None else ("simhash", fp, max_bucket_size, budget)
+        if (
+            max_bucket_size is not None
+            and max_bucket_size != DEFAULT_SIMHASH_MAX_BUCKET_SIZE
+        ):
+            # explicit non-default cap = accepted partial recall (r15,
+            # ADVICE r14): measure + report on the chunks front (the
+            # capped default's geometry), then proceed with the caller's
+            # cap — never refuse the escape they already took
+            sig = simhash_signatures(
+                exact_dup_representatives(docs)
+            ).localCheckpoint(eager=False)
+            cached_plan(
+                key,
+                lambda: explicit_cap_plan(
+                    chunk_keys(sig).select(
+                        F.concat_ws("/", "c", "chunk").alias("key")
+                    ),
+                    max_bucket_size,
+                    "simhash_chunks",
+                ),
+            )
+            return simhash_near_pairs_capped(
+                docs,
+                max_bucket_size=max_bucket_size,
+                observation=observation,
+                signatures=sig,
+            )
         plan = cached_plan(
             key,
             lambda: calibrate_simhash(
@@ -807,6 +852,13 @@ def simhash_near_pairs_capped(
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum((F.size("members") > cap).cast("long")).alias("oversized_buckets"),
             F.max(F.size("members")).alias("max_bucket_size_seen"),
+            # recall arithmetic (r15, VERDICT r14 #8) — see lsh_pairs_from_bands
+            F.expr("sum(size(members) * (size(members) - 1) div 2)").alias(
+                "uncapped_candidate_pairs"
+            ),
+            F.expr(
+                f"sum(least(size(members), {cap}) * (least(size(members), {cap}) - 1) div 2)"
+            ).alias("capped_candidate_pairs"),
         )
     if max_bucket_size is not None:
         buckets = buckets.select(

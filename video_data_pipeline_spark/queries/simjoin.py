@@ -255,6 +255,16 @@ def prefix_filter_pairs(docs, max_bucket_size=None, observation=None, sets=None)
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum((F.size("xs") > cap).cast("long")).alias("oversized_buckets"),
             F.max(F.size("xs")).alias("max_bucket_size_seen"),
+            # recall arithmetic (r15, VERDICT r14 #8): for this family
+            # the in-bucket workload UPPER-BOUNDS emitted candidates
+            # (the in-lambda length filter prunes further) — see
+            # lsh_pairs_from_bands for the exact-count families
+            F.expr("sum(size(xs) * (size(xs) - 1) div 2)").alias(
+                "uncapped_candidate_pairs"
+            ),
+            F.expr(
+                f"sum(least(size(xs), {cap}) * (least(size(xs), {cap}) - 1) div 2)"
+            ).alias("capped_candidate_pairs"),
         )
     if max_bucket_size is not None:
         buckets = buckets.select(
@@ -332,6 +342,7 @@ def q_prefix_filter_join(
             cached_plan,
             calibrate_capped_front,
             corpus_fingerprint,
+            explicit_cap_plan,
         )
 
         # verified-join budget (see DEFAULT_VERIFIED_PAIR_BUDGET): each
@@ -339,17 +350,21 @@ def q_prefix_filter_join(
         # so the generation-family 200M default is ~2 orders too loose
         budget = DEFAULT_VERIFIED_PAIR_BUDGET if pair_budget is None else pair_budget
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
+        front = rarity_prefix_rows(sets).select(F.col("h").alias("key"))
         fp = corpus_fingerprint(sf_dir)
         key = None if fp is None else ("prefix_buckets", fp, max_bucket_size, budget)
-        plan = cached_plan(
-            key,
-            lambda: calibrate_capped_front(
-                rarity_prefix_rows(sets).select(F.col("h").alias("key")),
-                max_bucket_size,
-                "prefix_buckets",
-                pair_budget=budget,
-            ),
-        )
+        if max_bucket_size != DEFAULT_MAX_BUCKET_SIZE:
+            # explicit non-default cap = accepted partial recall (r15,
+            # ADVICE r14): measure + report, never refuse the caller's
+            # own escape (see calibrate.explicit_cap_plan)
+            compute = lambda: explicit_cap_plan(  # noqa: E731
+                front, max_bucket_size, "prefix_buckets"
+            )
+        else:
+            compute = lambda: calibrate_capped_front(  # noqa: E731
+                front, max_bucket_size, "prefix_buckets", pair_budget=budget
+            )
+        plan = cached_plan(key, compute)
         return prefix_filter_pairs(
             docs, max_bucket_size=plan.max_bucket_size,
             observation=observation, sets=sets,
@@ -483,27 +498,35 @@ def q_containment_pairs(
             cached_plan,
             calibrate_capped_front,
             corpus_fingerprint,
+            explicit_cap_plan,
         )
 
         # verified-join budget — the prefix-family argument applies
         # verbatim (the containment verify joins the same hash arrays)
         budget = DEFAULT_VERIFIED_PAIR_BUDGET if pair_budget is None else pair_budget
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
+        front = sets.select(F.explode("hs").alias("key"))
         fp = corpus_fingerprint(sf_dir)
         key = (
             None if fp is None
             else ("containment_postings", fp, max_posting_size, budget)
         )
-        plan = cached_plan(
-            key,
-            lambda: calibrate_capped_front(
-                sets.select(F.explode("hs").alias("key")),
+        if max_posting_size != DEFAULT_MAX_POSTING_SIZE:
+            # explicit non-default cap = accepted partial recall (r15,
+            # ADVICE r14): measure + report, never refuse the caller's
+            # own escape (see calibrate.explicit_cap_plan)
+            compute = lambda: explicit_cap_plan(  # noqa: E731
+                front, max_posting_size, "containment_postings"
+            )
+        else:
+            compute = lambda: calibrate_capped_front(  # noqa: E731
+                front,
                 max_posting_size,
                 "containment_postings",
                 pair_budget=budget,
                 escape_arg="max_posting_size",
-            ),
-        )
+            )
+        plan = cached_plan(key, compute)
         return containment_pairs_capped(
             docs, max_posting_size=plan.max_bucket_size,
             observation=observation, sets=sets,
@@ -573,6 +596,14 @@ def containment_pairs_capped(docs, max_posting_size=None, observation=None, sets
             F.count(F.lit(1)).alias("n_postings"),
             F.sum((F.size("ps") > cap).cast("long")).alias("oversized_postings"),
             F.max(F.size("ps")).alias("max_posting_size_seen"),
+            # recall arithmetic (r15, VERDICT r14 #8): in-posting workload
+            # upper-bounds the asymmetric join's real candidates
+            F.expr("sum(size(ps) * (size(ps) - 1) div 2)").alias(
+                "uncapped_candidate_pairs"
+            ),
+            F.expr(
+                f"sum(least(size(ps), {cap}) * (least(size(ps), {cap}) - 1) div 2)"
+            ).alias("capped_candidate_pairs"),
         )
     if max_posting_size is not None:
         postings = postings.select(

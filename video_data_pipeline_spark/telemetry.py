@@ -283,12 +283,24 @@ class _QueryWarningListener:
                 f: int(v) for f, v in vals.items()
                 if f.startswith("max_") and v is not None
             }
+            # recall arithmetic (r15, VERDICT r14 #8): when the capped
+            # families attach their in-bucket workload sums, the warning
+            # carries the MEASURED recall, not just that the cap engaged
+            up = vals.get("uncapped_candidate_pairs")
+            cp = vals.get("capped_candidate_pairs")
+            recall = ""
+            if up is not None and cp is not None:
+                pct = 100.0 * int(cp) / max(int(up), 1)
+                recall = (
+                    f" Emitted in-bucket candidate workload: {int(cp):,} "
+                    f"of {int(up):,} ({pct:.1f}%)."
+                )
             self._emit(
                 f"CAP DIVERGENCE [{name}]: {oversized} bucket(s) exceeded "
                 f"the hot-bucket cap ({seen or 'sizes n/a'}) — this result "
-                "is a CAPPED SUBSET, not the oracle-exact answer. Re-run "
-                "with calibrate=True (exact plan or named refusal) or "
-                "max_bucket_size=None (exact, quadratic workload), or "
+                f"is a CAPPED SUBSET, not the oracle-exact answer.{recall} "
+                "Re-run with calibrate=True (exact plan or named refusal) "
+                "or max_bucket_size=None (exact, quadratic workload), or "
                 "accept documented partial recall.",
                 CapDivergenceWarning,
             )
