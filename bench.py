@@ -110,10 +110,12 @@ HEADLINE = [
     "q_label_propagation",
     # similarity join + audits + IR (round 9, late session)
     "q_prefix_filter_join",
+    "q_prefix_filter_join_calibrated",
     "q_minhash_estimate",
     "q_boolean_and_search",
     "q_bigram_logprob",
     "q_containment_pairs",
+    "q_containment_pairs_calibrated",
     "q_modern_curation_pipeline",
     "q_simhash_calibration",
     "q_hard_negatives",

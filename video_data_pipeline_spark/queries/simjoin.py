@@ -376,6 +376,30 @@ def q_prefix_filter_join(
     )
 
 
+@query(
+    "q_prefix_filter_join_calibrated",
+    oracle=_duck_prefix_join_sql(),
+    tags=("dedup", "jaccard", "join", "prefix-filter", "calibrate"),
+)
+def q_prefix_filter_join_calibrated(spark, sf_dir, pair_budget=None, observation=None):
+    """q_prefix_filter_join through the cap pre-flight as a REGISTERED
+    query (r15, VERDICT r14 #1 — the q_minhash_lsh_pairs_calibrated /
+    q_simhash_near_pairs_calibrated pattern, closing the last two
+    knob-only families): the driver's hash gate and the bench pin the
+    calibrated path directly. By construction the oracle compare is
+    meaningful on every corpus this runs on — the pre-flight proceeds
+    only on an exact plan (default proven not to bind, or uncapped within
+    the verified-family budget) and otherwise raises ``CapBoundError`` by
+    name, so the query never returns a capped subset for the gate to
+    mis-read. At no-bind scales (all the oracle-gate fixtures) the
+    decision is ``default`` and the only cost over q_prefix_filter_join
+    is the one linear front measurement."""
+    return q_prefix_filter_join(
+        spark, sf_dir, observation=observation, calibrate=True,
+        pair_budget=pair_budget,
+    )
+
+
 def hash_ordered_prefix(docs):
     """(doc_id, text, ...) → (doc_id, band_idx, band_key) prefix-token rows
     under an md5 CANONICAL order instead of global rarity.
@@ -535,6 +559,25 @@ def q_containment_pairs(
         docs,
         max_posting_size=max_posting_size,
         observation=observation,
+    )
+
+
+@query(
+    "q_containment_pairs_calibrated",
+    oracle=_duck_containment_sql(),
+    tags=("dedup", "containment", "join", "prefix-filter", "calibrate"),
+)
+def q_containment_pairs_calibrated(spark, sf_dir, pair_budget=None, observation=None):
+    """q_containment_pairs through the cap pre-flight as a REGISTERED
+    query (r15, VERDICT r14 #1) — see
+    :func:`q_prefix_filter_join_calibrated` for the contract; the
+    measured front here is the posting lists (one linear groupBy over the
+    exploded hash sets), whose in-posting workload upper-bounds the
+    asymmetric join's real candidates, so a proceed decision is always
+    safe."""
+    return q_containment_pairs(
+        spark, sf_dir, observation=observation, calibrate=True,
+        pair_budget=pair_budget,
     )
 
 
