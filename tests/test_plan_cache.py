@@ -124,6 +124,111 @@ def test_registered_calibrated_queries_hit_cache_on_repeat(spark, monkeypatch):
     assert calls["n"] == 1
 
 
+# ----------------------------------- cross-process persistence (r15,
+# VERDICT r14 #2): with $SPARK_GRAFT_PLAN_CACHE set, decisions round-trip
+# a JSON sidecar so a NEW process on the unchanged corpus skips the
+# measurement shuffle; staleness stays structural (fingerprint keys)
+
+
+def _toy_stats():
+    from video_data_pipeline_spark.calibrate import FrontStats
+
+    return {"toy": FrontStats("toy", 4, 2, 10, 10, 1, 46, 7)}
+
+
+def test_persisted_frontplan_roundtrip_across_processes(tmp_path, monkeypatch):
+    from video_data_pipeline_spark.calibrate import FrontPlan
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", str(tmp_path / "pc.json"))
+    clear_plan_cache()
+    key = ("prefix_buckets", ("/corpus", 123, 456), 64, 50_000_000)
+    plan = FrontPlan("exact_uncapped", None, "measured fits budget", _toy_stats())
+    assert cached_plan(key, lambda: plan) is plan
+    clear_plan_cache()  # simulate a NEW process: memory gone, sidecar stays
+    calls = {"n": 0}
+
+    def recompute():
+        calls["n"] += 1
+        return plan
+
+    got = cached_plan(key, recompute)
+    assert calls["n"] == 0, "persisted decision must skip the measurement"
+    assert got.decision == "exact_uncapped" and got.max_bucket_size is None
+    assert got.stats["toy"].uncapped_pairs == 46
+
+
+def test_persisted_refusal_reraises_in_new_process(tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", str(tmp_path / "pc.json"))
+    clear_plan_cache()
+    key = ("containment_postings", ("/corpus", 1, 2), 64, 10)
+
+    def refuse():
+        raise CapBoundError("no exact plan fits pair_budget=10", _toy_stats())
+
+    with pytest.raises(CapBoundError):
+        cached_plan(key, refuse)
+    clear_plan_cache()
+    calls = {"n": 0}
+
+    def recompute():
+        calls["n"] += 1
+        raise CapBoundError("fresh", {})
+
+    with pytest.raises(CapBoundError, match="no exact plan"):
+        cached_plan(key, recompute)
+    assert calls["n"] == 0, "a persisted refusal must re-raise without re-measuring"
+
+
+def test_simhash_plan_persists_decision_not_signatures(tmp_path, monkeypatch):
+    from video_data_pipeline_spark.calibrate import SimhashPlan
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", str(tmp_path / "pc.json"))
+    clear_plan_cache()
+    key = ("simhash", ("/corpus", 9, 9), 64, 200_000_000)
+    plan = SimhashPlan(
+        "exact_uncapped", "combos", None, "combos fits", _toy_stats(),
+        signatures=object(),  # stands in for the session-bound DataFrame
+    )
+    cached_plan(key, lambda: plan)
+    clear_plan_cache()
+    got = cached_plan(key, lambda: pytest.fail("must hit sidecar"))
+    assert got.geometry == "combos" and got.signatures is None
+
+
+def test_corrupt_or_mismatched_sidecar_is_ignored(tmp_path, monkeypatch):
+    side = tmp_path / "pc.json"
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", str(side))
+    side.write_text("{not json")
+    clear_plan_cache()
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return "fresh"
+
+    assert cached_plan(("k",), compute) == "fresh"
+    assert calls["n"] == 1
+    # and a future-format file is skipped, not crashed on
+    side.write_text('{"format": 99, "entries": []}')
+    clear_plan_cache()
+    assert cached_plan(("k2",), compute) == "fresh"
+
+
+def test_unset_env_keeps_cache_process_local(tmp_path, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_PLAN_CACHE", raising=False)
+    clear_plan_cache()
+    cached_plan(("k",), lambda: "decision")
+    clear_plan_cache()
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return "decision"
+
+    cached_plan(("k",), compute)
+    assert calls["n"] == 1, "no sidecar without the env var"
+
+
 def test_cache_key_includes_knobs(spark, monkeypatch):
     # a different cap or budget is a different decision problem
     calls = {"n": 0}

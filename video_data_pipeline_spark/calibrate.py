@@ -347,10 +347,172 @@ def calibrated_simhash_near_pairs(
 
 
 _PLAN_CACHE: dict[tuple, object] = {}
+_PERSISTED_LOADED = False
 
 
 def clear_plan_cache() -> None:
+    global _PERSISTED_LOADED
     _PLAN_CACHE.clear()
+    _PERSISTED_LOADED = False
+
+
+# -------------------------------------------- cross-process persistence
+#
+# r15 (VERDICT r14 #2): process-local memoization misses the usage
+# pattern where the pre-flight matters most — scheduled re-runs on an
+# unchanged (or slowly-growing) 100 TB corpus, each a NEW driver
+# process. Setting ``SPARK_GRAFT_PLAN_CACHE=/path/plan_cache.json``
+# spills every decision to a JSON sidecar (atomic tmp+rename,
+# merge-on-save so concurrent jobs don't clobber each other) and
+# reloads it lazily on the first cached_plan call of a new process.
+# Staleness stays STRUCTURAL: keys embed the stat fingerprint (realpath
+# + per-leaf-file mtime_ns + size), so any rewrite of the parquet makes
+# a new key — persisted entries for the old bytes simply never match
+# again. Opt-in by env var, deliberately: an always-on sidecar would
+# leak decisions between unrelated test sessions, and the production
+# caller (a nightly job) is exactly the one that can set one env var.
+
+
+def plan_cache_path() -> str | None:
+    """Sidecar path from ``$SPARK_GRAFT_PLAN_CACHE`` (empty/unset →
+    persistence disabled, process-local cache only)."""
+    return os.environ.get("SPARK_GRAFT_PLAN_CACHE") or None
+
+
+def _key_to_json(k):
+    return [_key_to_json(x) for x in k] if isinstance(k, tuple) else k
+
+
+def _key_from_json(k):
+    return tuple(_key_from_json(x) for x in k) if isinstance(k, list) else k
+
+
+def _stats_to_json(stats: dict) -> dict:
+    return {name: dataclasses.asdict(s) for name, s in stats.items()}
+
+
+def _stats_from_json(d: dict) -> dict:
+    return {name: FrontStats(**payload) for name, payload in d.items()}
+
+
+def _entry_to_json(obj):
+    if isinstance(obj, SimhashPlan):
+        return {
+            "kind": "SimhashPlan",
+            "decision": obj.decision,
+            "geometry": obj.geometry,
+            "max_bucket_size": obj.max_bucket_size,
+            "reason": obj.reason,
+            "stats": _stats_to_json(obj.stats),
+        }
+    if isinstance(obj, FrontPlan):
+        return {
+            "kind": "FrontPlan",
+            "decision": obj.decision,
+            "max_bucket_size": obj.max_bucket_size,
+            "reason": obj.reason,
+            "stats": _stats_to_json(obj.stats),
+        }
+    if isinstance(obj, CapBoundError):
+        return {
+            "kind": "CapBoundError",
+            "message": str(obj),
+            "stats": _stats_to_json(obj.stats),
+        }
+    return None  # unknown decision type: keep it process-local
+
+
+def _entry_from_json(rec):
+    kind = rec.get("kind")
+    if kind == "SimhashPlan":
+        return SimhashPlan(
+            decision=rec["decision"],
+            geometry=rec["geometry"],
+            max_bucket_size=rec["max_bucket_size"],
+            reason=rec["reason"],
+            stats=_stats_from_json(rec["stats"]),
+            signatures=None,
+        )
+    if kind == "FrontPlan":
+        return FrontPlan(
+            decision=rec["decision"],
+            max_bucket_size=rec["max_bucket_size"],
+            reason=rec["reason"],
+            stats=_stats_from_json(rec["stats"]),
+        )
+    if kind == "CapBoundError":
+        return CapBoundError(rec["message"], _stats_from_json(rec["stats"]))
+    raise ValueError(f"unknown plan-cache entry kind {kind!r}")
+
+
+_CACHE_FORMAT = 1
+
+
+def _read_sidecar(path: str) -> dict[tuple, object]:
+    import json
+
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        if doc.get("format") != _CACHE_FORMAT:
+            return {}
+        out = {}
+        for rec in doc.get("entries", []):
+            out[_key_from_json(rec["key"])] = _entry_from_json(rec["entry"])
+        return out
+    except (OSError, ValueError, KeyError, TypeError) as e:
+        # a corrupt/unreadable sidecar must never fail the query — the
+        # cache is an optimization; fall back to measuring
+        log.warning("plan cache: ignoring unreadable sidecar %s (%s)", path, e)
+        return {}
+
+
+def _load_persisted_once() -> None:
+    global _PERSISTED_LOADED
+    if _PERSISTED_LOADED:
+        return
+    _PERSISTED_LOADED = True
+    path = plan_cache_path()
+    if path is None:
+        return
+    loaded = _read_sidecar(path)
+    for k, v in loaded.items():
+        _PLAN_CACHE.setdefault(k, v)  # in-memory (fresher) entries win
+    if loaded:
+        log.info("plan cache: loaded %d persisted decision(s) from %s",
+                 len(loaded), path)
+
+
+def _persist(key: tuple, entry) -> None:
+    path = plan_cache_path()
+    if path is None:
+        return
+    rec = _entry_to_json(entry)
+    if rec is None:
+        return
+    import json
+    import tempfile
+
+    try:
+        # merge-on-save: another process may have written since we loaded
+        merged = _read_sidecar(path)
+        merged[key] = entry
+        doc = {
+            "format": _CACHE_FORMAT,
+            "entries": [
+                {"key": _key_to_json(k), "entry": _entry_to_json(v)}
+                for k, v in merged.items()
+                if _entry_to_json(v) is not None
+            ],
+        }
+        d = os.path.dirname(os.path.abspath(path))
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".plan_cache.tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(doc, f, indent=1)
+        os.replace(tmp, path)  # atomic on POSIX
+    except OSError as e:
+        log.warning("plan cache: could not persist to %s (%s)", path, e)
 
 
 def corpus_fingerprint(sf_dir: str, table: str = "documents"):
@@ -388,7 +550,11 @@ def cached_plan(key, compute):
     signatures lazily inside the pair join, which is exactly the one-pass
     plan the uncached query runs; the saving is the measurement shuffle,
     not the signature math. Cached refusals re-raise the stored
-    :class:`CapBoundError`."""
+    :class:`CapBoundError`. With ``$SPARK_GRAFT_PLAN_CACHE`` set,
+    decisions also round-trip a JSON sidecar, so a NEW process on the
+    unchanged corpus skips the measurement too (r15, VERDICT r14 #2)."""
+    if key is not None:
+        _load_persisted_once()
     if key is not None and key in _PLAN_CACHE:
         hit = _PLAN_CACHE[key]
         log.info("calibration cache hit for %s", key[0])
@@ -400,12 +566,14 @@ def cached_plan(key, compute):
     except CapBoundError as e:
         if key is not None:
             _PLAN_CACHE[key] = e
+            _persist(key, e)
         raise
     if key is not None:
         stored = plan
         if isinstance(plan, SimhashPlan) and plan.signatures is not None:
             stored = dataclasses.replace(plan, signatures=None)
         _PLAN_CACHE[key] = stored
+        _persist(key, stored)
     return plan
 
 
