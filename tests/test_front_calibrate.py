@@ -13,6 +13,7 @@ near-identical shingle sets, hence identical signatures) drives the bind.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from video_data_pipeline_spark.calibrate import (
     CapBoundError,
@@ -116,6 +117,71 @@ def test_minhash_refusal_on_clone_corpus_tiny_budget(spark, near_clone_docs):
             pair_budget=10,
         )
     assert "minhash_bands" in str(ei.value)
+
+
+# ------------------------------------- bytes-weighted workload model (r15,
+# VERDICT r14 #4): staged verification made verified-family per-candidate
+# shuffle bytes a constant, so the proceed test budgets candidates x bytes
+# — the count proxy refused affordable short-set corpora
+
+
+def test_byte_budget_proceeds_where_count_budget_refused(spark):
+    from video_data_pipeline_spark.calibrate import STAGED_CANDIDATE_BYTES
+
+    # one hot bucket of 12,650 members: ~80M in-bucket candidate pairs —
+    # over the old 50M verified count budget, but 80M x 160 B = 12.8 GiB,
+    # comfortably inside the 32 GiB byte budget
+    keys = spark.range(12_650).select(F.lit("hot").alias("key"))
+    with pytest.raises(CapBoundError):
+        calibrate_capped_front(keys, 64, "prefix_buckets", pair_budget=50_000_000)
+    plan = calibrate_capped_front(
+        keys, 64, "prefix_buckets", bytes_per_candidate=STAGED_CANDIDATE_BYTES
+    )
+    assert plan.decision == "exact_uncapped"
+    assert plan.max_bucket_size is None
+    assert "GiB" in plan.reason
+
+
+def test_byte_budget_refuses_over_byte_bound_naming_gib(spark):
+    keys = spark.range(12_650).select(F.lit("hot").alias("key"))
+    with pytest.raises(CapBoundError) as ei:
+        calibrate_capped_front(
+            keys, 64, "containment_postings",
+            bytes_per_candidate=160, byte_budget=1 << 30,
+            escape_arg="max_posting_size",
+        )
+    msg = str(ei.value)
+    assert "GiB" in msg and "byte budget" in msg
+    assert "max_posting_size=None" in msg
+
+
+def test_registered_verified_families_use_byte_model_by_default(spark, monkeypatch):
+    # the registered calibrate branch must pass bytes_per_candidate when
+    # no explicit pair_budget is given, and the count budget when one is
+    from video_data_pipeline_spark import calibrate
+    from video_data_pipeline_spark.calibrate import clear_plan_cache
+
+    seen = []
+    real = calibrate.calibrate_capped_front
+
+    def spy(keys, cap, name, **kw):
+        seen.append(kw)
+        return real(keys, cap, name, **kw)
+
+    monkeypatch.setattr(calibrate, "calibrate_capped_front", spy)
+    clear_plan_cache()
+    try:
+        q_prefix_filter_join(spark, SF_DIR, calibrate=True).count()
+        q_containment_pairs(spark, SF_DIR, calibrate=True).count()
+        q_prefix_filter_join(
+            spark, SF_DIR, calibrate=True, pair_budget=10**9
+        ).count()
+        assert seen[0].get("bytes_per_candidate") is not None
+        assert seen[1].get("bytes_per_candidate") is not None
+        assert seen[2].get("pair_budget") == 10**9
+        assert "bytes_per_candidate" not in seen[2]
+    finally:
+        clear_plan_cache()
 
 
 # ------------------------------------------- registered knobs, no-bind sf

@@ -69,7 +69,30 @@ DEFAULT_PAIR_BUDGET = 200_000_000
 #: pathology the pre-flight exists to refuse. 50M keeps proceeds in the
 #: measured zero-spill regime; callers who want the spill anyway pass
 #: ``pair_budget`` explicitly (the refusal names the escape).
+#:
+#: r15 NOTE: the registered verified-family queries no longer use this
+#: count proxy by default — staged verification made their per-candidate
+#: shuffle bytes a constant, so their default proceed test is the
+#: bytes-weighted model below (VERDICT r14 #4). The constant remains the
+#: documented reference point for explicit count budgets.
 DEFAULT_VERIFIED_PAIR_BUDGET = 50_000_000
+
+#: r15 (VERDICT r14 #4+#5): the verified families now verify in STAGES —
+#: candidates attach a fixed-size packed-histogram summary (8 BIGINTs +
+#: n + sat per side) and a safe intersection upper bound prunes them
+#: before the full arrays join (``simjoin.py::summary_table``). That
+#: makes the per-candidate bytes through the heavy shuffle a measured
+#: CONSTANT (~160 B: two 72 B summaries + ids), independent of set
+#: length — so the workload model budgets candidates x bytes instead of
+#: the r14 count proxy (which refused affordable short-set corpora and
+#: accepted expensive long-set ones). Anchored to a live run:
+#: PROBE_PREFIX_STAGED_SFP10_r15 moved 151.2M candidates (~24 GB
+#: logical) through the staged filter with 1.38 GB disk spill in 220 s
+#: on local[32]; 32 GiB keeps proceeds inside that measured regime
+#: (sfp10 containment's 601M candidates = 96 GB -> refuse; sfp30's
+#: 5.15B = 824 GB -> refuse, both correctly).
+STAGED_CANDIDATE_BYTES = 160
+DEFAULT_CANDIDATE_BYTE_BUDGET = 32 << 30
 
 #: sentinel distinguishing "caller did not choose a cap" (use the family
 #: default) from an EXPLICIT ``default_cap=None`` (the caller already
@@ -617,6 +640,8 @@ def calibrate_capped_front(
     name: str,
     pair_budget: int | None = None,
     escape_arg: str = "max_bucket_size",
+    bytes_per_candidate: int | None = None,
+    byte_budget: int | None = None,
 ) -> FrontPlan:
     """Single-front cap pre-flight: one linear groupBy over ``keys`` (one
     row per (doc, bucket-key) membership — no pair expansion), then decide.
@@ -626,9 +651,22 @@ def calibrate_capped_front(
     (their joins are length-filtered / asymmetric), so a proceed decision
     is always safe and a refusal is conservative by at most that slack.
     ``escape_arg`` names the family's uncapped knob in the refusal text
-    (``max_bucket_size`` / ``max_posting_size``)."""
+    (``max_bucket_size`` / ``max_posting_size``).
+
+    Budget model (r15, VERDICT r14 #4): with ``bytes_per_candidate`` set
+    (the verified families pass :data:`STAGED_CANDIDATE_BYTES` — a
+    constant, since staged verification moved the array payloads off the
+    candidate shuffle) the proceed test is BYTES-weighted:
+    ``uncapped_pairs * bytes_per_candidate <= byte_budget`` (default
+    :data:`DEFAULT_CANDIDATE_BYTE_BUDGET`). Without it, the r12 count
+    test against ``pair_budget`` applies. The count proxy mis-ranked
+    corpora by set length — a short-set corpus with 80M cheap candidates
+    refused while a long-set one with 40M expensive candidates
+    proceeded; bytes are the thing the node actually spills."""
     if pair_budget is None:
         pair_budget = DEFAULT_PAIR_BUDGET
+    if byte_budget is None:
+        byte_budget = DEFAULT_CANDIDATE_BYTE_BUDGET
     s = measure_front(keys, default_cap, name)
     stats = {name: s}
     if not s.binds:
@@ -638,6 +676,36 @@ def calibrate_capped_front(
         )
         log.info("%s calibration: %s", name, reason)
         return FrontPlan("default", default_cap, reason, stats)
+    if bytes_per_candidate is not None:
+        workload = s.uncapped_pairs * bytes_per_candidate
+        if workload <= byte_budget:
+            reason = (
+                f"default cap {default_cap} BINDS on this corpus (max bucket "
+                f"{s.max_bucket}, {s.oversized} oversized buckets) — running "
+                f"UNCAPPED instead: the exact workload {s.uncapped_pairs:,} "
+                f"candidates x {bytes_per_candidate} B = "
+                f"{workload / (1 << 30):.1f} GiB fits the byte budget "
+                f"({byte_budget / (1 << 30):.0f} GiB); output stays "
+                "oracle-exact"
+            )
+            log.warning("%s calibration: %s", name, reason)
+            return FrontPlan("exact_uncapped", None, reason, stats)
+        raise CapBoundError(
+            f"{name} default cap {default_cap} BINDS on this corpus and the "
+            f"exact plan does not fit the candidate byte budget: "
+            f"{s.uncapped_pairs:,} candidates x {bytes_per_candidate} B = "
+            f"{workload / (1 << 30):.1f} GiB > {byte_budget / (1 << 30):.0f} "
+            f"GiB (max bucket {s.max_bucket}, {s.oversized} oversized). "
+            "Refusing rather than silently emitting a capped subset. "
+            "Escapes: raise pair_budget (a count budget overrides the byte "
+            f"model) and re-calibrate; pass {escape_arg}=None to accept the "
+            f"quadratic exact workload; or pass an explicit non-default "
+            f"{escape_arg} to accept DOCUMENTED partial recall — under "
+            "calibrate=True the pre-flight then MEASURES the recall "
+            "(emitted-vs-total candidate workload) and proceeds with your "
+            "cap instead of refusing again.",
+            stats,
+        )
     if s.uncapped_pairs <= pair_budget:
         reason = (
             f"default cap {default_cap} BINDS on this corpus (max bucket "

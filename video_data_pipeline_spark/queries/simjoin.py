@@ -167,6 +167,120 @@ WHERE {_TAU_DEN + _TAU_NUM} * {inter} >= {_TAU_NUM} * (ta.n + tb.n)
 """
 
 
+# ------------------------------------------------ staged verification
+#
+# r15 (VERDICT r14 #5): the exact verified joins moved each candidate's
+# TWO ~100-element BIGINT shingle arrays through the attach shuffles —
+# at sfp10 the uncapped prefix join spilled 94 GB for exactly this
+# reason (PROBE_PREFIX_CAL_SFP10_r14.json: 151.2M candidates x ~1.6 KB).
+# The staged path shrinks the per-candidate payload ~12x: candidates
+# first attach only a COMPACT per-doc summary — the set size plus a
+# 128-lane histogram of the hash values, 4 saturating bits per lane
+# packed 16-to-a-BIGINT (8 longs = 64 bytes) — and a provably-safe
+# upper bound on |A∩B| prunes pairs that cannot reach the threshold:
+#
+#   |A∩B| restricted to lane i  <=  min(count_A[i], count_B[i])
+#   =>  |A∩B|  <=  sum_i min(count_A[i], count_B[i])        (the bound)
+#
+# so dropping a pair whose BOUND fails the threshold can never drop a
+# pair whose true intersection passes it. Saturation (a lane count > 15)
+# would break the inequality for the capped stored value, so any doc
+# with a saturated lane sets a flag and its pairs BYPASS the filter
+# (rare by construction: lanes are uniform md5 buckets, so saturation
+# needs ~byte-identical token mass in one of 128 lanes). Survivors —
+# measured a few percent of candidates at sfp10 — then attach the full
+# arrays and run the UNCHANGED exact integer predicate, so the output
+# is bit-identical to the single-stage form (pytest- and oracle-pinned).
+# At 100 TB this turns shuffle volume from candidates x array-payload
+# into candidates x 64 B + survivors x array-payload.
+
+_SUMMARY_LANES = 128
+_SUMMARY_WORDS = _SUMMARY_LANES // 16  # 16 4-bit lanes per BIGINT
+
+
+def _lane_min_sum(x: str, y: str) -> str:
+    """SQL for sum over the 16 packed 4-bit lanes of min(x_lane, y_lane)."""
+    return " + ".join(
+        f"least(shiftright({x}, {4 * i}) & 15, shiftright({y}, {4 * i}) & 15)"
+        for i in range(16)
+    )
+
+
+#: upper bound on |A∩B| from two packed summaries (columns cnt_a, cnt_b);
+#: a plain SQL string so importing this module needs no live SparkContext
+_INTER_UPPER_BOUND_SQL = (
+    "aggregate(zip_with(cnt_a, cnt_b, (x, y) -> "
+    + _lane_min_sum("x", "y")
+    + "), 0L, (acc, e) -> acc + e)"
+)
+
+
+def summary_table(sets):
+    """(doc_id, n, hs) → (doc_id, n, cnt: array<bigint>[8], sat).
+
+    One uniform doc-keyed shuffle builds the packed histogram: explode
+    the hashes, count per (doc, lane = pmod(h, 128)) with map-side
+    combine, then OR the 4-bit saturating counts into 8 packed words
+    (disjoint bit ranges, so SUM == OR — pure codegen, no UDF). ``sat``
+    marks docs where any lane exceeded 15 — their pairs bypass the
+    staged filter (see the module comment's safety argument)."""
+    lanes = (
+        sets.select("doc_id", "n", F.explode("hs").alias("h"))
+        .groupBy("doc_id", "n", F.pmod("h", F.lit(_SUMMARY_LANES)).alias("lane"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN lane div 16 = {w} "
+                "THEN shiftleft(least(cnt, 15), (lane % 16) * 4) ELSE 0 END"
+            )
+        ).alias(f"w{w}")
+        for w in range(_SUMMARY_WORDS)
+    ]
+    return (
+        lanes.groupBy("doc_id", "n")
+        .agg(*words, F.max("cnt").alias("maxc"))
+        .select(
+            "doc_id",
+            "n",
+            F.array(*[F.col(f"w{w}") for w in range(_SUMMARY_WORDS)]).alias("cnt"),
+            (F.col("maxc") > 15).alias("sat"),
+        )
+    )
+
+
+def _staged_candidate_filter(cand, summaries, keep_predicate):
+    """Attach the compact summaries to bare (doc_a, doc_b) candidates and
+    keep saturated-or-plausible pairs. ``keep_predicate(ub, na, nb)``
+    returns the family's threshold test on the intersection UPPER BOUND —
+    it must be implied by the family's exact predicate on the true
+    intersection (ub >= inter makes that monotone)."""
+    sa = summaries.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("na"),
+        F.col("cnt").alias("cnt_a"),
+        F.col("sat").alias("sat_a"),
+    )
+    sb = summaries.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("nb"),
+        F.col("cnt").alias("cnt_b"),
+        F.col("sat").alias("sat_b"),
+    )
+    ub = F.expr(_INTER_UPPER_BOUND_SQL)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("sat_a")
+            | F.col("sat_b")
+            | keep_predicate(ub, F.col("na"), F.col("nb"))
+        )
+        .select("doc_a", "doc_b")
+    )
+
+
 def rarity_prefix_rows(sets):
     """(doc_id, n, hs) → the rarity-ordered prefix rows (doc_id, n, h):
     global document frequency per shingle hash, per-doc rank by (df, h),
@@ -186,7 +300,9 @@ def rarity_prefix_rows(sets):
     ).select("doc_id", "n", "h")
 
 
-def prefix_filter_pairs(docs, max_bucket_size=None, observation=None, sets=None):
+def prefix_filter_pairs(
+    docs, max_bucket_size=None, observation=None, sets=None, staged_verify=None
+):
     """Core of :func:`q_prefix_filter_join`, parameterized with the family's
     100 TB hot-bucket guard (the ``lsh_pairs_from_bands`` /
     ``simhash_near_pairs_capped`` knob).
@@ -282,6 +398,20 @@ def prefix_filter_pairs(docs, max_bucket_size=None, observation=None, sets=None)
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # staged verification (r15, VERDICT r14 #5): default ON exactly when
+    # the candidate set is unbounded (uncapped / calibrated-exact runs —
+    # where the sfp10 spill lived); the capped default keeps the direct
+    # attach (bounded candidates, one fewer shuffle). Output is
+    # bit-identical either way — the exact predicate below applies last.
+    if staged_verify is None:
+        staged_verify = max_bucket_size is None
+    if staged_verify:
+        summaries = summary_table(sets).localCheckpoint(eager=False)
+        cand = _staged_candidate_filter(
+            cand,
+            summaries,
+            lambda ub, na, nb: (_TAU_DEN + _TAU_NUM) * ub >= _TAU_NUM * (na + nb),
+        )
     ta = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hs").alias("hs_a"),
@@ -338,21 +468,20 @@ def q_prefix_filter_join(
     docs = table(spark, sf_dir, "documents")
     if calibrate and max_bucket_size is not None:
         from video_data_pipeline_spark.calibrate import (
-            DEFAULT_VERIFIED_PAIR_BUDGET,
+            STAGED_CANDIDATE_BYTES,
             cached_plan,
             calibrate_capped_front,
             corpus_fingerprint,
             explicit_cap_plan,
         )
 
-        # verified-join budget (see DEFAULT_VERIFIED_PAIR_BUDGET): each
-        # candidate carries array payloads into the exact verification,
-        # so the generation-family 200M default is ~2 orders too loose
-        budget = DEFAULT_VERIFIED_PAIR_BUDGET if pair_budget is None else pair_budget
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
         front = rarity_prefix_rows(sets).select(F.col("h").alias("key"))
         fp = corpus_fingerprint(sf_dir)
-        key = None if fp is None else ("prefix_buckets", fp, max_bucket_size, budget)
+        key = (
+            None if fp is None
+            else ("prefix_buckets", fp, max_bucket_size, pair_budget)
+        )
         if max_bucket_size != DEFAULT_MAX_BUCKET_SIZE:
             # explicit non-default cap = accepted partial recall (r15,
             # ADVICE r14): measure + report, never refuse the caller's
@@ -360,9 +489,21 @@ def q_prefix_filter_join(
             compute = lambda: explicit_cap_plan(  # noqa: E731
                 front, max_bucket_size, "prefix_buckets"
             )
+        elif pair_budget is None:
+            # bytes-weighted workload model (r15, VERDICT r14 #4): staged
+            # verification made per-candidate shuffle bytes a CONSTANT
+            # (STAGED_CANDIDATE_BYTES — summaries, not arrays), so the
+            # default proceed test budgets candidates x bytes; an
+            # explicit pair_budget keeps the count semantics (CLI/probes)
+            compute = lambda: calibrate_capped_front(  # noqa: E731
+                front,
+                max_bucket_size,
+                "prefix_buckets",
+                bytes_per_candidate=STAGED_CANDIDATE_BYTES,
+            )
         else:
             compute = lambda: calibrate_capped_front(  # noqa: E731
-                front, max_bucket_size, "prefix_buckets", pair_budget=budget
+                front, max_bucket_size, "prefix_buckets", pair_budget=pair_budget
             )
         plan = cached_plan(key, compute)
         return prefix_filter_pairs(
@@ -518,22 +659,19 @@ def q_containment_pairs(
     docs = table(spark, sf_dir, "documents")
     if calibrate and max_posting_size is not None:
         from video_data_pipeline_spark.calibrate import (
-            DEFAULT_VERIFIED_PAIR_BUDGET,
+            STAGED_CANDIDATE_BYTES,
             cached_plan,
             calibrate_capped_front,
             corpus_fingerprint,
             explicit_cap_plan,
         )
 
-        # verified-join budget — the prefix-family argument applies
-        # verbatim (the containment verify joins the same hash arrays)
-        budget = DEFAULT_VERIFIED_PAIR_BUDGET if pair_budget is None else pair_budget
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
         front = sets.select(F.explode("hs").alias("key"))
         fp = corpus_fingerprint(sf_dir)
         key = (
             None if fp is None
-            else ("containment_postings", fp, max_posting_size, budget)
+            else ("containment_postings", fp, max_posting_size, pair_budget)
         )
         if max_posting_size != DEFAULT_MAX_POSTING_SIZE:
             # explicit non-default cap = accepted partial recall (r15,
@@ -542,12 +680,22 @@ def q_containment_pairs(
             compute = lambda: explicit_cap_plan(  # noqa: E731
                 front, max_posting_size, "containment_postings"
             )
+        elif pair_budget is None:
+            # bytes-weighted model (r15) — see q_prefix_filter_join; the
+            # containment verify rides the same staged summaries
+            compute = lambda: calibrate_capped_front(  # noqa: E731
+                front,
+                max_posting_size,
+                "containment_postings",
+                bytes_per_candidate=STAGED_CANDIDATE_BYTES,
+                escape_arg="max_posting_size",
+            )
         else:
             compute = lambda: calibrate_capped_front(  # noqa: E731
                 front,
                 max_posting_size,
                 "containment_postings",
-                pair_budget=budget,
+                pair_budget=pair_budget,
                 escape_arg="max_posting_size",
             )
         plan = cached_plan(key, compute)
@@ -581,7 +729,9 @@ def q_containment_pairs_calibrated(spark, sf_dir, pair_budget=None, observation=
     )
 
 
-def containment_pairs_capped(docs, max_posting_size=None, observation=None, sets=None):
+def containment_pairs_capped(
+    docs, max_posting_size=None, observation=None, sets=None, staged_verify=None
+):
     """Core of :func:`q_containment_pairs`, carrying the family's 100 TB
     hot-posting guard (the ``lsh_pairs_from_bands`` /
     ``simhash_near_pairs_capped`` knob, applied to the posting side of the
@@ -667,6 +817,18 @@ def containment_pairs_capped(docs, max_posting_size=None, observation=None, sets
         )
         .distinct()
     )
+    # staged verification (r15, VERDICT r14 #5) — see prefix_filter_pairs;
+    # the containment bound test: DEN * ub >= NUM * least(na, nb) is
+    # implied by the exact predicate since ub >= inter
+    if staged_verify is None:
+        staged_verify = max_posting_size is None
+    if staged_verify:
+        summaries = summary_table(sets).localCheckpoint(eager=False)
+        pairs = _staged_candidate_filter(
+            pairs,
+            summaries,
+            lambda ub, na, nb: _CONT_DEN * ub >= _CONT_NUM * F.least(na, nb),
+        )
     ta = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("hs").alias("hs_a"),
