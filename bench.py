@@ -111,11 +111,13 @@ HEADLINE = [
     # similarity join + audits + IR (round 9, late session)
     "q_prefix_filter_join",
     "q_prefix_filter_join_calibrated",
+    "q_prefix_filter_join_exact",
     "q_minhash_estimate",
     "q_boolean_and_search",
     "q_bigram_logprob",
     "q_containment_pairs",
     "q_containment_pairs_calibrated",
+    "q_containment_pairs_exact",
     "q_modern_curation_pipeline",
     "q_simhash_calibration",
     "q_hard_negatives",

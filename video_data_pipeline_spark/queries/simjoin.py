@@ -518,6 +518,28 @@ def q_prefix_filter_join(
 
 
 @query(
+    "q_prefix_filter_join_exact",
+    oracle=_duck_prefix_join_sql(),
+    tags=("dedup", "jaccard", "join", "prefix-filter", "staged"),
+)
+def q_prefix_filter_join_exact(spark, sf_dir, observation=None):
+    """The UNCAPPED exact prefix join — which since r15 runs the STAGED
+    verification (summary bound filter, then array attach on survivors
+    only; see :func:`summary_table`) — as a REGISTERED query, so the
+    staged path has a per-round oracle hash gate of its own instead of
+    only pytest pins: the uncapped form equals the oracle SQL on every
+    corpus by the completeness theorem, making the compare meaningful at
+    any gate scale. This is the plan a 100 TB exactness study runs
+    (PROBE_PREFIX_STAGED_SFP10_r15: identical rows to the direct form at
+    26x less disk spill)."""
+    return prefix_filter_pairs(
+        table(spark, sf_dir, "documents"),
+        max_bucket_size=None,
+        observation=observation,
+    )
+
+
+@query(
     "q_prefix_filter_join_calibrated",
     oracle=_duck_prefix_join_sql(),
     tags=("dedup", "jaccard", "join", "prefix-filter", "calibrate"),
@@ -706,6 +728,23 @@ def q_containment_pairs(
     return containment_pairs_capped(
         docs,
         max_posting_size=max_posting_size,
+        observation=observation,
+    )
+
+
+@query(
+    "q_containment_pairs_exact",
+    oracle=_duck_containment_sql(),
+    tags=("dedup", "containment", "join", "prefix-filter", "staged"),
+)
+def q_containment_pairs_exact(spark, sf_dir, observation=None):
+    """The uncapped exact containment join through the r15 STAGED
+    verification, registered for the same reason as
+    :func:`q_prefix_filter_join_exact` — the staged path earns its own
+    per-round oracle hash gate."""
+    return containment_pairs_capped(
+        table(spark, sf_dir, "documents"),
+        max_posting_size=None,
         observation=observation,
     )
 
