@@ -75,13 +75,40 @@ def test_cli_calibrate_and_calibrated_query(tmp_path):
     assert "no calibrate path" in r.stderr
 
 
-def test_cli_calibrated_query_refuses_over_budget():
-    # force the bind (cap 8 << the fixture's max bucket) with an
-    # impossible budget: the refusal branch must exit 3 with the measured
-    # boundary on stderr instead of printing a silently capped table
+def test_cli_explicit_cap_proceeds_with_measured_recall():
+    # r15 (ADVICE r14 medium): an explicit NON-DEFAULT cap under
+    # --calibrate is accepted partial recall — the pre-flight measures
+    # and proceeds with the caller's cap (before r15 this invocation
+    # refused, re-refusing the escape the refusal itself had named)
     r = run_cli("query", "q_simhash_near_pairs", "--calibrate",
                 "--max-bucket-size", "8", "--pair-budget", "1",
                 "--sf-dir", "/root/testdata/sf0.001", "--show", "3")
+    assert r.returncode == 0, (r.returncode, r.stderr[-800:])
+
+
+def test_cli_calibrated_query_refuses_over_budget(tmp_path):
+    # the refusal branch must exit 3 with the measured boundary on
+    # stderr instead of printing a silently capped table. r15: an
+    # explicit small cap no longer refuses (accepted partial recall), so
+    # the bind comes from a corpus where the DEFAULT minhash cap (64)
+    # genuinely binds: 100 rotations of one sentence — distinct content,
+    # near-identical shingle sets, every band bucket holds all 100 docs
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    words = [f"word{i:03d}" for i in range(120)]
+    rows = [" ".join(words[i:] + words[:i]) for i in range(100)]
+    t = pa.table({
+        "doc_id": pa.array(range(100), pa.int64()),
+        "text": pa.array(rows),
+        "lang": pa.array(["en"] * 100),
+        "source": pa.array(["s"] * 100),
+        "n_chars": pa.array([len(r) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    r = run_cli("query", "q_minhash_lsh_pairs", "--calibrate",
+                "--pair-budget", "1", "--sf-dir", str(tmp_path),
+                "--show", "3")
     assert r.returncode == 3, (r.returncode, r.stderr[-800:])
     assert "REFUSED" in r.stderr and "BINDS" in r.stderr
     assert "pair_budget=1" in r.stderr
