@@ -155,6 +155,45 @@ def test_byte_budget_refuses_over_byte_bound_naming_gib(spark):
     assert "max_posting_size=None" in msg
 
 
+def test_cluster_scaled_byte_budget(spark):
+    # r15 (ROADMAP r16 #3 pulled forward): the 32 GiB byte bound is a
+    # single-node constant; declaring N executors scales the refusal
+    # boundary with the cluster (the staged filter's shuffle spreads
+    # uniformly over executors)
+    from video_data_pipeline_spark.calibrate import (
+        DEFAULT_CANDIDATE_BYTE_BUDGET,
+        cluster_byte_budget,
+    )
+
+    # local mode: no executor count declared -> the measured single-node bound
+    assert cluster_byte_budget(spark) == DEFAULT_CANDIDATE_BYTE_BUDGET
+
+    # executor.instances is a STARTUP conf (Spark refuses runtime set),
+    # so the conf-read path is pinned via a stub session
+    class _FakeConf:
+        def get(self, key, default=None):
+            return "4" if key == "spark.executor.instances" else default
+
+    class _FakeSpark:
+        conf = _FakeConf()
+
+    assert cluster_byte_budget(_FakeSpark()) == 4 * DEFAULT_CANDIDATE_BYTE_BUDGET
+
+    # and the ladder consults the scaled bound: a 30k-member hot bucket
+    # (450M candidates x 160 B = 67 GiB) refuses on one node, proceeds
+    # inside a 4-node budget
+    keys = spark.range(30_000).select(F.lit("hot").alias("key"))
+    with pytest.raises(CapBoundError):
+        calibrate_capped_front(
+            keys, 64, "prefix_buckets", bytes_per_candidate=160
+        )
+    plan = calibrate_capped_front(
+        keys, 64, "prefix_buckets", bytes_per_candidate=160,
+        byte_budget=4 * DEFAULT_CANDIDATE_BYTE_BUDGET,
+    )
+    assert plan.decision == "exact_uncapped"
+
+
 def test_registered_verified_families_use_byte_model_by_default(spark, monkeypatch):
     # the registered calibrate branch must pass bytes_per_candidate when
     # no explicit pair_budget is given, and the count budget when one is

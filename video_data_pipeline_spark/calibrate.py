@@ -94,6 +94,24 @@ DEFAULT_VERIFIED_PAIR_BUDGET = 50_000_000
 STAGED_CANDIDATE_BYTES = 160
 DEFAULT_CANDIDATE_BYTE_BUDGET = 32 << 30
 
+
+def cluster_byte_budget(spark) -> int:
+    """Scale the spill-safe candidate byte budget by the cluster size
+    (r15, ROADMAP r16 #3 pulled forward): the 32 GiB default is a
+    SINGLE-NODE bound (measured on local[32]/128 GiB —
+    PROBE_PREFIX_STAGED_SFP10_r15), but the staged filter's shuffle
+    spreads uniformly over executors (candidates key on uniform ids), so
+    an N-executor cluster tolerates ~N x the bytes before any one node
+    spills past its disk. Reads ``spark.executor.instances`` (absent or
+    non-numeric — e.g. local mode or dynamic allocation without a fixed
+    count — degrades to 1, i.e. the measured single-node bound; a
+    dynamic-allocation operator should pass ``byte_budget`` explicitly)."""
+    try:
+        n = int(spark.conf.get("spark.executor.instances", "1"))
+    except (ValueError, TypeError):
+        n = 1
+    return DEFAULT_CANDIDATE_BYTE_BUDGET * max(1, n)
+
 #: sentinel distinguishing "caller did not choose a cap" (use the family
 #: default) from an EXPLICIT ``default_cap=None`` (the caller already
 #: accepted the uncapped quadratic workload — ADVICE r13: mapping None
@@ -666,7 +684,11 @@ def calibrate_capped_front(
     if pair_budget is None:
         pair_budget = DEFAULT_PAIR_BUDGET
     if byte_budget is None:
-        byte_budget = DEFAULT_CANDIDATE_BYTE_BUDGET
+        # executor-count-scaled: on a real cluster the refusal boundary
+        # grows with the nodes that share the shuffle (see
+        # cluster_byte_budget); on local mode this is the measured
+        # single-node 32 GiB
+        byte_budget = cluster_byte_budget(keys.sparkSession)
     s = measure_front(keys, default_cap, name)
     stats = {name: s}
     if not s.binds:
