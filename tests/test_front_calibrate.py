@@ -179,10 +179,10 @@ def test_cluster_scaled_byte_budget(spark):
 
     assert cluster_byte_budget(_FakeSpark()) == 4 * DEFAULT_CANDIDATE_BYTE_BUDGET
 
-    # and the ladder consults the scaled bound: a 30k-member hot bucket
-    # (450M candidates x 160 B = 67 GiB) refuses on one node, proceeds
-    # inside a 4-node budget
-    keys = spark.range(30_000).select(F.lit("hot").alias("key"))
+    # and the ladder consults the scaled bound: a 60k-member hot bucket
+    # (1.8B candidates x 160 B = 268 GiB) refuses on one node, proceeds
+    # inside a 4-node budget (512 GiB)
+    keys = spark.range(60_000).select(F.lit("hot").alias("key"))
     with pytest.raises(CapBoundError):
         calibrate_capped_front(
             keys, 64, "prefix_buckets", bytes_per_candidate=160

@@ -214,6 +214,29 @@ def test_corrupt_or_mismatched_sidecar_is_ignored(tmp_path, monkeypatch):
     assert cached_plan(("k2",), compute) == "fresh"
 
 
+def test_sidecar_caps_entries_dropping_oldest(tmp_path, monkeypatch):
+    from video_data_pipeline_spark import calibrate
+    from video_data_pipeline_spark.calibrate import FrontPlan
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", str(tmp_path / "pc.json"))
+    monkeypatch.setattr(calibrate, "_CACHE_MAX_ENTRIES", 3)
+    clear_plan_cache()
+    plan = FrontPlan("default", 64, "headroom", _toy_stats())
+    for i in range(5):
+        cached_plan(("front", f"corpus{i}"), lambda: plan)
+    clear_plan_cache()
+    # only the NEWEST 3 survive; the 2 oldest re-measure
+    calls = {"n": 0}
+
+    def recompute():
+        calls["n"] += 1
+        return plan
+
+    for i in range(5):
+        cached_plan(("front", f"corpus{i}"), recompute)
+    assert calls["n"] == 2
+
+
 def test_unset_env_keeps_cache_process_local(tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_PLAN_CACHE", raising=False)
     clear_plan_cache()

@@ -85,14 +85,19 @@ DEFAULT_VERIFIED_PAIR_BUDGET = 50_000_000
 #: CONSTANT (~160 B: two 72 B summaries + ids), independent of set
 #: length — so the workload model budgets candidates x bytes instead of
 #: the r14 count proxy (which refused affordable short-set corpora and
-#: accepted expensive long-set ones). Anchored to a live run:
-#: PROBE_PREFIX_STAGED_SFP10_r15 moved 151.2M candidates (~24 GB
-#: logical) through the staged filter with 1.38 GB disk spill in 220 s
-#: on local[32]; 32 GiB keeps proceeds inside that measured regime
-#: (sfp10 containment's 601M candidates = 96 GB -> refuse; sfp30's
-#: 5.15B = 824 GB -> refuse, both correctly).
+#: accepted expensive long-set ones). Anchored to two live runs on
+#: local[32]/128 GiB: PROBE_PREFIX_STAGED_SFP10_r15 — 151.2M candidates
+#: (22.5 GiB logical) through the staged filter, 1.38 GB disk spill,
+#: 220 s; PROBE_CONTAINMENT_STAGED_SFP10_r15 — 601M candidates
+#: (89.5 GiB logical), 2.5 GB disk spill, 200 s (the packed summaries
+#: compress ~30x in the shuffle, so logical bytes overstate the I/O).
+#: 128 GiB sits just above the heavier measured run and well below the
+#: r14 pathology's regime; sfp30's fronts (193 GiB prefix / 768 GiB
+#: containment) still refuse. An initial 32 GiB guess would have
+#: re-created the count proxy's failure mode — refusing the measured
+#: 200 s / 2.5 GB-spill containment run.
 STAGED_CANDIDATE_BYTES = 160
-DEFAULT_CANDIDATE_BYTE_BUDGET = 32 << 30
+DEFAULT_CANDIDATE_BYTE_BUDGET = 128 << 30
 
 
 def cluster_byte_budget(spark) -> int:
@@ -488,6 +493,14 @@ def _entry_from_json(rec):
 
 _CACHE_FORMAT = 1
 
+#: sidecar entry cap (r15, ROADMAP r16 #4 pulled forward): entries are
+#: ~1 KB and structurally self-invalidating, but a deployment pointing
+#: one sidecar at thousands of distinct corpora shouldn't grow it
+#: unboundedly — the file keeps insertion order, so the cap drops the
+#: OLDEST entries (their corpora have usually been rewritten anyway,
+#: which orphans their fingerprint keys)
+_CACHE_MAX_ENTRIES = 512
+
 
 def _read_sidecar(path: str) -> dict[tuple, object]:
     import json
@@ -537,13 +550,16 @@ def _persist(key: tuple, entry) -> None:
     try:
         # merge-on-save: another process may have written since we loaded
         merged = _read_sidecar(path)
-        merged[key] = entry
+        merged.pop(key, None)
+        merged[key] = entry  # newest last (dict preserves insertion order)
+        items = [
+            (k, v) for k, v in merged.items() if _entry_to_json(v) is not None
+        ][-_CACHE_MAX_ENTRIES:]
         doc = {
             "format": _CACHE_FORMAT,
             "entries": [
                 {"key": _key_to_json(k), "entry": _entry_to_json(v)}
-                for k, v in merged.items()
-                if _entry_to_json(v) is not None
+                for k, v in items
             ],
         }
         d = os.path.dirname(os.path.abspath(path))
