@@ -130,7 +130,7 @@ def test_byte_budget_proceeds_where_count_budget_refused(spark):
 
     # one hot bucket of 12,650 members: ~80M in-bucket candidate pairs —
     # over the old 50M verified count budget, but 80M x 160 B = 12.8 GiB,
-    # comfortably inside the 32 GiB byte budget
+    # comfortably inside the 128 GiB byte budget
     keys = spark.range(12_650).select(F.lit("hot").alias("key"))
     with pytest.raises(CapBoundError):
         calibrate_capped_front(keys, 64, "prefix_buckets", pair_budget=50_000_000)
@@ -156,7 +156,7 @@ def test_byte_budget_refuses_over_byte_bound_naming_gib(spark):
 
 
 def test_cluster_scaled_byte_budget(spark):
-    # r15 (ROADMAP r16 #3 pulled forward): the 32 GiB byte bound is a
+    # r15 (ROADMAP r16 #3 pulled forward): the 128 GiB byte bound is a
     # single-node constant; declaring N executors scales the refusal
     # boundary with the cluster (the staged filter's shuffle spreads
     # uniformly over executors)
