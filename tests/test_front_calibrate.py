@@ -195,19 +195,26 @@ def test_cluster_scaled_byte_budget(spark):
 
 
 def test_registered_verified_families_use_byte_model_by_default(spark, monkeypatch):
-    # the registered calibrate branch must pass bytes_per_candidate when
-    # no explicit pair_budget is given, and the count budget when one is
+    # the registered calibrate branch must run the bytes-weighted decision
+    # (front_plan_from_stats with bytes_per_candidate) when no explicit
+    # pair_budget is given, and the count-budget ladder when one is
     from video_data_pipeline_spark import calibrate
     from video_data_pipeline_spark.calibrate import clear_plan_cache
 
-    seen = []
-    real = calibrate.calibrate_capped_front
+    byte_calls, count_calls = [], []
+    real_fps = calibrate.front_plan_from_stats
+    real_ccf = calibrate.calibrate_capped_front
 
-    def spy(keys, cap, name, **kw):
-        seen.append(kw)
-        return real(keys, cap, name, **kw)
+    def spy_fps(s, **kw):
+        byte_calls.append(kw)
+        return real_fps(s, **kw)
 
-    monkeypatch.setattr(calibrate, "calibrate_capped_front", spy)
+    def spy_ccf(keys, cap, name, **kw):
+        count_calls.append(kw)
+        return real_ccf(keys, cap, name, **kw)
+
+    monkeypatch.setattr(calibrate, "front_plan_from_stats", spy_fps)
+    monkeypatch.setattr(calibrate, "calibrate_capped_front", spy_ccf)
     clear_plan_cache()
     try:
         q_prefix_filter_join(spark, SF_DIR, calibrate=True).count()
@@ -215,12 +222,152 @@ def test_registered_verified_families_use_byte_model_by_default(spark, monkeypat
         q_prefix_filter_join(
             spark, SF_DIR, calibrate=True, pair_budget=10**9
         ).count()
-        assert seen[0].get("bytes_per_candidate") is not None
-        assert seen[1].get("bytes_per_candidate") is not None
-        assert seen[2].get("pair_budget") == 10**9
-        assert "bytes_per_candidate" not in seen[2]
+        # calibrate_capped_front itself delegates to front_plan_from_stats,
+        # so restrict to the byte-model invocations
+        byted = [kw for kw in byte_calls if kw.get("bytes_per_candidate")]
+        assert len(byted) == 2
+        # the resolved budget's provenance rides the decision (VERDICT r15 #4)
+        assert all("byte budget" in kw.get("budget_note", "") for kw in byted)
+        assert len(count_calls) == 1
+        assert count_calls[0].get("pair_budget") == 10**9
+        assert "bytes_per_candidate" not in count_calls[0]
     finally:
         clear_plan_cache()
+
+
+def test_byte_decision_rederives_against_current_budget(
+    spark, monkeypatch, tmp_path
+):
+    # ADVICE r15 medium, the exact scenario: a measurement cached by an
+    # N-executor process (large budget -> proceed) must NOT replay as a
+    # verbatim proceed in a single-node process whose own budget refuses —
+    # the byte paths cache only the budget-invariant measurement and
+    # re-derive the decision per process
+    from video_data_pipeline_spark import calibrate
+    from video_data_pipeline_spark.calibrate import (
+        CapBoundError,
+        clear_plan_cache,
+    )
+
+    # a corpus where the default prefix cap (64) BINDS: 80 rotations of
+    # one 100-word sentence share near-identical shingle sets, so their
+    # rarity-prefix buckets hold ~80 > 64 members (the near_clone_docs
+    # shape, sized past the production cap), persisted so the registered
+    # query can fingerprint it
+    words = [f"word{i:03d}" for i in range(100)]
+    rows = [(i, " ".join(words[i % 100:] + words[: i % 100])) for i in range(80)]
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    corpus = str(tmp_path)
+
+    calls = {"n": 0}
+    real = calibrate.measure_front
+
+    def counting(keys, cap, name="front"):
+        calls["n"] += 1
+        return real(keys, cap, name)
+
+    monkeypatch.setattr(calibrate, "measure_front", counting)
+    clear_plan_cache()
+    try:
+        # big-budget process: measures once, proceeds uncapped
+        big = calibrate.ResolvedByteBudget(
+            512 << 30, 128 << 30, 4, None, "stub 4-executor budget"
+        )
+        monkeypatch.setattr(calibrate, "resolve_byte_budget", lambda s: big)
+        q_prefix_filter_join(spark, corpus, calibrate=True).count()
+        assert calls["n"] == 1
+        # "new" small-budget process on the same corpus: the measurement
+        # is served from cache (0 new measure_front), but the decision is
+        # THIS budget's — a refusal, not the cached proceed
+        small = calibrate.ResolvedByteBudget(
+            1024, 1024, 1, 8192, "stub single-node tiny budget"
+        )
+        monkeypatch.setattr(calibrate, "resolve_byte_budget", lambda s: small)
+        with pytest.raises(CapBoundError) as ei:
+            q_prefix_filter_join(spark, corpus, calibrate=True).count()
+        assert calls["n"] == 1, "the measurement must come from the cache"
+        assert "stub single-node tiny budget" in str(ei.value)
+    finally:
+        clear_plan_cache()
+
+
+# --------------------------------- measured-headroom byte budget (r16,
+# VERDICT r15 #4): the per-node bound is min(probe-anchored constant,
+# statvfs free bytes x SPILL_HEADROOM_FACTOR) — the budget no longer
+# assumes every executor has the probe machine's disk profile
+
+
+def test_resolve_byte_budget_floors_at_measured_headroom(spark, monkeypatch):
+    from video_data_pipeline_spark import calibrate
+    from video_data_pipeline_spark.calibrate import (
+        DEFAULT_CANDIDATE_BYTE_BUDGET,
+        SPILL_HEADROOM_FACTOR,
+        resolve_byte_budget,
+    )
+
+    # plenty of disk: the probe-anchored constant is the bound
+    monkeypatch.setattr(
+        calibrate, "measured_local_headroom_bytes",
+        lambda s=None: (1 << 40, "/tmp"),
+    )
+    rb = resolve_byte_budget(spark)
+    assert rb.per_node == DEFAULT_CANDIDATE_BYTE_BUDGET
+    assert rb.total == DEFAULT_CANDIDATE_BYTE_BUDGET  # local mode: 1 executor
+    assert "not binding" in rb.provenance
+
+    # small disk: the headroom floor binds and the provenance names the
+    # measured free GiB
+    free = 1 << 30  # 1 GiB free -> 8 GiB budget
+    monkeypatch.setattr(
+        calibrate, "measured_local_headroom_bytes",
+        lambda s=None: (free, "/small"),
+    )
+    rb = resolve_byte_budget(spark)
+    assert rb.per_node == free * SPILL_HEADROOM_FACTOR
+    assert rb.free_bytes == free
+    assert "BINDS" in rb.provenance and "1.0 GiB" in rb.provenance
+
+    # unmeasurable: degrade to the constant, saying so
+    monkeypatch.setattr(
+        calibrate, "measured_local_headroom_bytes", lambda s=None: None
+    )
+    rb = resolve_byte_budget(spark)
+    assert rb.per_node == DEFAULT_CANDIDATE_BYTE_BUDGET
+    assert "unmeasurable" in rb.provenance
+
+
+def test_small_disk_refuses_where_constant_would_proceed(spark, monkeypatch):
+    # VERDICT r15 #4's acceptance shape: a workload the 128 GiB constant
+    # would accept refuses on a mocked small disk, naming the measured
+    # free space in the refusal
+    from video_data_pipeline_spark import calibrate
+    from video_data_pipeline_spark.calibrate import STAGED_CANDIDATE_BYTES
+
+    keys = spark.range(12_650).select(F.lit("hot").alias("key"))  # ~12.8 GiB
+    monkeypatch.setattr(
+        calibrate, "measured_local_headroom_bytes",
+        lambda s=None: (1 << 30, "/small"),  # 1 GiB free -> 8 GiB budget
+    )
+    with pytest.raises(CapBoundError) as ei:
+        calibrate.calibrate_capped_front(
+            keys, 64, "prefix_buckets",
+            bytes_per_candidate=STAGED_CANDIDATE_BYTES,
+        )
+    msg = str(ei.value)
+    assert "free 1.0 GiB" in msg and "BINDS below the probe-anchored" in msg
+    # and with a healthy disk the same workload proceeds (the r15 behavior)
+    monkeypatch.setattr(
+        calibrate, "measured_local_headroom_bytes",
+        lambda s=None: (1 << 40, "/tmp"),
+    )
+    plan = calibrate.calibrate_capped_front(
+        keys, 64, "prefix_buckets",
+        bytes_per_candidate=STAGED_CANDIDATE_BYTES,
+    )
+    assert plan.decision == "exact_uncapped"
+    assert "not binding" in plan.reason
 
 
 # ------------------------------------------- registered knobs, no-bind sf

@@ -237,6 +237,139 @@ def test_sidecar_caps_entries_dropping_oldest(tmp_path, monkeypatch):
     assert calls["n"] == 2
 
 
+def test_front_stats_roundtrip_sidecar(tmp_path, monkeypatch):
+    # r16 (ADVICE r15 medium): the byte-model paths cache the raw
+    # MEASUREMENT — FrontStats must survive the sidecar like decisions do
+    from video_data_pipeline_spark.calibrate import FrontStats
+
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", str(tmp_path / "pc.json"))
+    clear_plan_cache()
+    key = ("prefix_front", ("/corpus", 1, 2), 64)
+    s = FrontStats("prefix_buckets", 64, 1000, 99, 80, 12, 123_456, 7_890)
+    cached_plan(key, lambda: s)
+    clear_plan_cache()
+    got = cached_plan(key, lambda: pytest.fail("must hit sidecar"))
+    assert got == s
+
+
+def test_concurrent_persists_keep_both_entries(tmp_path):
+    # r16 (VERDICT r15 #5): _persist's read-merge-replace runs under an
+    # exclusive flock, so two processes persisting simultaneously cannot
+    # lose each other's entries (the old unlocked merge dropped one on a
+    # last-writer-wins race)
+    import json
+    import os
+    import subprocess
+    import sys
+
+    side = tmp_path / "pc.json"
+    script = r"""
+import os, sys
+sys.path.insert(0, ".")
+from video_data_pipeline_spark.calibrate import FrontStats, cached_plan
+tag = sys.argv[1]
+for i in range(40):
+    s = FrontStats(f"{tag}{i}", 4, 2, 10, 10, 1, 46, 7)
+    cached_plan((tag, f"corpus{i}"), lambda s=s: s)
+"""
+    env = dict(os.environ, SPARK_GRAFT_PLAN_CACHE=str(side))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, tag],
+            env=env, cwd="/root/repo",
+            stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+        )
+        for tag in ("a", "b")
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()[-500:]
+    with open(side) as f:
+        doc = json.load(f)
+    keys = {tuple(rec["key"]) for rec in doc["entries"]}
+    assert keys == {
+        (tag, f"corpus{i}") for tag in ("a", "b") for i in range(40)
+    }, f"lost {80 - len(keys)} entries to a persist race"
+
+
+def test_one_bad_sidecar_entry_does_not_discard_the_rest(tmp_path, monkeypatch):
+    # ADVICE r15 low: a single unknown-kind record (e.g. written by a
+    # newer version) must skip THAT record, not the whole sidecar
+    import json
+
+    from video_data_pipeline_spark.calibrate import FrontPlan
+
+    side = tmp_path / "pc.json"
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", str(side))
+    clear_plan_cache()
+    plan = FrontPlan("default", 64, "headroom", _toy_stats())
+    cached_plan(("front", "good-corpus"), lambda: plan)
+    doc = json.loads(side.read_text())
+    doc["entries"].insert(
+        0, {"key": ["front", "future-corpus"],
+            "entry": {"kind": "HologramPlan", "v": 1}},
+    )
+    side.write_text(json.dumps(doc))
+    clear_plan_cache()
+    got = cached_plan(
+        ("front", "good-corpus"), lambda: pytest.fail("must hit sidecar")
+    )
+    assert got.decision == "default"
+    # and a later persist drops only what it can't re-serialize... the raw
+    # merge keeps the unknown record for NEWER readers
+    cached_plan(("front", "another"), lambda: plan)
+    doc = json.loads(side.read_text())
+    kinds = {rec["entry"]["kind"] for rec in doc["entries"]}
+    assert "HologramPlan" in kinds, "a rewrite must not destroy newer entries"
+
+
+def test_age_out_env_expires_old_entries(tmp_path, monkeypatch):
+    # r16 (VERDICT r15 #7): SPARK_GRAFT_PLAN_CACHE_MAX_AGE_DAYS drops
+    # entries older than N days on read and on the next save; unset means
+    # no age limit (staleness stays structural)
+    import json
+    import time
+
+    from video_data_pipeline_spark.calibrate import FrontPlan
+
+    side = tmp_path / "pc.json"
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", str(side))
+    clear_plan_cache()
+    plan = FrontPlan("default", 64, "headroom", _toy_stats())
+    cached_plan(("front", "old-corpus"), lambda: plan)
+    cached_plan(("front", "new-corpus"), lambda: plan)
+    # backdate one entry 10 days
+    doc = json.loads(side.read_text())
+    for rec in doc["entries"]:
+        if rec["key"] == ["front", "old-corpus"]:
+            rec["saved_at"] = time.time() - 10 * 86400
+    side.write_text(json.dumps(doc))
+
+    # without the env: both served
+    clear_plan_cache()
+    calls = {"n": 0}
+
+    def recompute():
+        calls["n"] += 1
+        return plan
+
+    cached_plan(("front", "old-corpus"), recompute)
+    cached_plan(("front", "new-corpus"), recompute)
+    assert calls["n"] == 0
+
+    # with a 7-day limit: the old entry re-measures, the new one is served
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE_MAX_AGE_DAYS", "7")
+    clear_plan_cache()
+    cached_plan(("front", "new-corpus"), recompute)
+    assert calls["n"] == 0
+    cached_plan(("front", "old-corpus"), recompute)
+    assert calls["n"] == 1
+    # ... and the save above aged it out of the file entirely
+    doc = json.loads(side.read_text())
+    stamps = {tuple(rec["key"]): rec.get("saved_at") for rec in doc["entries"]}
+    assert all(time.time() - s < 86400 for s in stamps.values())
+
+
 def test_unset_env_keeps_cache_process_local(tmp_path, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_PLAN_CACHE", raising=False)
     clear_plan_cache()

@@ -99,23 +99,118 @@ DEFAULT_VERIFIED_PAIR_BUDGET = 50_000_000
 STAGED_CANDIDATE_BYTES = 160
 DEFAULT_CANDIDATE_BYTE_BUDGET = 128 << 30
 
+#: r16 (VERDICT r15 #4): maps LOGICAL candidate bytes to worst-case node
+#: disk spill for the headroom floor below. Both staged sfp10 probes
+#: spilled well under 1/16 of their logical workload (1.38 GB of
+#: 22.5 GiB = 6.1%; 2.5 GB of 89.5 GiB = 2.8% — the packed summaries
+#: compress ~30x in the shuffle), so assuming a node may spill up to
+#: budget/8 of real disk bounds both measurements with 2x margin.
+SPILL_HEADROOM_FACTOR = 8
+
+
+def declared_executor_count(spark) -> int:
+    """``spark.executor.instances`` as an int, degrading to 1 (local mode,
+    dynamic allocation without a fixed count, or a non-numeric value)."""
+    try:
+        return max(1, int(spark.conf.get("spark.executor.instances", "1")))
+    except (ValueError, TypeError):
+        return 1
+
 
 def cluster_byte_budget(spark) -> int:
     """Scale the spill-safe candidate byte budget by the cluster size
-    (r15, ROADMAP r16 #3 pulled forward): the 32 GiB default is a
-    SINGLE-NODE bound (measured on local[32]/128 GiB —
-    PROBE_PREFIX_STAGED_SFP10_r15), but the staged filter's shuffle
-    spreads uniformly over executors (candidates key on uniform ids), so
-    an N-executor cluster tolerates ~N x the bytes before any one node
-    spills past its disk. Reads ``spark.executor.instances`` (absent or
-    non-numeric — e.g. local mode or dynamic allocation without a fixed
-    count — degrades to 1, i.e. the measured single-node bound; a
-    dynamic-allocation operator should pass ``byte_budget`` explicitly)."""
+    (r15, ROADMAP r16 #3 pulled forward):
+    :data:`DEFAULT_CANDIDATE_BYTE_BUDGET` (128 GiB) is a SINGLE-NODE
+    bound (anchored to two measured staged runs on local[32]/128 GiB —
+    PROBE_PREFIX_STAGED_SFP10_r15 / PROBE_CONTAINMENT_STAGED_SFP10_r15),
+    but the staged filter's shuffle spreads uniformly over executors
+    (candidates key on uniform ids), so an N-executor cluster tolerates
+    ~N x the bytes before any one node spills past its disk. Reads
+    ``spark.executor.instances`` via :func:`declared_executor_count`
+    (absent degrades to 1, the measured single-node bound; a
+    dynamic-allocation operator should pass ``byte_budget`` explicitly).
+
+    This is the probe-anchored CONSTANT cap; the runtime default the
+    pre-flights actually use is :func:`resolve_byte_budget`, which also
+    floors the per-node bound by measured local-disk headroom
+    (r16, VERDICT r15 #4)."""
+    return DEFAULT_CANDIDATE_BYTE_BUDGET * declared_executor_count(spark)
+
+
+def measured_local_headroom_bytes(spark=None) -> tuple[int, str] | None:
+    """``statvfs`` free bytes of the shuffle spill directory — the first
+    entry of ``spark.local.dir`` (falling back to ``$SPARK_LOCAL_DIRS``,
+    then the system tmpdir, which is Spark's own default). Measured on
+    the DRIVER: a proxy floor for executor disk headroom — exact in
+    local mode, honest-best-effort on a heterogeneous cluster (the
+    refusal/decision text names the measured number and the knob).
+    Returns ``(free_bytes, path)`` or None when nothing can be statted."""
+    import tempfile
+
+    local = None
+    if spark is not None:
+        try:
+            local = spark.conf.get("spark.local.dir", None)
+        except Exception:  # noqa: BLE001 — conf access must never fail the query
+            local = None
+    path = (
+        local or os.environ.get("SPARK_LOCAL_DIRS") or tempfile.gettempdir()
+    ).split(",")[0].strip()
     try:
-        n = int(spark.conf.get("spark.executor.instances", "1"))
-    except (ValueError, TypeError):
-        n = 1
-    return DEFAULT_CANDIDATE_BYTE_BUDGET * max(1, n)
+        st = os.statvfs(path)
+        return st.f_bavail * st.f_frsize, path
+    except OSError:
+        return None
+
+
+@dataclass
+class ResolvedByteBudget:
+    """Runtime byte budget for the staged verified-family pre-flights
+    (r16, VERDICT r15 #4): per node, the LOWER of the probe-anchored
+    constant (:data:`DEFAULT_CANDIDATE_BYTE_BUDGET`) and measured
+    local-disk headroom (free bytes x :data:`SPILL_HEADROOM_FACTOR` —
+    the probe machine's ~disk profile is no longer assumed), scaled by
+    the declared executor count. ``provenance`` is the human-readable
+    arithmetic, carried into every decision/refusal message so the
+    artifact names the measured free space alongside the workload."""
+
+    total: int
+    per_node: int
+    n_executors: int
+    free_bytes: int | None
+    provenance: str
+
+
+def resolve_byte_budget(spark) -> ResolvedByteBudget:
+    n = declared_executor_count(spark)
+    measured = measured_local_headroom_bytes(spark)
+    gib = 1 << 30
+    if measured is None:
+        per_node = DEFAULT_CANDIDATE_BYTE_BUDGET
+        prov = (
+            f"byte budget {per_node / gib:.0f} GiB/node (probe-anchored "
+            f"constant; local-disk headroom unmeasurable) x {n} executor(s)"
+        )
+        return ResolvedByteBudget(per_node * n, per_node, n, None, prov)
+    free, path = measured
+    floor = free * SPILL_HEADROOM_FACTOR
+    per_node = min(DEFAULT_CANDIDATE_BYTE_BUDGET, floor)
+    if floor < DEFAULT_CANDIDATE_BYTE_BUDGET:
+        prov = (
+            f"byte budget {per_node / gib:.1f} GiB/node — measured spill-dir "
+            f"headroom BINDS below the probe-anchored constant: {path!r} free "
+            f"{free / gib:.1f} GiB x {SPILL_HEADROOM_FACTOR} (measured "
+            f"spill-to-logical margin) = {floor / gib:.1f} GiB < "
+            f"{DEFAULT_CANDIDATE_BYTE_BUDGET / gib:.0f} GiB; x {n} executor(s)"
+        )
+    else:
+        prov = (
+            f"byte budget {per_node / gib:.0f} GiB/node (probe-anchored "
+            f"constant; measured spill-dir {path!r} free {free / gib:.1f} GiB "
+            f"x {SPILL_HEADROOM_FACTOR} headroom floor not binding) x "
+            f"{n} executor(s)"
+        )
+    return ResolvedByteBudget(per_node * n, per_node, n, free, prov)
 
 #: sentinel distinguishing "caller did not choose a cap" (use the family
 #: default) from an EXPLICIT ``default_cap=None`` (the caller already
@@ -442,6 +537,13 @@ def _stats_from_json(d: dict) -> dict:
 
 
 def _entry_to_json(obj):
+    if isinstance(obj, FrontStats):
+        # r16 (ADVICE r15 medium): the byte-model paths cache the
+        # MEASUREMENT, not the decision — a proceed/refusal derived under
+        # one budget (executor count, disk headroom) must not be served
+        # verbatim under another; the stats are budget-invariant and the
+        # decision re-derives in microseconds
+        return {"kind": "FrontStats", "stats": dataclasses.asdict(obj)}
     if isinstance(obj, SimhashPlan):
         return {
             "kind": "SimhashPlan",
@@ -470,6 +572,8 @@ def _entry_to_json(obj):
 
 def _entry_from_json(rec):
     kind = rec.get("kind")
+    if kind == "FrontStats":
+        return FrontStats(**rec["stats"])
     if kind == "SimhashPlan":
         return SimhashPlan(
             decision=rec["decision"],
@@ -502,23 +606,73 @@ _CACHE_FORMAT = 1
 _CACHE_MAX_ENTRIES = 512
 
 
-def _read_sidecar(path: str) -> dict[tuple, object]:
+def _max_age_secs() -> float | None:
+    """Optional age-out (r16, VERDICT r15 #7):
+    ``SPARK_GRAFT_PLAN_CACHE_MAX_AGE_DAYS`` drops sidecar entries older
+    than N days on both read and save. Unset → no age limit: staleness is
+    primarily STRUCTURAL (fingerprint keys orphan on any corpus rewrite)
+    and the entry cap bounds growth; the age knob is for deployments that
+    also want a time bound (e.g. a budget-policy change should not serve
+    months-old measurements forever on a truly frozen corpus)."""
+    raw = os.environ.get("SPARK_GRAFT_PLAN_CACHE_MAX_AGE_DAYS")
+    if not raw:
+        return None
+    try:
+        return float(raw) * 86400.0
+    except ValueError:
+        log.warning("plan cache: ignoring non-numeric "
+                    "SPARK_GRAFT_PLAN_CACHE_MAX_AGE_DAYS=%r", raw)
+        return None
+
+
+def _fresh(rec: dict) -> bool:
+    import time
+
+    max_age = _max_age_secs()
+    if max_age is None:
+        return True
+    saved = rec.get("saved_at")
+    # entries written before the saved_at field existed have no timestamp;
+    # under an age policy treat them as expired (age unknown = not provably
+    # fresh)
+    return saved is not None and (time.time() - saved) <= max_age
+
+
+def _read_sidecar_records(path: str) -> list[dict]:
+    """Raw (still-JSON) records of a sidecar file, format-checked but not
+    parsed into decision objects — the merge half of :func:`_persist`
+    works on these so fields like ``saved_at`` survive a rewrite."""
     import json
 
     try:
         with open(path) as f:
             doc = json.load(f)
         if doc.get("format") != _CACHE_FORMAT:
-            return {}
-        out = {}
-        for rec in doc.get("entries", []):
-            out[_key_from_json(rec["key"])] = _entry_from_json(rec["entry"])
-        return out
+            return []
+        recs = doc.get("entries", [])
+        return recs if isinstance(recs, list) else []
     except (OSError, ValueError, KeyError, TypeError) as e:
         # a corrupt/unreadable sidecar must never fail the query — the
         # cache is an optimization; fall back to measuring
         log.warning("plan cache: ignoring unreadable sidecar %s (%s)", path, e)
-        return {}
+        return []
+
+
+def _read_sidecar(path: str) -> dict[tuple, object]:
+    out = {}
+    for rec in _read_sidecar_records(path):
+        # per-entry parse (ADVICE r15): one malformed or unknown-kind
+        # record (e.g. written by a newer version) skips THAT record,
+        # not the whole file — older readers keep every decision they
+        # can still understand
+        try:
+            if not _fresh(rec):
+                continue
+            out[_key_from_json(rec["key"])] = _entry_from_json(rec["entry"])
+        except (ValueError, KeyError, TypeError) as e:
+            log.warning("plan cache: skipping unparseable entry in %s (%s)",
+                        path, e)
+    return out
 
 
 def _load_persisted_once() -> None:
@@ -546,28 +700,41 @@ def _persist(key: tuple, entry) -> None:
         return
     import json
     import tempfile
+    import time
 
     try:
-        # merge-on-save: another process may have written since we loaded
-        merged = _read_sidecar(path)
-        merged.pop(key, None)
-        merged[key] = entry  # newest last (dict preserves insertion order)
-        items = [
-            (k, v) for k, v in merged.items() if _entry_to_json(v) is not None
-        ][-_CACHE_MAX_ENTRIES:]
-        doc = {
-            "format": _CACHE_FORMAT,
-            "entries": [
-                {"key": _key_to_json(k), "entry": _entry_to_json(v)}
-                for k, v in items
-            ],
-        }
         d = os.path.dirname(os.path.abspath(path))
         os.makedirs(d, exist_ok=True)
-        fd, tmp = tempfile.mkstemp(dir=d, suffix=".plan_cache.tmp")
-        with os.fdopen(fd, "w") as f:
-            json.dump(doc, f, indent=1)
-        os.replace(tmp, path)  # atomic on POSIX
+        # an exclusive flock serializes the read-merge-replace (r16,
+        # VERDICT r15 #5 / ADVICE r15): without it two processes finishing
+        # measurements concurrently could both read, then the second
+        # os.replace silently dropped the first's new entry (lost update —
+        # only a future cache miss, but the "don't clobber" comment used
+        # to overstate the guarantee; now it doesn't have to)
+        with open(path + ".lock", "w") as lk:
+            try:
+                import fcntl
+
+                fcntl.flock(lk, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: keep best-effort merge
+                pass
+            key_json = _key_to_json(key)
+            merged = [
+                r for r in _read_sidecar_records(path)
+                if r.get("key") != key_json and _fresh(r)
+            ]
+            merged.append(
+                {"key": key_json, "entry": rec, "saved_at": time.time()}
+            )
+            doc = {
+                "format": _CACHE_FORMAT,
+                # newest last; the cap drops the OLDEST entries
+                "entries": merged[-_CACHE_MAX_ENTRIES:],
+            }
+            fd, tmp = tempfile.mkstemp(dir=d, suffix=".plan_cache.tmp")
+            with os.fdopen(fd, "w") as f:
+                json.dump(doc, f, indent=1)
+            os.replace(tmp, path)  # atomic on POSIX
     except OSError as e:
         log.warning("plan cache: could not persist to %s (%s)", path, e)
 
@@ -697,15 +864,45 @@ def calibrate_capped_front(
     corpora by set length — a short-set corpus with 80M cheap candidates
     refused while a long-set one with 40M expensive candidates
     proceeded; bytes are the thing the node actually spills."""
+    budget_note = ""
+    if byte_budget is None and bytes_per_candidate is not None:
+        # runtime-resolved: executor-count-scaled AND floored by measured
+        # spill-dir headroom (r16, VERDICT r15 #4) — the provenance string
+        # rides every decision/refusal so the artifact names the measured
+        # free space alongside the workload arithmetic
+        rb = resolve_byte_budget(keys.sparkSession)
+        byte_budget, budget_note = rb.total, rb.provenance
+    return front_plan_from_stats(
+        measure_front(keys, default_cap, name),
+        pair_budget=pair_budget,
+        escape_arg=escape_arg,
+        bytes_per_candidate=bytes_per_candidate,
+        byte_budget=byte_budget,
+        budget_note=budget_note,
+    )
+
+
+def front_plan_from_stats(
+    s: FrontStats,
+    pair_budget: int | None = None,
+    escape_arg: str = "max_bucket_size",
+    bytes_per_candidate: int | None = None,
+    byte_budget: int | None = None,
+    budget_note: str = "",
+) -> FrontPlan:
+    """The DECISION half of :func:`calibrate_capped_front`, factored out
+    (r16, ADVICE r15 medium) so the registered byte-model paths can cache
+    the budget-invariant MEASUREMENT (``s``) and re-derive the decision
+    against the CURRENT budget — a proceed computed under an N-executor
+    budget must never be served verbatim to a single-node process on the
+    same corpus (or vice versa for refusals). Pure local arithmetic: no
+    Spark job, so re-deriving on every cache hit costs nothing.
+    ``budget_note`` (the resolved-budget provenance) is appended to the
+    decision/refusal text."""
     if pair_budget is None:
         pair_budget = DEFAULT_PAIR_BUDGET
-    if byte_budget is None:
-        # executor-count-scaled: on a real cluster the refusal boundary
-        # grows with the nodes that share the shuffle (see
-        # cluster_byte_budget); on local mode this is the measured
-        # single-node 32 GiB
-        byte_budget = cluster_byte_budget(keys.sparkSession)
-    s = measure_front(keys, default_cap, name)
+    name, default_cap = s.name, s.default_cap
+    note = f" [{budget_note}]" if budget_note else ""
     stats = {name: s}
     if not s.binds:
         reason = (
@@ -715,6 +912,8 @@ def calibrate_capped_front(
         log.info("%s calibration: %s", name, reason)
         return FrontPlan("default", default_cap, reason, stats)
     if bytes_per_candidate is not None:
+        if byte_budget is None:
+            byte_budget = DEFAULT_CANDIDATE_BYTE_BUDGET
         workload = s.uncapped_pairs * bytes_per_candidate
         if workload <= byte_budget:
             reason = (
@@ -724,7 +923,7 @@ def calibrate_capped_front(
                 f"candidates x {bytes_per_candidate} B = "
                 f"{workload / (1 << 30):.1f} GiB fits the byte budget "
                 f"({byte_budget / (1 << 30):.0f} GiB); output stays "
-                "oracle-exact"
+                f"oracle-exact{note}"
             )
             log.warning("%s calibration: %s", name, reason)
             return FrontPlan("exact_uncapped", None, reason, stats)
@@ -733,7 +932,8 @@ def calibrate_capped_front(
             f"exact plan does not fit the candidate byte budget: "
             f"{s.uncapped_pairs:,} candidates x {bytes_per_candidate} B = "
             f"{workload / (1 << 30):.1f} GiB > {byte_budget / (1 << 30):.0f} "
-            f"GiB (max bucket {s.max_bucket}, {s.oversized} oversized). "
+            f"GiB (max bucket {s.max_bucket}, {s.oversized} oversized)"
+            f"{note}. "
             "Refusing rather than silently emitting a capped subset. "
             "Escapes: raise pair_budget (a count budget overrides the byte "
             f"model) and re-calibrate; pass {escape_arg}=None to accept the "

@@ -473,39 +473,57 @@ def q_prefix_filter_join(
             calibrate_capped_front,
             corpus_fingerprint,
             explicit_cap_plan,
+            front_plan_from_stats,
+            measure_front,
+            resolve_byte_budget,
         )
 
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
         front = rarity_prefix_rows(sets).select(F.col("h").alias("key"))
         fp = corpus_fingerprint(sf_dir)
-        key = (
-            None if fp is None
-            else ("prefix_buckets", fp, max_bucket_size, pair_budget)
-        )
         if max_bucket_size != DEFAULT_MAX_BUCKET_SIZE:
             # explicit non-default cap = accepted partial recall (r15,
             # ADVICE r14): measure + report, never refuse the caller's
             # own escape (see calibrate.explicit_cap_plan)
-            compute = lambda: explicit_cap_plan(  # noqa: E731
-                front, max_bucket_size, "prefix_buckets"
+            key = (
+                None if fp is None
+                else ("prefix_buckets", fp, max_bucket_size, pair_budget)
             )
+            plan = cached_plan(key, lambda: explicit_cap_plan(
+                front, max_bucket_size, "prefix_buckets"
+            ))
         elif pair_budget is None:
             # bytes-weighted workload model (r15, VERDICT r14 #4): staged
             # verification made per-candidate shuffle bytes a CONSTANT
             # (STAGED_CANDIDATE_BYTES — summaries, not arrays), so the
-            # default proceed test budgets candidates x bytes; an
-            # explicit pair_budget keeps the count semantics (CLI/probes)
-            compute = lambda: calibrate_capped_front(  # noqa: E731
-                front,
-                max_bucket_size,
-                "prefix_buckets",
+            # default proceed test budgets candidates x bytes. The cache
+            # holds the budget-INVARIANT measurement only (r16, ADVICE r15
+            # medium): the byte budget resolves at runtime (executor
+            # count, measured disk headroom), so a proceed/refusal from an
+            # N-executor process must not be replayed verbatim into a
+            # single-node one — the decision re-derives here, locally,
+            # against THIS process's budget on every hit
+            key = None if fp is None else ("prefix_front", fp, max_bucket_size)
+            stats = cached_plan(key, lambda: measure_front(
+                front, max_bucket_size, "prefix_buckets"
+            ))
+            bb = resolve_byte_budget(spark)
+            plan = front_plan_from_stats(
+                stats,
                 bytes_per_candidate=STAGED_CANDIDATE_BYTES,
+                byte_budget=bb.total,
+                budget_note=bb.provenance,
             )
         else:
-            compute = lambda: calibrate_capped_front(  # noqa: E731
-                front, max_bucket_size, "prefix_buckets", pair_budget=pair_budget
+            # explicit pair_budget keeps the count semantics (CLI/probes);
+            # the budget is in the key, so the cached decision is sound
+            key = (
+                None if fp is None
+                else ("prefix_buckets", fp, max_bucket_size, pair_budget)
             )
-        plan = cached_plan(key, compute)
+            plan = cached_plan(key, lambda: calibrate_capped_front(
+                front, max_bucket_size, "prefix_buckets", pair_budget=pair_budget
+            ))
         return prefix_filter_pairs(
             docs, max_bucket_size=plan.max_bucket_size,
             observation=observation, sets=sets,
@@ -686,41 +704,57 @@ def q_containment_pairs(
             calibrate_capped_front,
             corpus_fingerprint,
             explicit_cap_plan,
+            front_plan_from_stats,
+            measure_front,
+            resolve_byte_budget,
         )
 
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
         front = sets.select(F.explode("hs").alias("key"))
         fp = corpus_fingerprint(sf_dir)
-        key = (
-            None if fp is None
-            else ("containment_postings", fp, max_posting_size, pair_budget)
-        )
         if max_posting_size != DEFAULT_MAX_POSTING_SIZE:
             # explicit non-default cap = accepted partial recall (r15,
             # ADVICE r14): measure + report, never refuse the caller's
             # own escape (see calibrate.explicit_cap_plan)
-            compute = lambda: explicit_cap_plan(  # noqa: E731
-                front, max_posting_size, "containment_postings"
+            key = (
+                None if fp is None
+                else ("containment_postings", fp, max_posting_size, pair_budget)
             )
+            plan = cached_plan(key, lambda: explicit_cap_plan(
+                front, max_posting_size, "containment_postings"
+            ))
         elif pair_budget is None:
-            # bytes-weighted model (r15) — see q_prefix_filter_join; the
-            # containment verify rides the same staged summaries
-            compute = lambda: calibrate_capped_front(  # noqa: E731
-                front,
-                max_posting_size,
-                "containment_postings",
+            # bytes-weighted model (r15) — see q_prefix_filter_join for
+            # why the cache holds the budget-invariant MEASUREMENT and the
+            # decision re-derives against this process's resolved budget
+            # (r16, ADVICE r15 medium)
+            key = (
+                None if fp is None
+                else ("containment_front", fp, max_posting_size)
+            )
+            stats = cached_plan(key, lambda: measure_front(
+                front, max_posting_size, "containment_postings"
+            ))
+            bb = resolve_byte_budget(spark)
+            plan = front_plan_from_stats(
+                stats,
                 bytes_per_candidate=STAGED_CANDIDATE_BYTES,
+                byte_budget=bb.total,
+                budget_note=bb.provenance,
                 escape_arg="max_posting_size",
             )
         else:
-            compute = lambda: calibrate_capped_front(  # noqa: E731
+            key = (
+                None if fp is None
+                else ("containment_postings", fp, max_posting_size, pair_budget)
+            )
+            plan = cached_plan(key, lambda: calibrate_capped_front(
                 front,
                 max_posting_size,
                 "containment_postings",
                 pair_budget=pair_budget,
                 escape_arg="max_posting_size",
-            )
-        plan = cached_plan(key, compute)
+            ))
         return containment_pairs_capped(
             docs, max_posting_size=plan.max_bucket_size,
             observation=observation, sets=sets,
