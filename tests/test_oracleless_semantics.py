@@ -42,6 +42,30 @@ def test_approx_distinct_within_documented_error(spark):
         assert approx <= n, "distinct estimate exceeds row count"
 
 
+def test_approx_distinct_semi_oracle_check_fails_on_bad_estimate():
+    # r16 (VERDICT r15 #6): the registered semi-oracle bound check must
+    # actually fail on a broken sketch / wrong group, not just pass
+    import pandas as pd
+
+    from video_data_pipeline_spark.queries.relational2 import (
+        _approx_distinct_check,
+    )
+
+    oracle = pd.DataFrame(
+        {"event_type": ["a", "b"], "exact_users": [100, 50], "n": [200, 80]}
+    )
+    ok = pd.DataFrame(
+        {"event_type": ["a", "b"], "approx_users": [104, 47], "n": [200, 80]}
+    )
+    assert _approx_distinct_check(ok, oracle) == []
+    bad_est = ok.assign(approx_users=[160, 47])  # 60% off
+    assert any("rel err" in p for p in _approx_distinct_check(bad_est, oracle))
+    bad_n = ok.assign(n=[199, 80])
+    assert any("row count" in p for p in _approx_distinct_check(bad_n, oracle))
+    bad_groups = ok.assign(event_type=["a", "c"])
+    assert any("groups differ" in p for p in _approx_distinct_check(bad_groups, oracle))
+
+
 def test_track_objects_invariants(spark):
     rows = q_track_objects(spark, SF_DIR).collect()
     assert rows, "vacuous: no tracks"

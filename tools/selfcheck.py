@@ -311,6 +311,46 @@ def main() -> int:
             n_fail += 1
             flush_json()
             continue
+        if q.oracle is None and q.semi_oracle is not None:
+            # bound check (r16, VERDICT r15 #6): values are engine-specific
+            # (sketch estimates) but still verifiable against the exact
+            # answer — a pass/fail cell, not a rows-only shrug
+            t_oracle = time.time()
+            try:
+                odf = con.execute(q.semi_oracle).fetchdf()
+                problems = q.semi_check(sdf, odf)
+            except Exception:
+                print(f"FAIL {name}: semi-oracle raised\n{traceback.format_exc()}")
+                results[name] = {
+                    "status": "fail", "err": traceback.format_exc()[-800:]
+                }
+                n_fail += 1
+                flush_json()
+                continue
+            if problems:
+                print(f"FAIL {name} (semi-oracle) [{time.time()-t0:.1f}s]")
+                for p in problems:
+                    print(f"     {p}")
+                results[name] = {
+                    "status": "fail", "semi_oracle": True, "problems": problems
+                }
+                n_fail += 1
+            else:
+                print(
+                    f"PASS {name}: {len(sdf)} rows (semi-oracle bound check) "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+                results[name] = {
+                    "status": "pass",
+                    "semi_oracle": True,
+                    "rows": len(sdf),
+                    "secs": round(time.time() - t0, 2),
+                    "spark_secs": round(spark_secs, 2),
+                    "oracle_secs": round(time.time() - t_oracle, 2),
+                }
+                n_pass += 1
+            flush_json()
+            continue
         if q.oracle is None:
             print(f"ROWS {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
             results[name] = {"status": "rows_only", "rows": len(sdf)}

@@ -29,19 +29,38 @@ class Query:
     oracle: str | None = None
     doc: str = ""
     tags: tuple[str, ...] = field(default_factory=tuple)
+    #: r16 (VERDICT r15 #6): a BOUND check for queries whose values are
+    #: legitimately engine-specific (sketch estimates). ``semi_oracle`` is
+    #: DuckDB SQL producing the EXACT reference frame; ``semi_check`` is a
+    #: pure function (spark_pdf, oracle_pdf) -> list[str] of problems
+    #: (empty = pass) asserting the estimate lies within the sketch's
+    #: theoretical error of the exact answer. The external driver still
+    #: records rows-only for these (it only knows oracle_sql), but our own
+    #: full sweep upgrades them to pass/fail cells marked "semi_oracle".
+    semi_oracle: str | None = None
+    semi_check: Callable | None = None
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    semi_oracle: str | None = None,
+    semi_check: Callable | None = None,
+):
     """Decorator registering a (spark_fn, oracle_sql) pair under ``name``."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
+        if (semi_oracle is None) != (semi_check is None):
+            raise ValueError(f"{name}: semi_oracle and semi_check come together")
         REGISTRY[name] = Query(
-            name=name, spark_fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip(), tags=tags
+            name=name, spark_fn=fn, oracle=oracle, doc=(fn.__doc__ or "").strip(),
+            tags=tags, semi_oracle=semi_oracle, semi_check=semi_check,
         )
         return fn
 

@@ -241,15 +241,60 @@ def q_resampled(spark, sf_dir):
     )
 
 
+#: HLL++ relative-error acceptance for the q_approx_distinct semi-oracle:
+#: approx_count_distinct's default maximumEstimationError is 5% rsd; 4
+#: sigma covers every deterministic register layout Spark can produce
+#: while still failing hard on a wrong column, group, or a broken sketch
+#: (the same bound tests/test_oracleless_semantics.py has pinned since r10)
+_HLL_REL_TOL = 0.20
+
+
+def _approx_distinct_check(spark_pdf, oracle_pdf):
+    """Bound check (r16, VERDICT r15 #6): every group present in both
+    frames, exact row counts equal, and the HLL estimate within
+    ``_HLL_REL_TOL`` of DuckDB's exact COUNT(DISTINCT). Pure pandas — no
+    Spark/DuckDB handles — so the harness can run it anywhere."""
+    problems = []
+    s = spark_pdf.set_index("event_type").sort_index()
+    o = oracle_pdf.set_index("event_type").sort_index()
+    if list(s.index) != list(o.index):
+        return [f"groups differ: spark={list(s.index)} oracle={list(o.index)}"]
+    for et in s.index:
+        approx, n = int(s.loc[et, "approx_users"]), int(s.loc[et, "n"])
+        exact, n_exact = int(o.loc[et, "exact_users"]), int(o.loc[et, "n"])
+        if n != n_exact:
+            problems.append(f"{et}: row count spark={n} oracle={n_exact}")
+        rel = abs(approx - exact) / max(exact, 1)
+        if rel > _HLL_REL_TOL:
+            problems.append(
+                f"{et}: HLL estimate {approx} vs exact {exact} "
+                f"(rel err {rel:.3f} > {_HLL_REL_TOL})"
+            )
+        if approx > n:
+            problems.append(f"{et}: distinct estimate {approx} exceeds rows {n}")
+    return problems
+
+
 @query(
     "q_approx_distinct",
-    oracle=None,  # HLL sketches are engine-specific — rows-only check
+    oracle=None,  # HLL sketch VALUES are engine-specific — no hash oracle
     tags=("agg", "approx"),
+    # ... but the estimate is still checkable against the exact answer:
+    # the semi-oracle upgrades this cell from rows-only to pass/fail in
+    # the full sweep (r16, VERDICT r15 #6)
+    semi_oracle=(
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+        "COUNT(*) AS n FROM events GROUP BY event_type"
+    ),
+    semi_check=_approx_distinct_check,
 )
 def q_approx_distinct(spark, sf_dir):
     """approx_count_distinct (HyperLogLog++): the constant-memory distinct
     for 100 TB cardinality profiling. Sketch values are engine-specific,
-    so this is a rows-only entry; the exact twin is q_distinct_suppliers."""
+    so there is no value-hash oracle; the registered semi-oracle instead
+    asserts the estimate lies within the sketch's documented error of the
+    exact DuckDB COUNT(DISTINCT) per group (and that the exact ``n``
+    column matches bit-for-bit). The exact twin is q_distinct_suppliers."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
