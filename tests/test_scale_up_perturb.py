@@ -87,6 +87,63 @@ def test_perturb_produces_case_variant_cliques(spark, perturbed_dir):
     assert casenear > 0, "no initcap near-dup copies found"
 
 
+def test_perturb_produces_quote_inclusions(spark, perturbed_dir):
+    # r16 (VERDICT r15 #2): the subset class — short copies that are a
+    # word-prefix of the original, so C(quote→orig) = 1.0 but J < 0.6
+    docs = spark.read.parquet(f"{perturbed_dir}/documents.parquet")
+    orig = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    span = 1
+    while span <= orig.agg(F.max("doc_id")).first()[0]:
+        span *= 10
+    joined = (
+        docs.alias("c")
+        .join(orig.alias("o"), (F.col("c.doc_id") % span) == F.col("o.doc_id"))
+        .where(F.col("c.doc_id") >= span)
+        .select(F.col("c.text").alias("ct"), F.col("o.text").alias("ot"))
+    )
+    quotes = joined.where(
+        (F.length("ct") < F.length("ot"))
+        & F.col("ot").startswith(F.col("ct"))
+        # short enough that Jaccard over shingles stays under 0.6 while
+        # containment is 1.0 by construction
+        & (F.length("ct") * 2 < F.length("ot"))
+    )
+    assert quotes.count() > 0, "--perturb emitted no quote-inclusion copies"
+
+
+def test_perturb_corpus_discriminates_containment_from_jaccard(
+    spark, perturbed_dir
+):
+    """The r15 VERDICT's gate blind spot: on every pre-r16 corpus class
+    C ≥ 0.8 ⟺ J ≥ 0.6, so q_containment_pairs and q_prefix_filter_join
+    returned IDENTICAL pair sets at every scale pin. The quote-inclusion
+    class must make containment a strict superset — pairs with C = 1.0
+    and J < 0.6 that the Jaccard join provably cannot emit."""
+    from video_data_pipeline_spark.queries.simjoin import (
+        containment_pairs_capped,
+        prefix_filter_pairs,
+    )
+
+    docs = spark.read.parquet(f"{perturbed_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in prefix_filter_pairs(docs, max_bucket_size=None)
+        .select("doc_a", "doc_b").collect()
+    }
+    cont = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs_capped(docs, max_posting_size=None)
+        .select("doc_a", "doc_b").collect()
+    }
+    only_containment = cont - jac
+    assert only_containment, (
+        "containment and Jaccard pair sets are identical — the corpus "
+        "still cannot discriminate the two families"
+    )
+
+
 def test_perturb_near_dups_survive_rep_collapse(spark, perturbed_dir):
     """End-to-end on the generated corpus: rep-level banding must surface
     near-dup pairs that connect a copy to its original's clique — the exact

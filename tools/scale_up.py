@@ -22,10 +22,20 @@ on a corpus where reps ≈ all docs:
   exact dup by fingerprint (different bytes, same md5(lower(trim)));
   if (doc_id + c) % 10 == 3 the copy is ``initcap(text) || ' v{c}'`` — a
   near-dup whose casing differs from the original (the r8-VERDICT repro
-  shape: rep-collapse must still find its edge); every other copy
-  interleaves a (doc,copy)-unique token after every 2nd word, which puts
-  that token inside EVERY 3-shingle — zero shingle overlap with anything
-  else, i.e. unrelated text. n_chars is recomputed.
+  shape: rep-collapse must still find its edge); if (doc_id + c) % 10 == 7
+  the copy is a SHORT QUOTE INCLUSION (r16, VERDICT r15 #2): the first
+  20–40% of the original's words (fraction varies by copy so same-doc
+  quotes nest instead of cloning) — its shingle set is a subset of the
+  original's, so containment C(quote→original) = 1.0 ≥ 0.8 while Jaccard
+  ≈ the fraction < 0.6. Before r16 every corpus class satisfied C ≥ 0.8
+  ⟺ J ≥ 0.6, so q_containment_pairs and q_prefix_filter_join returned
+  IDENTICAL pair sets at every gate scale and the containment family's
+  asymmetric logic (min-denominator, smaller-side prefix bound) was
+  pinned only by unit tests; the quote class makes the two pair sets
+  provably differ. Every other copy interleaves a (doc,copy)-unique
+  token after every 2nd word, which puts that token inside EVERY
+  3-shingle — zero shingle overlap with anything else, i.e. unrelated
+  text. n_chars is recomputed.
 - embeddings, copy c>0: marked copies keep the vector (near-group around
   the original); others cyclically shift components by 1 + (c % 63) —
   near-zero cosine against every other shift of a random vector.
@@ -119,6 +129,7 @@ def main() -> int:
                 near = (F.col("doc_id") + c) % 10 == 0
                 casevar = (F.col("doc_id") + c) % 10 == 5
                 casenear = (F.col("doc_id") + c) % 10 == 3
+                subset = (F.col("doc_id") + c) % 10 == 7
                 marked = F.concat(F.col("text"), F.lit(f" v{c}"))
                 salt = F.concat(
                     F.lit("$1 p"), F.col("doc_id").cast("string"), F.lit(f"c{c} ")
@@ -126,11 +137,22 @@ def main() -> int:
                 scrambled = F.regexp_replace(
                     "text", F.lit(r"(\S+ \S+) "), salt
                 )
+                # quote inclusion (r16): first 20–40% of the words — a
+                # shingle-SUBSET of the original (C = 1.0, J < 0.6); the
+                # fraction varies by copy so same-doc quotes nest (still
+                # containment pairs) instead of forming exact-dup cliques
+                frac_pct = 20 + 5 * (c % 5)
+                words = F.split(F.col("text"), " ")
+                k = F.greatest(
+                    F.lit(5), (F.size(words) * frac_pct / 100).cast("int")
+                )
+                quoted = F.array_join(F.slice(words, F.lit(1), k), " ")
                 cp = cp.withColumn(
                     "text",
                     F.when(near, marked)
                     .when(casevar, F.initcap("text"))
                     .when(casenear, F.concat(F.initcap("text"), F.lit(f" v{c}")))
+                    .when(subset, quoted)
                     .otherwise(scrambled),
                 ).withColumn("n_chars", F.length("text").cast("long"))
             if args.perturb and c > 0 and name == "embeddings":
