@@ -27,7 +27,17 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-QUERIES = ["q_simhash_near_pairs_calibrated", "q_minhash_lsh_pairs_calibrated"]
+#: the first two cache DECISIONS (count-budget model, budget in the key);
+#: the last two cache the budget-invariant MEASUREMENT and re-derive the
+#: decision per process (r16, ADVICE r15 medium) — run 2 must still show
+#: zero measure_front calls (the FrontStats came from the sidecar) with
+#: identical rows
+QUERIES = [
+    "q_simhash_near_pairs_calibrated",
+    "q_minhash_lsh_pairs_calibrated",
+    "q_prefix_filter_join_calibrated",
+    "q_containment_pairs_calibrated",
+]
 
 
 def run_leg(sf_dir: str, query: str) -> int:
