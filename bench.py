@@ -118,6 +118,9 @@ HEADLINE = [
     "q_containment_pairs",
     "q_containment_pairs_calibrated",
     "q_containment_pairs_exact",
+    # r16: containment over documents + synthesized quote inclusions —
+    # the driver-gate discrimination leg (VERDICT r15 #2)
+    "q_containment_quote_pairs",
     "q_modern_curation_pipeline",
     "q_simhash_calibration",
     "q_hard_negatives",
