@@ -116,12 +116,20 @@ def ab_run(ref: str, rnd: int, runs: int, load_at_start: float) -> int:
         check=True, cwd=ROOT, capture_output=True, text=True,
     )
     try:
+        # ABBA ordering (r16 opt round): strict new/old alternation is
+        # biased under MONOTONE ambient drift (this host's CPU-steal
+        # epochs drain over a session, so whichever tree always runs
+        # second in a pair is systematically penalized — observed as
+        # ~0.6x "improvements" on queries neither tree changed).
+        # Palindromic order cancels any linear drift component.
         new_runs, old_runs = [], []
         for i in range(runs):
-            print(f"A/B round {i + 1}/{runs}: new tree ...")
-            new_runs.append(one_run(ROOT))
-            print(f"A/B round {i + 1}/{runs}: old tree ({sha}) ...")
-            old_runs.append(one_run(wt))
+            order = [("new", ROOT, new_runs), ("old", wt, old_runs)]
+            if i % 2 == 1:
+                order.reverse()
+            for label, tree, sink in order:
+                print(f"A/B round {i + 1}/{runs}: {label} tree ...")
+                sink.append(one_run(tree))
     finally:
         subprocess.run(
             ["git", "worktree", "remove", "--force", wt],
