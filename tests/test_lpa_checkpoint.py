@@ -69,3 +69,21 @@ def test_doc_id_below_pack_passes_guard(spark):
     pairs = _edges(spark, [(_PACK - 1, 1)])
     rows = label_propagation_pairs(pairs, rounds=1).collect()
     assert {r["node"] for r in rows} == {_PACK - 1, 1}
+
+
+def test_pagerank_plan_covers_one_iteration_only(spark, sf_dir):
+    # r16: q_pagerank's sym/deg are lazily checkpointed (like the LPA loop
+    # above) — without them the 3-iteration unroll re-instantiated the
+    # LSH subtree 28x in one plan (28 parquet scans, 0 ReusedExchange;
+    # measured 0.67x after the fix, tools/exp_pagerank_ckpt.py). The
+    # final optimized plan must reference the checkpointed graph (scan-free
+    # ExistingRDD leaves), not re-derive the corpus scan per round.
+    from video_data_pipeline_spark.queries.dedup import q_pagerank
+
+    plan = (
+        q_pagerank(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Relation") <= 4, plan[:2000]

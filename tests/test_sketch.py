@@ -129,3 +129,38 @@ def test_rendezvous_balance(spark):
     )
     assert len(counts) == 8
     assert all(250 <= r["count"] <= 1000 for r in counts)
+
+
+def test_countmin_count_first_grid_is_cell_identical(spark):
+    # r16 optimization: countmin_build counts per DISTINCT key first and
+    # SUMs counts into the grid (hashing vocab x depth times instead of
+    # occurrences x depth). The grid is a sum of per-key counts either
+    # way — pin cell-for-cell equality against a per-occurrence reference
+    # built with the SAME hash expression (countmin_bucket).
+    from video_data_pipeline_spark.operators.sketch import countmin_bucket
+
+    rows = [(f"t{i}",) for i in range(17) for _ in range((i + 1) * 2)]
+    items = spark.createDataFrame(rows, ["k"])
+    depth, width = 4, 16
+    grid = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in countmin_build(items, "k", depth, width).collect()
+    }
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.expr(countmin_bucket("k", j, width, "spark")).alias("bucket"),
+            )
+            for j in range(depth)
+        ]
+    )
+    ref = {
+        (r["j"], r["bucket"]): r["cnt"]
+        for r in items.select(F.col("k").cast("string").alias("k"))
+        .select(F.explode(cells).alias("r"))
+        .groupBy(F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    assert grid == ref

@@ -150,13 +150,23 @@ def countmin_build(
 ) -> DataFrame:
     """Count-Min grid over ``items[col]``: columns ``(j, bucket, cnt)``.
 
-    One explode to ``depth`` (j, bucket) rows per item, then a map-combined
-    groupBy — the shuffle carries at most depth*width distinct keys no
-    matter how large the vocabulary is. The grid itself is broadcast-sized.
+    Count first, hash once per DISTINCT key (r16, guide §2.3 "aggregate
+    before you shuffle" applied to CPU): the naive form computed ``depth``
+    md5 hashes per item OCCURRENCE, which the perf probe measured as the
+    single most compute-bound query in the bench (~90 s of task time at
+    sf0.1 — token streams are Zipfian, so occurrences ≫ vocabulary). A
+    map-combined count by key collapses the stream to the vocabulary
+    first; each distinct key is then hashed ``depth`` times and its count
+    SUMMED into the grid — cell-for-cell identical (the grid is a sum of
+    per-key counts either way), with the hashing bill cut from
+    occurrences×depth to vocab×depth. The (k, partial-count) exchange
+    this adds carries at most one row per distinct key per task; the
+    final shuffle still carries at most depth*width keys.
     """
     src = items.select(F.col(col).cast("string").alias("k")).where(
         F.col("k").isNotNull()
     )
+    counts = src.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
     rows = F.array(
         *[
             F.struct(
@@ -167,9 +177,9 @@ def countmin_build(
         ]
     )
     return (
-        src.select(F.explode(rows).alias("r"))
+        counts.select(F.explode(rows).alias("r"), "c")
         .groupBy(F.col("r.j").alias("j"), F.col("r.bucket").alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("c").alias("cnt"))
     )
 
 

@@ -45,7 +45,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from video_data_pipeline_spark.queries.common import DUCK_HASH, SPARK_HASH
-from video_data_pipeline_spark.queries.registry import query, table
+from video_data_pipeline_spark.queries.registry import query, spread, table
 
 # 48-bit md5-prefix hash: (k-1)·2^48 stays far inside BIGINT so the KMV
 # estimate is pure integer floor division in both engines. Hash collisions
@@ -400,7 +400,11 @@ def q_cdc_chunks(spark, sf_dir):
     the demo self-auditing. (FastCDC's min/max-size rules re-introduce a
     sequential dependence — that variant would be a mapInPandas kernel;
     the boundary-hash math stays identical.)"""
-    d = table(spark, sf_dir, "documents")
+    # spread before chunking (r16): the boundary expression computes one
+    # md5 per CHARACTER position, and the bench corpus scans as a single
+    # row-group — without the spread all of it ran in one task (measured
+    # ~3.7 s of single-core time; guide §2.5 input skew)
+    d = spread(table(spark, sf_dir, "documents"))
     b = d.select("doc_id", "text", F.expr(_bound_expr("spark")).alias("bounds"))
     chunk = F.expr(
         """

@@ -318,6 +318,12 @@ def unigram_scored(spark, sf_dir):
     :func:`q_unigram_logprob` for the determinism and scale rationale."""
     d = table(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
     words = d.select("doc_id", "lang", F.explode(F.expr(_SPARK_TOKENS)).alias("term"))
+    # NOT checkpointed (r16 opt note): a lazy localCheckpoint on lm was
+    # tried and measured a regression in the interleaved A/B (the
+    # re-executed en-slice count is cheap; the checkpoint's extra job +
+    # block materialization was not) — re-execution is the right trade
+    # for this subtree at every scale where the vocab agg is map-side
+    # combined.
     lm = words.where(F.col("lang") == "en").groupBy("term").agg(
         F.count(F.lit(1)).alias("c")
     )

@@ -141,6 +141,11 @@ def q_perplexity_buckets(spark, sf_dir):
     reducer at 100 TB — never appears. Same histogram-selection idiom as
     q_mad_outliers."""
     d = table(spark, sf_dir, "documents")
+    # docs is consumed twice (histogram build + final bucket join); a lazy
+    # localCheckpoint here was tried in the r16 optimization round and
+    # MEASURED SLOWER in the interleaved A/B (ratio ~1.5) — the extra
+    # materialization job cost more than re-running the LM chain, whose
+    # heavy parts are map-side-combined aggregates. Left re-executing.
     docs = unigram_scored(spark, sf_dir).join(
         d.select("doc_id", "lang"), "doc_id"
     ).select(
@@ -621,6 +626,10 @@ def q_bigram_logprob(spark, sf_dir):
     words = tok.where(F.col("lang") == "en").select(
         F.explode("toks").alias("term")
     )
+    # uni/bg stay un-checkpointed: lazy localCheckpoints here were tried
+    # in the r16 optimization round and measured slower in the interleaved
+    # A/B — the re-executed subtrees are map-side-combined aggregates,
+    # cheaper than the checkpoints' extra materialization jobs
     uni = words.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     totals = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
     bg = (

@@ -33,7 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from video_data_pipeline_spark.queries.registry import query, table
+from video_data_pipeline_spark.queries.registry import query, spread, table
 
 _N_HASHES = 8
 _BAND_ROWS = 2  # 4 bands × 2 rows
@@ -1563,14 +1563,23 @@ def q_pagerank(spark, sf_dir):
     uniform doc_id key) + one dst-keyed partial-agg groupBy — the classic
     distributed PageRank topology. The degree table joins by the same key
     and AQE broadcasts it when the graph is small; at 100 TB both joins
-    shuffle on the uniform node id. Iterations here unroll into one plan
-    (3 rounds); an open-ended variant would localCheckpoint per round
-    exactly as operators/components.py does."""
+    shuffle on the uniform node id. Iterations unroll into one plan
+    (3 rounds); sym/deg are lazily checkpointed like q_kcore and the LPA
+    loop — r16: the unrolled-without-checkpoint form re-instantiated the
+    LSH subtree 28× statically (plans/r16/q_pagerank_before.txt: 28
+    parquet scans, 0 ReusedExchange — the CollectMetrics observation
+    nodes defeat exchange canonicalization), and AQE's runtime stage
+    reuse only recovered part of it; a 6-round same-session ABBA of the
+    two forms measured the checkpointed graph at 0.67× (2.75 s → 1.84 s
+    median, identical rows asserted in-process,
+    tools/exp_pagerank_ckpt.py)."""
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    sym = fwd.union(rev).distinct()
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    sym = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
     ranks = deg.select(F.col("u").alias("node"), F.lit(_PR_ONE).cast("bigint").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -1998,7 +2007,10 @@ def q_substring_dedup_spans(spark, sf_dir):
     coverage end is monotone in the start index, so one lag() suffices (no
     running-max needed). Reference: Lee et al., "Deduplicating Training
     Data Makes Language Models Better" (2022), section 4.1."""
-    d = table(spark, sf_dir, "documents")
+    # spread before windowing (r16): one md5 per sliding window, evaluated
+    # TWICE (dup aggregate + semi-join probe are separate plan references),
+    # all in the single-row-group scan task without the spread (guide §2.5)
+    d = spread(table(spark, sf_dir, "documents"))
     words = d.select("doc_id", F.expr(_SPARK_WORDS).alias("wd")).where(
         F.expr(f"size(wd) >= {_ESS_W}")
     )

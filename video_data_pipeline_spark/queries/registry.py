@@ -119,6 +119,30 @@ def load_all() -> dict[str, Query]:
     return REGISTRY
 
 
+def spread(df: DataFrame, parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition a scan that is narrower than the cluster,
+    for fronts whose per-row work is compute-dense (r16, guide §2.5
+    "input skew ... repartition immediately after the read").
+
+    The bench corpora are single-row-group parquet files, and parquet
+    scan parallelism is row-group granular — so every scan here is ONE
+    task, and a front that does heavy per-row work before its first
+    exchange (CDC chunk hashing, token explosion) serializes onto one
+    core no matter the master's core count. This helper pays one tiny
+    exchange (the raw rows, a few MB here) to unlock every core. It is a
+    NO-OP whenever the input already has >= ``parallelism`` partitions —
+    at production scale a 100 TB table scans as tens of thousands of
+    row-group splits, so the repartition (which there would be a
+    catastrophic full-payload shuffle) never fires; the knob derives
+    from the data's actual layout, not a local[32] constant.
+    """
+    sc = df.sparkSession.sparkContext
+    want = parallelism or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from video_data_pipeline_spark.session import ensure_shipped
 

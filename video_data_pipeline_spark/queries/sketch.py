@@ -157,6 +157,10 @@ def q_countmin_freq(spark, sf_dir):
     row-wise min. ``est_cnt >= true_cnt`` always (one-sided error); the
     exact count rides along so the overcount is audit-visible. At 100 TB
     this replaces a vocabulary-wide shuffle with a constant-size one."""
+    # no spread here (r16 opt note): after countmin_build's count-first
+    # rewrite the scan-stage work is a plain tokenize + 31-key partial
+    # count — a repartition was tried and measured net-negative (the
+    # extra exchange outweighed the parallelism)
     d = table(spark, sf_dir, "documents")
     tokens = d.select(F.expr(_SPARK_TOKENS).alias("k"))
     grid = countmin_build(tokens, "k", _CM_DEPTH, _CM_WIDTH)

@@ -45,6 +45,31 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r16 perf: AQE's parallelism-first coalescing targets
+        # total/defaultParallelism bytes per partition, but the stock
+        # 1 MiB minPartitionSize floor overrides that whenever a shuffle
+        # is byte-small — and this engine's text fronts are exactly that:
+        # a few MB of documents whose per-row work (shingling, md5 per
+        # shingle, array intersections) is thousands of CPU cycles per
+        # byte. Measured at sf0.1: the stock floor coalesced those stages
+        # to 1-5 partitions, serializing multi-second compute onto one
+        # core (perf_probe: ~1.0 effective cores on a 32-core master).
+        # Value chosen by two same-tree env-flip ABBA A/Bs (tools/env_ab.py,
+        # OPTIMIZATION_r16.md §aqe-floor): 64k freed the compute-dense
+        # families (simjoin family 0.57× vs stock) but over-split the
+        # byte-tiny shuffles of iterative/sketch queries (q_countmin_freq
+        # 2.5×, q_segment_dedup 1.9×, q_pagerank 1.5× — 32 near-empty
+        # tasks per stage, pure scheduling overhead); 256k kept the family
+        # wins (their ~9-14 MB exchanges split to ~300-440 KB per
+        # partition at parallelism 32, above this floor) while coalescing
+        # the tiny shuffles again (countmin/segment/pagerank recovered,
+        # 0.93× overall vs 64k). At production shuffle sizes partitions
+        # sit far above either floor, so the setting only binds where the
+        # stock floor was the bug. Env-overridable for cluster profiles.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "256k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
