@@ -84,3 +84,23 @@ def test_hard_negatives_semihard_band_properties(spark, sf_dir):
         assert not set(pos["vec_id"]) & set(neg["vec_id"])
         # anchors never mine themselves
         assert q_id not in set(grp["vec_id"])
+
+
+def test_simhash_calibration_rides_checkpointed_pairs(spark, sf_dir):
+    # r16 opt: _calibration_from_pairs lazily localCheckpoints the candidate
+    # frame — the simhash front has no internal checkpoint on the default
+    # path and its observe node defeats exchange canonicalization, so the
+    # audit's join chain re-planned the signature lambda on both self-join
+    # sides (measured 0.78x after the fix, tools/exp_simhash_ckpt.py). The
+    # optimized plan must reference the checkpoint (an ExistingRDD/LogicalRDD
+    # leaf) and re-derive the corpus scan only for the two shingle-set sides.
+    from video_data_pipeline_spark.queries.audit import q_simhash_calibration
+
+    plan = (
+        q_simhash_calibration(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:2000]
+    assert plan.count("Relation") <= 2, plan[:2000]

@@ -19,11 +19,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F
 
 
-def _build(spark, sf_dir, ckpt_reps=False, ckpt_tabs=False):
+def _build(spark, sf_dir, ckpt_reps=False, ckpt_tabs=False, ckpt_pairs=False):
+    from video_data_pipeline_spark.queries.audit import _SPARK_SHINGLE_SET
     from video_data_pipeline_spark.queries.dedup import (
         DEFAULT_LSH_MAX_BUCKET_SIZE,
         _N_HASHES,
-        _SPARK_SHINGLE_SET,
         exact_dup_representatives,
         lsh_pairs_from_bands,
         minhash_bands,
@@ -37,6 +37,8 @@ def _build(spark, sf_dir, ckpt_reps=False, ckpt_tabs=False):
     pairs = lsh_pairs_from_bands(
         minhash_bands(reps), max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE
     )
+    if ckpt_pairs:
+        pairs = pairs.localCheckpoint(eager=False)
     sig = signatures(reps)
     sets = (
         reps.select("doc_id", F.expr("split(lower(trim(text)), ' +')").alias("w"))
@@ -75,6 +77,7 @@ VARIANTS = {
     "current": {},
     "ckpt_reps": {"ckpt_reps": True},
     "ckpt_sig_sets": {"ckpt_tabs": True},
+    "ckpt_pairs": {"ckpt_pairs": True},
 }
 
 

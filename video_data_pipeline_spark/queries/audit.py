@@ -243,7 +243,21 @@ def q_simhash_calibration_combo(spark, sf_dir, max_bucket_size=..., observation=
 def _calibration_from_pairs(spark, sf_dir, pairs):
     """Shared back half of the calibration audits: attach rep-level
     shingle sets to a candidate-pair frame by uniform doc_id joins and
-    compute the exact Jaccard next to the hamming distance."""
+    compute the exact Jaccard next to the hamming distance.
+
+    The candidate frame is lazily localCheckpointed first (r16 opt): the
+    simhash fronts carry no internal checkpoint on the default path and
+    their CollectMetrics observe node defeats exchange canonicalization,
+    so planning the signature self-join inside this audit's join chain
+    re-ran the signature lambda — the repo's heaviest per-doc expression.
+    Measured same-session ABBA (tools/exp_simhash_ckpt.py, 6 rounds,
+    identical rows asserted): ckpt on the PAIR frame 0.78x vs current;
+    ckpt on signatures or reps instead: no win. The q_minhash_estimate
+    sibling is deliberately NOT checkpointed — its LSH front already
+    checkpoints bands internally, and the same experiment measured an
+    extra pair checkpoint there as pure overhead (1.19x,
+    tools/exp_audit_ckpt.py)."""
+    pairs = pairs.localCheckpoint(eager=False)
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
     sets = (
         reps.select("doc_id", F.expr("split(lower(trim(text)), ' +')").alias("w"))
