@@ -164,3 +164,17 @@ def test_countmin_count_first_grid_is_cell_identical(spark):
         .collect()
     }
     assert grid == ref
+
+
+def test_countmin_probe_frame_is_jvm_local_single_partition(spark, sf_dir):
+    # r16 opt (guide §4): the probe-word literal frame must not be a
+    # Python-RDD scan (createDataFrame pickles rows into an ExistingRDD
+    # over defaultParallelism slices — cores-1 empty tasks per consumer
+    # stage, each dragging the Python boundary). inline_rows builds it as
+    # a single-partition range+inline plan.
+    from video_data_pipeline_spark.queries.registry import load_all
+
+    df = load_all()["q_countmin_freq"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" not in plan and "LogicalRDD" not in plan, plan[:2000]
+    assert "Range (0, 1, step=1" in plan, plan[:2000]

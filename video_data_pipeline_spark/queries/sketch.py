@@ -44,6 +44,7 @@ from video_data_pipeline_spark.operators.sketch import (
     countmin_build,
     countmin_estimate,
 )
+from video_data_pipeline_spark.localframe import inline_rows
 from video_data_pipeline_spark.queries.registry import query, table
 
 _HASH60_SPARK = "CAST(conv(substr(md5({x}), 1, 15), 16, 10) AS BIGINT)"
@@ -164,7 +165,10 @@ def q_countmin_freq(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     tokens = d.select(F.expr(_SPARK_TOKENS).alias("k"))
     grid = countmin_build(tokens, "k", _CM_DEPTH, _CM_WIDTH)
-    probes = spark.createDataFrame([(w,) for w in _CM_PROBES], ["k"])
+    # inline_rows, not createDataFrame (r16 opt, guide §4): the Python-RDD
+    # literal frame ran its exchange as a 32-task stage blocked on Python
+    # worker forks (52 s executorRunTime vs 0.7 s executorCpuTime measured)
+    probes = inline_rows(spark, ["k"], [(w,) for w in _CM_PROBES])
     est = countmin_estimate(grid, probes, "k", _CM_DEPTH, _CM_WIDTH)
     truth = (
         tokens.where(F.col("k").isin(*_CM_PROBES))

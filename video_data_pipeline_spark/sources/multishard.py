@@ -25,6 +25,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from video_data_pipeline_spark.functions.hashing import stable_hash64
+from video_data_pipeline_spark.localframe import inline_rows
 from video_data_pipeline_spark.sources.shardlists import expand_urls
 
 
@@ -64,9 +65,10 @@ def multi_shard_sample(
 
     parts = []
     for ds in parse_spec(spec_text):
-        urls = spark.createDataFrame(
-            [(ds["name"], u) for u in ds["urls"]], "source string, url string"
-        )
+        # inline_rows, not createDataFrame: a pure-JVM literal frame — the
+        # Python-RDD form forks a worker per partition just to unpickle
+        # the url literals (localframe.py; r16 opt, guide §4)
+        urls = inline_rows(spark, ["source", "url"], [(ds["name"], u) for u in ds["urls"]])
         n = len(ds["urls"])
         if ds["resample"]:  # with replacement: k independent keyed draws
             draws = spark.range(int(ds["resample"])).select(
