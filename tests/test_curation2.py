@@ -207,3 +207,24 @@ def test_bigram_lm_penalizes_scrambled_word_order(spark, tmp_path):
     # per-doc transition count is n_tokens - 1
     n_tokens = len(words)
     assert bi.loc[100, "n_bigrams"] == n_tokens - 1
+
+
+def test_perplexity_thresholds_are_one_pass(spark, docs_dir):
+    # r16 opt (guide §1.2 "fewer passes"): both tercile thresholds come from
+    # ONE conditional aggregation over the cumulative histogram. The old
+    # two-branch form (filter+groupBy per threshold, joined on lang)
+    # instantiated the cum-window subtree twice — Catalyst does not CSE
+    # across DataFrame references — re-running the whole docs→unigram-LM
+    # chain per branch (30 parquet scans in the physical plan vs 20 merged).
+    plan = (
+        q_perplexity_buckets(spark, docs_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    n_window = plan.count("Window [")
+    assert n_window == 2, (
+        f"expected exactly one cum-histogram instantiation (2 stacked Window "
+        f"nodes: running sum + per-lang total), got {n_window} Window nodes — "
+        f"the t1/t2 single-pass merge regressed"
+    )

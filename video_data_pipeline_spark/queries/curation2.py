@@ -166,17 +166,22 @@ def q_perplexity_buckets(spark, sf_dir):
         F.sum("cnt").over(w_cum).alias("cum"),
         F.sum("cnt").over(w_all).alias("n"),
     )
-    t1 = (
-        cum.where(F.col("cum") >= F.expr("(n + 2) div 3"))
-        .groupBy("lang")
-        .agg(F.min("xent_centi").alias("t1"))
+    # Both tercile thresholds come from ONE conditional aggregation over
+    # `cum` (min(xent_centi | cum >= ceil(k*n/3)) for k = 1, 2). The earlier
+    # two-branch form (separate filter+groupBy per threshold joined on lang)
+    # re-instantiated the whole docs->unigram-LM subtree under each branch —
+    # Catalyst does not CSE across DataFrame references. Equivalent because
+    # the last bin of every lang has cum = n >= ceil(k*n/3), so both
+    # conditional mins are non-null for every lang, exactly the rows the old
+    # inner join kept.
+    thresholds = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("xent_centi"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("xent_centi"))
+        ).alias("t2"),
     )
-    t2 = (
-        cum.where(F.col("cum") >= F.expr("(2 * n + 2) div 3"))
-        .groupBy("lang")
-        .agg(F.min("xent_centi").alias("t2"))
-    )
-    thresholds = t1.join(t2, "lang")
     return docs.join(F.broadcast(thresholds), "lang").select(
         "doc_id",
         "lang",
