@@ -111,6 +111,94 @@ def test_staged_equals_direct_containment(spark):
     assert len(direct) > 0
 
 
+def _reference_summary_table(sets):
+    """The r15 explode+groupBy summary build, kept as the cell-for-cell
+    reference for the r16 per-row aggregate() fold (same discipline as
+    test_countmin_grid_identical_to_per_occurrence_reference)."""
+    lanes = (
+        sets.select("doc_id", "n", F.explode("hs").alias("h"))
+        .groupBy("doc_id", "n", F.pmod("h", F.lit(_SUMMARY_LANES)).alias("lane"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN lane div 16 = {w} "
+                "THEN shiftleft(least(cnt, 15), (lane % 16) * 4) ELSE 0 END"
+            )
+        ).alias(f"w{w}")
+        for w in range(_SUMMARY_LANES // 16)
+    ]
+    return (
+        lanes.groupBy("doc_id", "n")
+        .agg(*words, F.max("cnt").alias("maxc"))
+        .select(
+            "doc_id",
+            "n",
+            F.array(
+                *[F.col(f"w{w}") for w in range(_SUMMARY_LANES // 16)]
+            ).alias("cnt"),
+            (F.col("maxc") > 15).alias("sat"),
+        )
+    )
+
+
+def test_summary_fold_identical_to_explode_groupby_reference(spark):
+    rng = random.Random(23)
+    sets = {
+        i: sorted(
+            rng.sample(
+                [rng.randint(-(2**62), 2**62) for _ in range(3000)],
+                rng.randint(1, 400),
+            )
+        )
+        for i in range(60)
+    }
+    # plus a saturating doc: 30 hashes in one lane
+    sets[999] = [k * _SUMMARY_LANES for k in range(1, 31)]
+    df = _sets_df(spark, sets)
+    want = {
+        r["doc_id"]: (r["n"], tuple(r["cnt"]), r["sat"])
+        for r in _reference_summary_table(df).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n"], tuple(r["cnt"]), r["sat"])
+        for r in summary_table(df).collect()
+    }
+    assert got == want
+    assert got[999][2] is True
+
+
+def test_summary_table_is_exchange_free(spark):
+    # r16: the packed histogram is per-row column math over the set
+    # table — no shuffle may reappear in its plan
+    df = summary_table(_sets_df(spark, {1: [5, 7, 133], 2: [1]}))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_uncapped_unobserved_containment_skips_posting_grouping(spark):
+    # r16: with no cap and no telemetry the posting-list groupBy round
+    # trip is a no-op and must be absent; with an Observation it stays,
+    # and both shapes emit identical rows
+    from pyspark.sql import Observation
+
+    from video_data_pipeline_spark.queries.registry import table
+
+    docs = table(spark, SF_DIR, "documents")
+    fast = containment_pairs_capped(docs, max_posting_size=None)
+    plan = fast._jdf.queryExecution().optimizedPlan().toString()
+    assert "collect_list" not in plan
+    grouped = containment_pairs_capped(
+        docs, max_posting_size=None, observation=Observation("cont_ref")
+    )
+    assert "collect_list" in (
+        grouped._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert _rows(fast) == _rows(grouped)
+
+
 def test_saturated_docs_survive_staged_filter(spark):
     # two byte-distinct docs sharing a HUGE token mass concentrated enough
     # to saturate lanes: the staged filter must keep their pair (bypass),

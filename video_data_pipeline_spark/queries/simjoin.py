@@ -215,38 +215,51 @@ _INTER_UPPER_BOUND_SQL = (
 )
 
 
+#: per-row fold pieces: lane = hash mod 128, its word index and in-word
+#: bit offset (16 4-bit lanes per BIGINT)
+_LANE_SQL = f"CAST(pmod(h, {_SUMMARY_LANES}) AS INT)"
+_SHIFT_SQL = f"({_LANE_SQL} % 16) * 4"
+_WORD_SQL = f"CAST({_LANE_SQL} div 16 AS INT)"
+
+#: fold hs into (8 packed saturating words, sat flag) in ONE aggregate():
+#: per element, bump the 4-bit lane unless it already holds 15; a bump
+#: attempted at 15 is exactly "true count > 15", so it sets sat instead.
+#: The bump is mask-and-OR (clear the lane, OR in cur+1), never `+`:
+#: a carry into bit 63 (word 7, lane 15 crossing count 8) would trip
+#: ANSI overflow on add, while AND/OR/shifts are carry-free
+_SUMMARY_FOLD_SQL = f"""aggregate(
+  hs,
+  named_struct('w', array_repeat(0L, {_SUMMARY_WORDS}), 'sat', false),
+  (acc, h) -> named_struct(
+    'w', transform(acc.w, (x, i) ->
+        IF(i = {_WORD_SQL}
+           AND (shiftright(x, {_SHIFT_SQL}) & 15) < 15,
+           (x & ~shiftleft(15L, {_SHIFT_SQL}))
+             | shiftleft((shiftright(x, {_SHIFT_SQL}) & 15) + 1, {_SHIFT_SQL}),
+           x)),
+    'sat', acc.sat OR
+        (shiftright(element_at(acc.w, {_WORD_SQL} + 1), {_SHIFT_SQL}) & 15) = 15
+  )
+)"""
+
+
 def summary_table(sets):
     """(doc_id, n, hs) → (doc_id, n, cnt: array<bigint>[8], sat).
 
-    One uniform doc-keyed shuffle builds the packed histogram: explode
-    the hashes, count per (doc, lane = pmod(h, 128)) with map-side
-    combine, then OR the 4-bit saturating counts into 8 packed words
-    (disjoint bit ranges, so SUM == OR — pure codegen, no UDF). ``sat``
-    marks docs where any lane exceeded 15 — their pairs bypass the
-    staged filter (see the module comment's safety argument)."""
-    lanes = (
-        sets.select("doc_id", "n", F.explode("hs").alias("h"))
-        .groupBy("doc_id", "n", F.pmod("h", F.lit(_SUMMARY_LANES)).alias("lane"))
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    words = [
-        F.sum(
-            F.expr(
-                f"CASE WHEN lane div 16 = {w} "
-                "THEN shiftleft(least(cnt, 15), (lane % 16) * 4) ELSE 0 END"
-            )
-        ).alias(f"w{w}")
-        for w in range(_SUMMARY_WORDS)
-    ]
-    return (
-        lanes.groupBy("doc_id", "n")
-        .agg(*words, F.max("cnt").alias("maxc"))
-        .select(
-            "doc_id",
-            "n",
-            F.array(*[F.col(f"w{w}") for w in range(_SUMMARY_WORDS)]).alias("cnt"),
-            (F.col("maxc") > 15).alias("sat"),
-        )
+    The packed histogram is a pure function of each row's hash array, so
+    it is folded PER ROW with one aggregate() over ``hs`` — zero
+    exchanges, computed inside the scan of the localCheckpointed set
+    table (r16; the r15 form exploded the hashes and rebuilt each doc
+    with two groupBys, i.e. two exchanges over every token in the corpus
+    — measured 0.70–0.75× on the three staged bench queries,
+    BENCH_STAGED_INLINE_AB_r16.json). ``sat`` marks docs where any lane
+    exceeded 15 — their pairs bypass the staged filter (see the module
+    comment's safety argument); the fold flags it when a bump arrives at
+    a lane already holding 15, which is the same predicate."""
+    return sets.select(
+        "doc_id", "n", F.expr(_SUMMARY_FOLD_SQL).alias("s")
+    ).select(
+        "doc_id", "n", F.col("s.w").alias("cnt"), F.col("s.sat").alias("sat")
     )
 
 
@@ -921,17 +934,31 @@ def containment_pairs_capped(
             )
         ).alias("h"),
     )
-    postings = (
-        sets.select("doc_id", "n", F.explode("hs").alias("h"))
-        .groupBy("h")
-        .agg(F.sort_array(F.collect_list(F.struct("n", "doc_id"))).alias("ps"))
-    )
-    if observation is None and max_posting_size is not None:
-        # see prefix_filter_pairs: self-announcing cap engagement
-        from video_data_pipeline_spark.telemetry import cap_observation_name
+    if max_posting_size is None and observation is None:
+        # uncapped AND unobserved (the _exact / quote twins): the grouped
+        # posting-list round trip below exists only to cap lists and feed
+        # the telemetry — with neither in play it is a no-op
+        # (groupBy(h)+collect_list+sort_array, then explode right back;
+        # list order never mattered: downstream is join + distinct), so
+        # explode the set table straight into the asymmetric join (r16,
+        # guide §2.4 — part of the 0.73/0.75 staged-front A/B win,
+        # BENCH_STAGED_INLINE_AB_r16.json)
+        post = sets.select(
+            F.col("doc_id").alias("b_id"),
+            F.col("n").alias("bn"),
+            F.explode("hs").alias("h"),
+        )
+    else:
+        postings = (
+            sets.select("doc_id", "n", F.explode("hs").alias("h"))
+            .groupBy("h")
+            .agg(F.sort_array(F.collect_list(F.struct("n", "doc_id"))).alias("ps"))
+        )
+        if observation is None:
+            # see prefix_filter_pairs: self-announcing cap engagement
+            from video_data_pipeline_spark.telemetry import cap_observation_name
 
-        observation = cap_observation_name("containment_postings")
-    if observation is not None:
+            observation = cap_observation_name("containment_postings")
         cap = max_posting_size if max_posting_size is not None else 1 << 62
         postings = postings.observe(
             observation,
@@ -947,13 +974,13 @@ def containment_pairs_capped(
                 f"sum(least(size(ps), {cap}) * (least(size(ps), {cap}) - 1) div 2)"
             ).alias("capped_candidate_pairs"),
         )
-    if max_posting_size is not None:
-        postings = postings.select(
-            "h", F.slice("ps", 1, max_posting_size).alias("ps")
+        if max_posting_size is not None:
+            postings = postings.select(
+                "h", F.slice("ps", 1, max_posting_size).alias("ps")
+            )
+        post = postings.select("h", F.explode("ps").alias("p")).select(
+            "h", F.col("p.doc_id").alias("b_id"), F.col("p.n").alias("bn")
         )
-    post = postings.select("h", F.explode("ps").alias("p")).select(
-        "h", F.col("p.doc_id").alias("b_id"), F.col("p.n").alias("bn")
-    )
     pairs = (
         prefix.join(post, "h")
         .where(
