@@ -840,14 +840,36 @@ def simhash_near_pairs_capped(
         )
         .where(F.size("members") > 1)
     )
+    # lazy localCheckpoint BEFORE the observe node (r16): the self-join
+    # below otherwise re-instantiates the whole scan → rep-collapse →
+    # signature-md5 → bucket subtree on BOTH sides (the observe's
+    # CollectMetrics defeats exchange canonicalization; the before-plan
+    # shows 2 parquet scans and the signature fold — the repo's heaviest
+    # per-doc expression — twice, one side under a BroadcastExchange).
+    # The checkpoint must sit UNDER the observe: a CollectMetrics inside
+    # a checkpointed RDD materializes outside any SQL execution, so its
+    # metrics never reach the cap-telemetry listener (measured — the
+    # headroom gates read None). So the observe attaches ABOVE the
+    # checkpoint, and to ONE join side only: its CollectMetrics executes
+    # inside the join query (metrics fire exactly once — pre-change it
+    # was duplicated on both sides), while the other side pays only the
+    # slice+explode over the checkpoint scan. The frame is the size>1
+    # bucket lists only — small, so the block-manager-eviction own-goal
+    # that reverted the simjoin restructure does not apply. Measured
+    # 0.90×/0.92× on the near-pairs / calibrated bench queries with the
+    # telemetry kept (a variant that also dropped the CollectMetrics
+    # from the executed query measured 0.70× but returned None metrics —
+    # rejected; BENCH_SIMHASH_FLAT_CKPT_AB_r16.json records both).
+    buckets = buckets.localCheckpoint(eager=False)
     if observation is None and max_bucket_size is not None:
         # see lsh_pairs_from_bands: self-announcing cap engagement
         from video_data_pipeline_spark.telemetry import cap_observation_name
 
         observation = cap_observation_name(f"simhash_{geometry}")
+    observed = buckets
     if observation is not None:
         cap = max_bucket_size if max_bucket_size is not None else 1 << 62
-        buckets = buckets.observe(
+        observed = buckets.observe(
             observation,
             F.count(F.lit(1)).alias("n_buckets"),
             F.sum((F.size("members") > cap).cast("long")).alias("oversized_buckets"),
@@ -860,10 +882,7 @@ def simhash_near_pairs_capped(
                 f"sum(least(size(members), {cap}) * (least(size(members), {cap}) - 1) div 2)"
             ).alias("capped_candidate_pairs"),
         )
-    if max_bucket_size is not None:
-        buckets = buckets.select(
-            "c", "chunk", F.slice("members", 1, max_bucket_size).alias("members")
-        )
+
     # pair generation: explode the (capped) members back to rows and
     # equi-join on the chunk key — NOT in-bucket array combinatorics. The
     # flatten(transform(...)) form materializes a bucket²-element struct
@@ -872,12 +891,23 @@ def simhash_near_pairs_capped(
     # on the sfp30 probe (332 over-cap buckets, r12). The equi-join
     # streams: SMJ/SHJ buffers one key group — at most ``cap`` rows — and
     # emits pairs incrementally, so memory is O(cap), not O(cap²). Both
-    # sides descend from the same grouped child (already hash-partitioned
-    # by the chunk key), so the join adds no new corpus shuffle.
-    flat = buckets.select(
-        "c", "chunk", F.explode("members").alias("m")
-    ).select("c", "chunk", F.col("m.doc_id").alias("doc_id"), F.col("m.simhash").alias("simhash"))
-    a, b = flat.alias("a"), flat.alias("b")
+    # sides descend from the same checkpointed bucket frame, so the join
+    # adds no new corpus shuffle.
+    def _flat(side):
+        if max_bucket_size is not None:
+            side = side.select(
+                "c", "chunk", F.slice("members", 1, max_bucket_size).alias("members")
+            )
+        return side.select(
+            "c", "chunk", F.explode("members").alias("m")
+        ).select(
+            "c",
+            "chunk",
+            F.col("m.doc_id").alias("doc_id"),
+            F.col("m.simhash").alias("simhash"),
+        )
+
+    a, b = _flat(observed).alias("a"), _flat(buckets).alias("b")
     return (
         a.join(
             b,
