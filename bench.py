@@ -3,17 +3,25 @@
 Prints the full result JSON line
   {"metric": "headline_total", "value": <sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>}
-then a SHORT summary JSON line (same shape minus the per-query map, plus
-``"full"`` naming the artifact file) as the LAST line of stdout, and
-writes the full result to a file (``--out`` / $SPARK_GRAFT_BENCH_OUT,
-default ``BENCH_FULL.json`` beside this script).
+then a tail-budgeted compact line (same contract shape, per-query values
+at reduced precision — see below) as the LAST line of stdout, and writes
+the full result to a file (``--out`` / $SPARK_GRAFT_BENCH_OUT, default
+``BENCH_FULL_c{cpus}.json`` beside this script, mirrored to the legacy
+``BENCH_FULL.json`` name; the core-count label keeps the driver's 32- and
+8-core legs from overwriting each other — r16 VERDICT "what's wrong" #3).
 
-Why three spellings of one result (r13 VERDICT #2): the driver records
-only the TAIL of stdout, and the full line (~2.3 KB at 68 queries)
-overflows that tail, clipping its head — BENCH_r13.json carried
-``"parsed": null`` with the first queries missing. The trailing summary
-line always fits any tail window, so the per-round artifact is parseable
-again, and the on-disk file carries every per-query number self-contained.
+Why two spellings of one result (r13 VERDICT #2, r16 VERDICT #1): the
+driver records and parses only the last ~2000 chars of stdout. A full
+3-decimal per-query line is ~2.4 KB at 79 queries, so making it the last
+line clips its HEAD and it parses as null (that was r13). But a last line
+WITHOUT the per-query map leaves the driver comparing epoch-polluted
+totals (that was r16: ``per_query: {}`` and a phantom 1.65x "regression").
+The query names alone sum to ~1350 chars (~1830 with JSON punctuation and
+the contract wrapper), so full-precision timings can never fit; instead
+the final line carries the map at the FINEST precision that fits the tail
+budget (3 decimals > 2 decimals > 2 sig figs > 1 sig fig), falling back to
+the no-map summary only if even that overflows. Exact 3-decimal timings
+are always in the first stdout line and in the on-disk artifact.
 
 Each query executes fully via a noop sink (no driver collect skew); timings
 are per-query wall clock after a session warm-up. Mirrors the reference's
@@ -210,12 +218,15 @@ def main() -> None:
         shutil.rmtree(pack_out, ignore_errors=True)
 
     lineitem_rows = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # same resolution as session.get_spark so the label matches the master
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 8
     result = {
         "metric": "headline_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        "cpus": cpus,
         "n_queries": len(timings),
         **({"skipped": sorted(skip)} if skip else {}),
         "lineitem_rows": lineitem_rows,
@@ -224,8 +235,9 @@ def main() -> None:
         "pack_sec": round(pack_sec, 3),
         "pack_samples_per_sec": round(n_samples / pack_sec),
     }
+    here = os.path.dirname(os.path.abspath(__file__))
     out_path = args.out or os.environ.get("SPARK_GRAFT_BENCH_OUT") or os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        here, f"BENCH_FULL_c{cpus}.json"
     )
     try:
         with open(out_path, "w") as f:
@@ -233,14 +245,65 @@ def main() -> None:
     except OSError as e:  # a read-only checkout must not fail the bench
         print(f"bench: could not write {out_path}: {e}", file=sys.stderr)
         out_path = None
-    # full line first (self-contained when the whole stdout is kept),
-    # compact summary LAST so any tail window ends with parseable JSON
+    if out_path and os.path.basename(out_path) == f"BENCH_FULL_c{cpus}.json":
+        # legacy mirror: whoever still reads the unlabeled name gets the
+        # most recent leg, as before; the labeled file is authoritative
+        try:
+            with open(os.path.join(here, "BENCH_FULL.json"), "w") as f:
+                json.dump(result, f, indent=1)
+        except OSError:
+            pass
+    # full-precision line first (self-contained when the whole stdout is
+    # kept), tail-budgeted line LAST so the driver's 2000-char tail window
+    # always ends with parseable JSON that still carries the per-query map
     print(json.dumps(result))
-    summary = {
-        k: v for k, v in result.items() if k != "queries"
-    }
+    print(tail_line(result, out_path))
+
+
+#: the driver keeps only the last ~2000 chars of stdout and json-parses
+#: its final line; leave headroom for the trailing newline and rounding
+TAIL_BUDGET = 1995
+
+
+def tail_line(result: dict, out_path: str | None) -> str:
+    """Final stdout line: the contract fields plus the per-query map at
+    the finest precision that fits TAIL_BUDGET (r16 VERDICT #1 — without
+    the map the driver can only compare epoch-polluted totals; r13 — an
+    oversized last line is clipped at the HEAD and parses as null, losing
+    even the total). Falls back to the no-map summary if nothing fits."""
+
+    def sig(v: float, n: int) -> str:
+        s = f"{v:.{n}g}"
+        # 2 sig figs of 130.0 is "1.3e+02"; expand — JSON-legal either way
+        # but plain digits are shorter and unambiguous for naive parsers
+        return f"{float(s):.0f}" if "e" in s or "E" in s else s
+
+    fmts = [
+        lambda v: json.dumps(round(v, 3)),
+        lambda v: json.dumps(round(v, 2)),
+        # 2 sig figs: <=5% error everywhere (driver flags >10% moves)
+        lambda v: sig(v, 2),
+        # squeeze rung: keep 2sf on the queries that matter (>=1s), give
+        # sub-second ones 1 decimal (<=15% error, but those timings are
+        # scheduler-noise-dominated at sf0.1 anyway)
+        lambda v: sig(v, 2) if v >= 0.95 else (
+            f"{v:.1f}" if v >= 0.095 else sig(v, 1)
+        ),
+        lambda v: sig(v, 1),
+    ]
+    head = (
+        f'{{"metric":"headline_total","value":{result["value"]},'
+        f'"unit":"sec","sf":{result["sf"]},"queries":{{'
+    )
+    for fmt in fmts:
+        body = ",".join(f'"{k}":{fmt(v)}' for k, v in result["queries"].items())
+        line = head + body + "}}"
+        if len(line) <= TAIL_BUDGET:
+            json.loads(line)  # refuse to emit a malformed final line
+            return line
+    summary = {k: v for k, v in result.items() if k != "queries"}
     summary["full"] = out_path
-    print(json.dumps(summary))
+    return json.dumps(summary)
 
 
 if __name__ == "__main__":

@@ -78,9 +78,10 @@ PURPOSE = (
 
 def one_run(tree: str = ROOT) -> dict:
     env = dict(os.environ)
-    # keep each tree's committed BENCH_FULL.json untouched — A/B and
+    # keep each tree's committed BENCH_FULL*.json untouched — A/B and
     # anchor runs are measurements, not artifact refreshes
-    env["SPARK_GRAFT_BENCH_OUT"] = os.path.join(tree, ".bench_run.json")
+    out_file = os.path.join(tree, ".bench_run.json")
+    env["SPARK_GRAFT_BENCH_OUT"] = out_file
     out = subprocess.run(
         [sys.executable, os.path.join(tree, "bench.py")],
         capture_output=True,
@@ -89,13 +90,19 @@ def one_run(tree: str = ROOT) -> dict:
         cwd=tree,
         env=env,
     )
-    # bench.py prints the FULL result line then a compact tail-safe summary
-    # (r14); the anchor wants the full per-query record — take the last
-    # JSON line that carries the "queries" map
-    records = [
-        json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")
-    ]
-    return next(r for r in reversed(records) if "queries" in r)
+    # the artifact file carries the full 3-decimal per-query record; the
+    # LAST stdout line may be tail-budget-quantized since r17 (2 sig figs),
+    # which would smear every A/B ratio — never take timings from it
+    try:
+        with open(out_file) as f:
+            return json.load(f)
+    except OSError:
+        # old trees (pre-r14 had no --out env honor): fall back to the
+        # FIRST stdout record with the map, which is always full precision
+        records = [
+            json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")
+        ]
+        return next(r for r in records if "queries" in r)
 
 
 def ab_run(ref: str, rnd: int, runs: int, load_at_start: float) -> int:

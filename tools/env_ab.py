@@ -24,15 +24,16 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def one_run(var: str, value: str) -> dict:
     env = dict(os.environ)
     env[var] = value
-    env["SPARK_GRAFT_BENCH_OUT"] = os.path.join(ROOT, ".bench_run.json")
-    out = subprocess.run(
+    out_file = os.path.join(ROOT, ".bench_run.json")
+    env["SPARK_GRAFT_BENCH_OUT"] = out_file
+    subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")],
         capture_output=True, text=True, check=True, cwd=ROOT, env=env,
     )
-    records = [
-        json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")
-    ]
-    return next(r for r in reversed(records) if "queries" in r)
+    # full-precision per-query record lives in the artifact file; the last
+    # stdout line is tail-budget-quantized since r17 (would smear ratios)
+    with open(out_file) as f:
+        return json.load(f)
 
 
 def main() -> None:
