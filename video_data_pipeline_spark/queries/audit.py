@@ -179,6 +179,43 @@ WHERE (('0x' || substr(md5(CAST(p.doc_a AS VARCHAR) || ':' || CAST(p.doc_b AS VA
 """
 
 
+def _calibration_corpus(spark, sf_dir):
+    """(doc_id, simhash, sh): the 60-bit signature AND the shingle set in
+    ONE pass over the rep-collapsed corpus, lazily localCheckpointed
+    (r17, VERDICT r16 #3). Before this the calibration audits instantiated
+    the scan → rep-collapse subtree three times per query — once inside
+    the pigeonhole front for the signature md5 fold (the repo's heaviest
+    per-doc expression) and once per Jaccard join side for the shingle
+    split (the r16 after-plan shows 2 parquet scans + 2 rep-collapse
+    exchanges surviving the pair checkpoint). Now the front consumes
+    (doc_id, simhash) and both join sides consume (doc_id, sh) from the
+    same materialization: 1 corpus pass, 1 rep-collapse shuffle.
+
+    ``sh`` is NULL for docs with fewer than 3 words — the Jaccard sides
+    filter on it, reproducing the old ``size(w) >= 3`` row filter exactly
+    (shingles of a >=3-word array are never NULL)."""
+    from video_data_pipeline_spark.queries.dedup import (
+        _SPARK_WORD_HASHES,
+        _SPARK_WORDS,
+        _simhash_from_hashes,
+    )
+
+    reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
+    return (
+        reps.select(
+            "doc_id",
+            F.expr(_SPARK_WORD_HASHES).alias("hs"),
+            F.expr(_SPARK_WORDS).alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash"),
+            F.when(F.expr("size(w) >= 3"), F.expr(_SPARK_SHINGLE_SET)).alias("sh"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 @query(
     "q_simhash_calibration",
     oracle=_duck_simhash_calibration_sql(),
@@ -208,15 +245,39 @@ def q_simhash_calibration(
     lands the front's cap-engagement telemetry; ``calibrate=True`` (r13)
     forwards to the front's pre-flight — the audit proceeds only on an
     exact plan or raises ``CapBoundError`` by name — and ``pair_budget``
-    (ADVICE r13) forwards the pre-flight's acceptance budget with it."""
-    from video_data_pipeline_spark.queries.dedup import q_simhash_near_pairs
+    (ADVICE r13) forwards the pre-flight's acceptance budget with it.
 
-    kw = {} if max_bucket_size is ... else {"max_bucket_size": max_bucket_size}
-    pairs = q_simhash_near_pairs(
-        spark, sf_dir, observation=observation, calibrate=calibrate,
-        pair_budget=pair_budget, **kw
+    Default (non-calibrate) path since r17: signature and shingle set come
+    from ONE checkpointed corpus pass (:func:`_calibration_corpus`) feeding
+    the front and both Jaccard sides — the calibrate path keeps its own
+    pre-flight-owned signature frame and is unchanged."""
+    from video_data_pipeline_spark.queries.dedup import (
+        DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+        q_simhash_near_pairs,
+        simhash_near_pairs_capped,
     )
-    return _calibration_from_pairs(spark, sf_dir, pairs)
+
+    if calibrate:
+        kw = {} if max_bucket_size is ... else {"max_bucket_size": max_bucket_size}
+        pairs = q_simhash_near_pairs(
+            spark, sf_dir, observation=observation, calibrate=True,
+            pair_budget=pair_budget, **kw
+        )
+        return _calibration_from_pairs(spark, sf_dir, pairs)
+    corpus = _calibration_corpus(spark, sf_dir)
+    mbs = (
+        DEFAULT_SIMHASH_MAX_BUCKET_SIZE if max_bucket_size is ... else max_bucket_size
+    )
+    pairs = simhash_near_pairs_capped(
+        None,
+        max_bucket_size=mbs,
+        observation=observation,
+        signatures=corpus.select("doc_id", "simhash"),
+    )
+    return _calibration_from_pairs(
+        spark, sf_dir, pairs,
+        sets=corpus.where(F.col("sh").isNotNull()).select("doc_id", "sh"),
+    )
 
 
 @query(
@@ -232,18 +293,38 @@ def q_simhash_calibration_combo(spark, sf_dir, max_bucket_size=..., observation=
     (VERDICT r12 #4) puts the geometry knob under the driver's hash gate
     on the AUDIT surface too, not just the pair surface. Choose this on
     diverse/high-entropy corpora (see q_simhash_near_pairs_combo for the
-    measured trade)."""
-    from video_data_pipeline_spark.queries.dedup import q_simhash_near_pairs_combo
+    measured trade). Rides the same shared checkpointed corpus pass as the
+    default twin (r17, :func:`_calibration_corpus`)."""
+    from video_data_pipeline_spark.queries.dedup import (
+        DEFAULT_SIMHASH_MAX_BUCKET_SIZE,
+        simhash_near_pairs_capped,
+    )
 
-    kw = {} if max_bucket_size is ... else {"max_bucket_size": max_bucket_size}
-    pairs = q_simhash_near_pairs_combo(spark, sf_dir, observation=observation, **kw)
-    return _calibration_from_pairs(spark, sf_dir, pairs)
+    corpus = _calibration_corpus(spark, sf_dir)
+    mbs = (
+        DEFAULT_SIMHASH_MAX_BUCKET_SIZE if max_bucket_size is ... else max_bucket_size
+    )
+    pairs = simhash_near_pairs_capped(
+        None,
+        max_bucket_size=mbs,
+        observation=observation,
+        geometry="combos",
+        signatures=corpus.select("doc_id", "simhash"),
+    )
+    return _calibration_from_pairs(
+        spark, sf_dir, pairs,
+        sets=corpus.where(F.col("sh").isNotNull()).select("doc_id", "sh"),
+    )
 
 
-def _calibration_from_pairs(spark, sf_dir, pairs):
+def _calibration_from_pairs(spark, sf_dir, pairs, sets=None):
     """Shared back half of the calibration audits: attach rep-level
     shingle sets to a candidate-pair frame by uniform doc_id joins and
-    compute the exact Jaccard next to the hamming distance.
+    compute the exact Jaccard next to the hamming distance. ``sets``
+    short-circuits the shingle-set computation with a precomputed
+    (doc_id, sh) frame — the r17 shared-corpus path passes a slice of its
+    checkpointed frame here so BOTH join sides read one materialization
+    instead of instantiating scan → rep-collapse → shingle-split twice.
 
     The candidate frame is lazily localCheckpointed first (r16 opt): the
     simhash fronts carry no internal checkpoint on the default path and
@@ -258,12 +339,13 @@ def _calibration_from_pairs(spark, sf_dir, pairs):
     extra pair checkpoint there as pure overhead (1.19x,
     tools/exp_audit_ckpt.py)."""
     pairs = pairs.localCheckpoint(eager=False)
-    reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
-    sets = (
-        reps.select("doc_id", F.expr("split(lower(trim(text)), ' +')").alias("w"))
-        .where(F.expr("size(w) >= 3"))
-        .select("doc_id", F.expr(_SPARK_SHINGLE_SET).alias("sh"))
-    )
+    if sets is None:
+        reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
+        sets = (
+            reps.select("doc_id", F.expr("split(lower(trim(text)), ' +')").alias("w"))
+            .where(F.expr("size(w) >= 3"))
+            .select("doc_id", F.expr(_SPARK_SHINGLE_SET).alias("sh"))
+        )
     ta = sets.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     tb = sets.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
