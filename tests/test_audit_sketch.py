@@ -88,12 +88,12 @@ def test_hard_negatives_semihard_band_properties(spark, sf_dir):
 
 def test_simhash_calibration_rides_checkpointed_pairs(spark, sf_dir):
     # r16 opt: _calibration_from_pairs lazily localCheckpoints the candidate
-    # frame — the simhash front has no internal checkpoint on the default
-    # path and its observe node defeats exchange canonicalization, so the
-    # audit's join chain re-planned the signature lambda on both self-join
-    # sides (measured 0.78x after the fix, tools/exp_simhash_ckpt.py). The
-    # optimized plan must reference the checkpoint (an ExistingRDD/LogicalRDD
-    # leaf) and re-derive the corpus scan only for the two shingle-set sides.
+    # frame (measured 0.78x, tools/exp_simhash_ckpt.py). r17 goes further
+    # (VERDICT r16 #3): signature and shingle set come from ONE checkpointed
+    # corpus pass (_calibration_corpus), so the final query plan must carry
+    # NO corpus relation at all — the front reads the pair checkpoint and
+    # both Jaccard sides read slices of the corpus checkpoint (0.85x,
+    # tools/exp_cal_corpus.py).
     from video_data_pipeline_spark.queries.audit import q_simhash_calibration
 
     plan = (
@@ -103,4 +103,4 @@ def test_simhash_calibration_rides_checkpointed_pairs(spark, sf_dir):
         .toString()
     )
     assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan[:2000]
-    assert plan.count("Relation") <= 2, plan[:2000]
+    assert plan.count("Relation") == 0, plan[:2000]

@@ -1113,44 +1113,47 @@ def q_hard_negatives(spark, sf_dir):
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
-    # ranked fans out to THREE consumers (thresholds, positives, band) and
-    # Catalyst does not CSE across DataFrame references — without the lazy
-    # checkpoint the full-corpus cosine scan + rank shuffle re-execute per
-    # consumer (repo reuse policy; the q_prefix_filter_join precedent).
-    # The pinned frame is panel×corpus rows (8·N) — the same rows the rank
-    # shuffle materializes once anyway, now paid once instead of thrice.
-    ranked = scored.withColumn("rnk", F.row_number().over(w)).localCheckpoint(
-        eager=False
-    )
-    thresholds = ranked.where(F.col("rnk") == _HN_POS).select(
-        "q_id", F.col("cosine").alias("t")
-    )
-    positives = ranked.where(F.col("rnk") <= _HN_POS).select(
-        "q_id",
-        "vec_id",
-        "label",
-        "cosine",
-        F.lit("pos").alias("role"),
-        F.col("rnk").cast("bigint").alias("rank"),
-    )
-    band = (
-        ranked.where(F.col("rnk") > _HN_POS)
-        .join(F.broadcast(thresholds), "q_id")
-        .where(F.col("cosine") >= F.col("t") - F.expr(_HN_MARGIN))
+    # r17 restructure (VERDICT r16 #4). The r16 shape checkpointed the
+    # FULL panel×corpus ranked frame (8·N rows) for its three consumers —
+    # an un-prunable Window over 8 fat partitions plus 8·N rows pinned in
+    # the block manager. But the output is provably contained in the TOP
+    # 8 (= _HN_POS + _HN_NEG) rows per anchor: positives are ranks 1-4 by
+    # definition, and the band re-rank keeps nrk <= 4 of a set that is a
+    # CONTIGUOUS run of original ranks starting at 5 — cosine is
+    # non-increasing along the rank order, so once one rank-(>4) row
+    # falls below t - margin every later row does too, making the band a
+    # rank prefix and nrk = rnk - _HN_POS. Hence: ONE top-k-filtered
+    # window (map-side WindowGroupLimit — each scan task emits <= 8 rows
+    # per anchor, the shuffle carries <= panel·8·tasks rows instead of
+    # 8·N), the threshold via a second window over the same partition key
+    # (no new shuffle), no checkpoint, no union, one corpus pass.
+    # A first r17 attempt that streamed the corpus TWICE (top-4 pass +
+    # band pass) measured 1.25x — two BroadcastNestedLoopJoin cosine
+    # expansions outweigh the window savings; kept in
+    # tools/exp_hard_negatives.py history for the record.
+    out_k = _HN_POS + _HN_NEG
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= out_k)
         .withColumn(
-            "nrk",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.col("cosine").desc(), "vec_id")
+            "t",
+            F.max(F.when(F.col("rnk") == _HN_POS, F.col("cosine"))).over(
+                Window.partitionBy("q_id")
             ),
         )
-        .where(F.col("nrk") <= _HN_NEG)
+        .where(
+            (F.col("rnk") <= _HN_POS)
+            | (F.col("cosine") >= F.col("t") - F.expr(_HN_MARGIN))
+        )
         .select(
             "q_id",
             "vec_id",
             "label",
             "cosine",
-            F.lit("neg").alias("role"),
-            F.col("nrk").cast("bigint").alias("rank"),
+            F.when(F.col("rnk") <= _HN_POS, "pos").otherwise("neg").alias("role"),
+            F.when(F.col("rnk") <= _HN_POS, F.col("rnk"))
+            .otherwise(F.col("rnk") - _HN_POS)
+            .cast("bigint")
+            .alias("rank"),
         )
     )
-    return positives.unionAll(band)
