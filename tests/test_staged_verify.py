@@ -83,6 +83,27 @@ def test_summary_counts_and_saturation(spark):
     assert got[2]["n"] == 3
 
 
+def test_null_hash_elements_force_saturation_bypass(spark):
+    # ADVICE r16: a NULL element used to yield sat = (false OR NULL) = NULL,
+    # and a NULL sat in the staged WHERE silently DROPS the pair — the one
+    # direction the never-prune-a-true-pair contract forbids. Unreachable
+    # with md5-derived hashes, but the fold must fail SAFE: an unknown lane
+    # forces sat=true (bypass to exact verification), never NULL. A fully
+    # NULL array must bypass too.
+    df = spark.createDataFrame(
+        [(1, 3, [5, None, 133]), (2, 1, None), (3, 2, [5, 7])],
+        "doc_id long, n int, hs array<bigint>",
+    )
+    got = {r["doc_id"]: r for r in summary_table(df).collect()}
+    assert got[1]["sat"] is True  # unknown lane -> bypass
+    assert got[2]["sat"] is True  # unknown summary -> bypass
+    assert got[3]["sat"] is False  # clean rows unaffected
+    # the known lanes of the partially-null row still count normally
+    w0 = got[1]["cnt"][0]
+    assert (w0 >> (5 * 4)) & 15 == 2  # 5 and 133 share lane 5
+    assert (w0 >> (7 * 4)) & 15 == 0
+
+
 def test_staged_equals_direct_prefix_join(spark):
     from video_data_pipeline_spark.queries.registry import table
 

@@ -840,6 +840,25 @@ def simhash_near_pairs_capped(
         )
         .where(F.size("members") > 1)
     )
+    # cap BEFORE the checkpoint (ADVICE r16): the r16 form checkpointed the
+    # UNCAPPED member lists and sliced after, so on the degenerate corpora
+    # the cap exists for (sfp30: 332 over-cap buckets) the block manager
+    # persisted exactly the oversized arrays the cap is meant to bound.
+    # Slice first and carry the uncapped size as ONE BIGINT per bucket —
+    # the telemetry below reads n_uncapped, so every metric (including the
+    # recall arithmetic on uncapped candidate pairs) is unchanged while
+    # the persisted blocks are bounded by cap × bucket count.
+    if max_bucket_size is not None:
+        buckets = buckets.select(
+            "c",
+            "chunk",
+            F.size("members").alias("n_uncapped"),
+            F.slice("members", 1, max_bucket_size).alias("members"),
+        )
+    else:
+        buckets = buckets.select(
+            "c", "chunk", F.size("members").alias("n_uncapped"), "members"
+        )
     # lazy localCheckpoint BEFORE the observe node (r16): the self-join
     # below otherwise re-instantiates the whole scan → rep-collapse →
     # signature-md5 → bucket subtree on BOTH sides (the observe's
@@ -853,13 +872,11 @@ def simhash_near_pairs_capped(
     # checkpoint, and to ONE join side only: its CollectMetrics executes
     # inside the join query (metrics fire exactly once — pre-change it
     # was duplicated on both sides), while the other side pays only the
-    # slice+explode over the checkpoint scan. The frame is the size>1
-    # bucket lists only — small, so the block-manager-eviction own-goal
-    # that reverted the simjoin restructure does not apply. Measured
-    # 0.90×/0.92× on the near-pairs / calibrated bench queries with the
-    # telemetry kept (a variant that also dropped the CollectMetrics
-    # from the executed query measured 0.70× but returned None metrics —
-    # rejected; BENCH_SIMHASH_FLAT_CKPT_AB_r16.json records both).
+    # explode over the checkpoint scan. Measured 0.90×/0.92× on the
+    # near-pairs / calibrated bench queries with the telemetry kept (a
+    # variant that also dropped the CollectMetrics from the executed
+    # query measured 0.70× but returned None metrics — rejected;
+    # BENCH_SIMHASH_FLAT_CKPT_AB_r16.json records both).
     buckets = buckets.localCheckpoint(eager=False)
     if observation is None and max_bucket_size is not None:
         # see lsh_pairs_from_bands: self-announcing cap engagement
@@ -872,18 +889,20 @@ def simhash_near_pairs_capped(
         observed = buckets.observe(
             observation,
             F.count(F.lit(1)).alias("n_buckets"),
-            F.sum((F.size("members") > cap).cast("long")).alias("oversized_buckets"),
-            F.max(F.size("members")).alias("max_bucket_size_seen"),
+            F.sum((F.col("n_uncapped") > cap).cast("long")).alias(
+                "oversized_buckets"
+            ),
+            F.max("n_uncapped").alias("max_bucket_size_seen"),
             # recall arithmetic (r15, VERDICT r14 #8) — see lsh_pairs_from_bands
-            F.expr("sum(size(members) * (size(members) - 1) div 2)").alias(
+            F.expr("sum(n_uncapped * (n_uncapped - 1) div 2)").alias(
                 "uncapped_candidate_pairs"
             ),
             F.expr(
-                f"sum(least(size(members), {cap}) * (least(size(members), {cap}) - 1) div 2)"
+                f"sum(least(n_uncapped, {cap}) * (least(n_uncapped, {cap}) - 1) div 2)"
             ).alias("capped_candidate_pairs"),
         )
 
-    # pair generation: explode the (capped) members back to rows and
+    # pair generation: explode the (pre-capped) members back to rows and
     # equi-join on the chunk key — NOT in-bucket array combinatorics. The
     # flatten(transform(...)) form materializes a bucket²-element struct
     # array PER BUCKET ROW before explode; at the default cap that is
@@ -894,10 +913,6 @@ def simhash_near_pairs_capped(
     # sides descend from the same checkpointed bucket frame, so the join
     # adds no new corpus shuffle.
     def _flat(side):
-        if max_bucket_size is not None:
-            side = side.select(
-                "c", "chunk", F.slice("members", 1, max_bucket_size).alias("members")
-            )
         return side.select(
             "c", "chunk", F.explode("members").alias("m")
         ).select(

@@ -226,7 +226,13 @@ _WORD_SQL = f"CAST({_LANE_SQL} div 16 AS INT)"
 #: attempted at 15 is exactly "true count > 15", so it sets sat instead.
 #: The bump is mask-and-OR (clear the lane, OR in cur+1), never `+`:
 #: a carry into bit 63 (word 7, lane 15 crossing count 8) would trip
-#: ANSI overflow on add, while AND/OR/shifts are carry-free
+#: ANSI overflow on add, while AND/OR/shifts are carry-free.
+#: Null safety (ADVICE r16): a NULL element h makes the sat term NULL,
+#: and `false OR NULL` is NULL — which the staged WHERE silently DROPS,
+#: the one direction the filter's never-prune-a-true-pair contract
+#: forbids. Unreachable with the md5-derived hs (never null), but the
+#: per-element coalesce forces an unknown lane to sat=true (bypass to
+#: exact verification) instead — always-safe by construction
 _SUMMARY_FOLD_SQL = f"""aggregate(
   hs,
   named_struct('w', array_repeat(0L, {_SUMMARY_WORDS}), 'sat', false),
@@ -237,8 +243,9 @@ _SUMMARY_FOLD_SQL = f"""aggregate(
            (x & ~shiftleft(15L, {_SHIFT_SQL}))
              | shiftleft((shiftright(x, {_SHIFT_SQL}) & 15) + 1, {_SHIFT_SQL}),
            x)),
-    'sat', acc.sat OR
-        (shiftright(element_at(acc.w, {_WORD_SQL} + 1), {_SHIFT_SQL}) & 15) = 15
+    'sat', acc.sat OR coalesce(
+        (shiftright(element_at(acc.w, {_WORD_SQL} + 1), {_SHIFT_SQL}) & 15) = 15,
+        true)
   )
 )"""
 
@@ -259,7 +266,11 @@ def summary_table(sets):
     return sets.select(
         "doc_id", "n", F.expr(_SUMMARY_FOLD_SQL).alias("s")
     ).select(
-        "doc_id", "n", F.col("s.w").alias("cnt"), F.col("s.sat").alias("sat")
+        "doc_id",
+        "n",
+        F.col("s.w").alias("cnt"),
+        # a NULL hs array folds to a NULL struct: bypass, never prune
+        F.coalesce(F.col("s.sat"), F.lit(True)).alias("sat"),
     )
 
 
