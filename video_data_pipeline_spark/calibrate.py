@@ -47,6 +47,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from video_data_pipeline_spark.checkpoint import checkpoint_frame
+
 log = logging.getLogger("video_data_pipeline_spark.calibrate")
 
 #: Default candidate-pair budget for an auto-selected EXACT plan. Sized
@@ -367,9 +369,7 @@ def calibrate_simhash(
 
     if default_cap is _UNSET:
         default_cap = DEFAULT_SIMHASH_MAX_BUCKET_SIZE
-    sig = simhash_signatures(exact_dup_representatives(docs)).localCheckpoint(
-        eager=False
-    )
+    sig = checkpoint_frame(simhash_signatures(exact_dup_representatives(docs)))
     if default_cap is None:
         reason = (
             "caller passed max_bucket_size=None explicitly — the uncapped "

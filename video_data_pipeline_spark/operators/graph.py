@@ -40,6 +40,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from video_data_pipeline_spark.checkpoint import checkpoint_frame
+
 
 def count_triangles(
     edges: DataFrame,
@@ -93,7 +95,7 @@ def count_triangles(
         F.when(x_first, F.col("y")).otherwise(F.col("x")).alias("hi"),
     )
     if checkpoint:
-        oriented = oriented.localCheckpoint(eager=False)
+        oriented = checkpoint_frame(oriented)
 
     if method == "wedge":
         e1 = oriented.select(F.col("lo").alias("u"), F.col("hi").alias("v"))

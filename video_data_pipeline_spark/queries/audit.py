@@ -34,6 +34,7 @@ from video_data_pipeline_spark.queries.dedup import (
     minhash_bands,
     signatures,
 )
+from video_data_pipeline_spark.checkpoint import checkpoint_frame
 from video_data_pipeline_spark.queries.registry import query, table
 
 _SPARK_SHINGLE_SET = (
@@ -201,7 +202,7 @@ def _calibration_corpus(spark, sf_dir):
     )
 
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
-    return (
+    return checkpoint_frame(
         reps.select(
             "doc_id",
             F.expr(_SPARK_WORD_HASHES).alias("hs"),
@@ -212,7 +213,6 @@ def _calibration_corpus(spark, sf_dir):
             F.expr(_simhash_from_hashes("spark", "hs")).alias("simhash"),
             F.when(F.expr("size(w) >= 3"), F.expr(_SPARK_SHINGLE_SET)).alias("sh"),
         )
-        .localCheckpoint(eager=False)
     )
 
 
@@ -338,7 +338,7 @@ def _calibration_from_pairs(spark, sf_dir, pairs, sets=None):
     checkpoints bands internally, and the same experiment measured an
     extra pair checkpoint there as pure overhead (1.19x,
     tools/exp_audit_ckpt.py)."""
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = checkpoint_frame(pairs)
     if sets is None:
         reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
         sets = (

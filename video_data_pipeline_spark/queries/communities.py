@@ -46,6 +46,7 @@ from video_data_pipeline_spark.queries.dedup import (
     lsh_pairs_from_bands,
     minhash_bands,
 )
+from video_data_pipeline_spark.checkpoint import checkpoint_frame
 from video_data_pipeline_spark.queries.registry import query, table
 
 _LPA_ROUNDS = 3
@@ -96,7 +97,7 @@ def label_propagation_pairs(pairs, rounds: int = _LPA_ROUNDS):
     # (LSH) subtree ~2^rounds times — lazy localCheckpoint is the repo
     # pattern (operators/components.py does the same for the CC loop).
     # Plan growth is pinned linear by tests/test_lpa_checkpoint.py.
-    sym = fwd.union(rev).distinct().localCheckpoint(eager=False)
+    sym = checkpoint_frame(fwd.union(rev).distinct())
     # the packed-MAX trick needs every label (= doc_id) < 2^33: a wider id
     # would alias under the % 2^33 unpack and SILENTLY corrupt communities,
     # so violation raises inside the seed expression (an assert column

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from video_data_pipeline_spark.checkpoint import checkpoint_frame
 from video_data_pipeline_spark.queries.registry import query, spread, table
 
 _N_HASHES = 8
@@ -387,7 +388,7 @@ def q_minhash_lsh_pairs(
         # measurement agg and the pair join (the calibrate_simhash
         # signature-reuse pattern); on a decision-cache hit the
         # checkpoint is just a no-op wrapper around the single join pass
-        bands = minhash_bands(reps).localCheckpoint(eager=False)
+        bands = checkpoint_frame(minhash_bands(reps))
         front = bands.select(
             F.concat_ws("/", "band_idx", "band_key").alias("key")
         )
@@ -689,9 +690,9 @@ def q_simhash_near_pairs(
             # ADVICE r14): measure + report on the chunks front (the
             # capped default's geometry), then proceed with the caller's
             # cap — never refuse the escape they already took
-            sig = simhash_signatures(
-                exact_dup_representatives(docs)
-            ).localCheckpoint(eager=False)
+            sig = checkpoint_frame(
+                simhash_signatures(exact_dup_representatives(docs))
+            )
             cached_plan(
                 key,
                 lambda: explicit_cap_plan(
@@ -877,7 +878,7 @@ def simhash_near_pairs_capped(
     # variant that also dropped the CollectMetrics from the executed
     # query measured 0.70× but returned None metrics — rejected;
     # BENCH_SIMHASH_FLAT_CKPT_AB_r16.json records both).
-    buckets = buckets.localCheckpoint(eager=False)
+    buckets = checkpoint_frame(buckets)
     if observation is None and max_bucket_size is not None:
         # see lsh_pairs_from_bands: self-announcing cap engagement
         from video_data_pipeline_spark.telemetry import cap_observation_name
@@ -1548,9 +1549,11 @@ def q_dedup_triangles(spark, sf_dir):
     reps = exact_dup_representatives(table(spark, sf_dir, "documents"))
     from video_data_pipeline_spark.operators.graph import count_triangles
 
-    pairs = lsh_pairs_from_bands(
-        minhash_bands(reps), max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE
-    ).localCheckpoint(eager=False)
+    pairs = checkpoint_frame(
+        lsh_pairs_from_bands(
+            minhash_bands(reps), max_bucket_size=DEFAULT_LSH_MAX_BUCKET_SIZE
+        )
+    )
     n_tri = count_triangles(pairs, a="doc_a", b="doc_b", degree_order=True)
     n_edges = pairs.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_tri.crossJoin(F.broadcast(n_edges))
@@ -1621,10 +1624,8 @@ def q_pagerank(spark, sf_dir):
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    sym = fwd.union(rev).distinct().localCheckpoint(eager=False)
-    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=False
-    )
+    sym = checkpoint_frame(fwd.union(rev).distinct())
+    deg = checkpoint_frame(sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
     ranks = deg.select(F.col("u").alias("node"), F.lit(_PR_ONE).cast("bigint").alias("r"))
     for _ in range(_PR_ITERS):
         contrib = (
@@ -1702,7 +1703,7 @@ def q_kcore(spark, sf_dir):
     pairs = q_minhash_lsh_pairs(spark, sf_dir)
     fwd = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
     rev = pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    sym = fwd.union(rev).distinct().localCheckpoint(eager=True)
+    sym = checkpoint_frame(fwd.union(rev).distinct(), eager=True)
     alive = sym.select("u").distinct()
 
     def _alive_deg(alive_df):

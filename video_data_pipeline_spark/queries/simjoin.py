@@ -51,6 +51,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from video_data_pipeline_spark.checkpoint import checkpoint_frame
+
 from video_data_pipeline_spark.queries.dedup import (
     _DUCK_REPS,
     _DUCK_SHINGLES,
@@ -125,7 +127,7 @@ def hashed_shingle_sets(docs, checkpoint: bool = True):
         "n",
         F.expr(f"transform(toks, t -> {_spark_hash('t')})").alias("hs"),
     )
-    return out.localCheckpoint(eager=False) if checkpoint else out
+    return checkpoint_frame(out) if checkpoint else out
 
 
 def _duck_prefix_join_sql() -> str:
@@ -430,7 +432,7 @@ def prefix_filter_pairs(
     if staged_verify is None:
         staged_verify = max_bucket_size is None
     if staged_verify:
-        summaries = summary_table(sets).localCheckpoint(eager=False)
+        summaries = checkpoint_frame(summary_table(sets))
         cand = _staged_candidate_filter(
             cand,
             summaries,
@@ -1010,7 +1012,7 @@ def containment_pairs_capped(
     if staged_verify is None:
         staged_verify = max_posting_size is None
     if staged_verify:
-        summaries = summary_table(sets).localCheckpoint(eager=False)
+        summaries = checkpoint_frame(summary_table(sets))
         pairs = _staged_candidate_filter(
             pairs,
             summaries,
