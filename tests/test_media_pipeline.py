@@ -19,6 +19,9 @@ from video_data_pipeline_spark.functions.media import (
 from video_data_pipeline_spark.plans.pack import pack_dataset
 from video_data_pipeline_spark.sources.webdataset import read_webdataset
 
+import pytest
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 
 def _meta(spark, sf_dir, n=20):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(n)

@@ -17,6 +17,8 @@ from video_data_pipeline_spark.operators.packing import greedy_bin_pack, shard_r
 from video_data_pipeline_spark.operators.projection import extract_keys, rename, to_tuple
 from video_data_pipeline_spark.operators.sampling import detshuffle, rsample, sliced
 
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 
 def _df(spark, rows, schema):
     return spark.createDataFrame(rows, schema=schema)

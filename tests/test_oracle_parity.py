@@ -12,6 +12,8 @@ import pytest
 from tools.selfcheck import TABLES, compare
 from video_data_pipeline_spark.queries.registry import load_all
 
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 REGISTRY = load_all()
 
 

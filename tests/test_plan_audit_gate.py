@@ -20,6 +20,8 @@ import pytest
 
 from tools.plan_audit import audit_registry
 
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 
 @pytest.mark.planaudit
 def test_no_unexplained_plan_antipatterns(spark, sf_dir):

@@ -14,6 +14,8 @@ import pytest
 
 from video_data_pipeline_spark.queries.registry import load_all
 
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 REGISTRY = load_all()
 
 

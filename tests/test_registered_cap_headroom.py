@@ -42,6 +42,8 @@ from video_data_pipeline_spark.queries.simjoin import (
     q_prefix_filter_join,
 )
 
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 SF_DIR = "/root/testdata/sf0.01"
 
 

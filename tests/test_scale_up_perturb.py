@@ -15,6 +15,8 @@ import sys
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 
 @pytest.fixture(scope="module")
 def perturbed_dir(tmp_path_factory):

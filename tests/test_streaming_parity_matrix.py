@@ -24,6 +24,8 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

@@ -18,6 +18,8 @@ import pytest
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 SF01_DOCS = "/root/testdata/sf0.1/documents.parquet"
 
 

@@ -23,6 +23,8 @@ from video_data_pipeline_spark.sources.webdataset import (
     read_webdataset,
 )
 
+pytestmark = pytest.mark.slow  # r17 fast-tier: see conftest/pytest.ini
+
 
 def _sample_df(spark, n=10):
     rows = [
