@@ -327,7 +327,8 @@ def rarity_prefix_rows(sets):
 
 
 def prefix_filter_pairs(
-    docs, max_bucket_size=None, observation=None, sets=None, staged_verify=None
+    docs, max_bucket_size=None, observation=None, sets=None, staged_verify=None,
+    prefix=None,
 ):
     """Core of :func:`q_prefix_filter_join`, parameterized with the family's
     100 TB hot-bucket guard (the ``lsh_pairs_from_bands`` /
@@ -372,7 +373,15 @@ def prefix_filter_pairs(
     # ``sets`` so measurement and join share one checkpoint.
     if sets is None:
         sets = hashed_shingle_sets(docs)
-    prefix = rarity_prefix_rows(sets)
+    # ``prefix`` short-circuits the rarity-prefix derivation (r17, VERDICT
+    # r16 #6): the calibrated query passes its CHECKPOINTED prefix frame so
+    # the df groupBy + rarity window run once across the pre-flight
+    # measurement and this join instead of once each. (The r16 attempt
+    # shared the grouped-bucket ARRAY frame and was reverted on
+    # block-manager eviction; the flat (doc_id, n, h) rows don't have that
+    # failure shape.)
+    if prefix is None:
+        prefix = rarity_prefix_rows(sets)
     # bucketed pair generation WITH the PPJoin length filter evaluated
     # inside the bucket lambda: J >= τ forces τ·max(n) <= min(n), so most
     # cross-size pairs never materialize (measured: 299k -> far fewer
@@ -505,7 +514,11 @@ def q_prefix_filter_join(
         )
 
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
-        front = rarity_prefix_rows(sets).select(F.col("h").alias("key"))
+        # checkpoint the prefix frame too (r17, VERDICT r16 #6): the
+        # pre-flight measurement and the join below otherwise each
+        # instantiate the df groupBy + rarity window over the corpus
+        prefix = checkpoint_frame(rarity_prefix_rows(sets))
+        front = prefix.select(F.col("h").alias("key"))
         fp = corpus_fingerprint(sf_dir)
         if max_bucket_size != DEFAULT_MAX_BUCKET_SIZE:
             # explicit non-default cap = accepted partial recall (r15,
@@ -552,7 +565,7 @@ def q_prefix_filter_join(
             ))
         return prefix_filter_pairs(
             docs, max_bucket_size=plan.max_bucket_size,
-            observation=observation, sets=sets,
+            observation=observation, sets=sets, prefix=prefix,
         )
     return prefix_filter_pairs(
         docs,
