@@ -217,7 +217,15 @@ FROM pos GROUP BY chunk_id
 def q_chunk_fixed(spark, sf_dir):
     """Fixed-500 tar chunking (pack/pack.py:17,61-63): batch assignment
     under total order, summarized per chunk. In the real sink this is
-    ``maxRecordsPerFile`` — no window needed (sinks/webdataset.py)."""
+    ``maxRecordsPerFile`` — no window needed (sinks/webdataset.py).
+
+    NOT spread() (r17, VERDICT r16 #5 measured keep-or-reject):
+    round-robin repartitioning the single-row-group scan measured 1.80x
+    SLOWER same-session ABBA (tools/exp_spread_pack.py) — both
+    global-index passes would pay a keyless repartition (which sorts its
+    input first, SPARK-23207) of 600k rows to parallelize a predicate
+    chain that one core finishes faster than the exchange. q_pack_merge
+    measured flat (0.96x, 5k rows) — also left alone."""
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
     return (
         li.transform(batched(["l_orderkey", "l_linenumber"], n=500, batch_col="chunk_id"))
