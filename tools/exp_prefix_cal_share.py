@@ -11,6 +11,16 @@ eviction; flat rows don't have that failure shape.)
 
 The in-process plan-decision cache is cleared before every construction
 so both variants really pay their measurement. Identical rows asserted.
+
+OUTCOME: REJECTED (r17). The shared form won at sf0.1 (0.82x) but at the
+sfp10 cap-binding scale two same-epoch interleaved pairs measured it
+deterministically ~2x the task time (10.3-10.7k core-seconds vs
+5.0-8.1k core-seconds) and 1.3-2.1x the wall, with LESS shuffle written
+and identical spill — real extra compute in the uncapped staged join
+downstream of the checkpoint scan. The registered query keeps the
+unshared form; PROBE_PREFIX_SHARE_SFP10_r17.json records all four cells.
+This tool is retained as the reproduction harness (its "new" variant now
+reconstructs the rejected composition inline).
 """
 
 from __future__ import annotations
@@ -58,11 +68,38 @@ def _old(spark, sf_dir):
 
 
 def _new(spark, sf_dir):
+    # the REJECTED shared-prefix composition, reconstructed inline (the
+    # registered query reverted to the unshared form — see OUTCOME above)
+    from video_data_pipeline_spark.calibrate import (
+        STAGED_CANDIDATE_BYTES,
+        front_plan_from_stats,
+        measure_front,
+        resolve_byte_budget,
+    )
+    from video_data_pipeline_spark.checkpoint import checkpoint_frame
+    from video_data_pipeline_spark.queries.registry import table
     from video_data_pipeline_spark.queries.simjoin import (
-        q_prefix_filter_join_calibrated,
+        DEFAULT_MAX_BUCKET_SIZE,
+        hashed_shingle_sets,
+        prefix_filter_pairs,
+        rarity_prefix_rows,
     )
 
-    return q_prefix_filter_join_calibrated(spark, sf_dir)
+    docs = table(spark, sf_dir, "documents")
+    sets = hashed_shingle_sets(docs)
+    prefix = checkpoint_frame(rarity_prefix_rows(sets))
+    front = prefix.select(F.col("h").alias("key"))
+    stats = measure_front(front, DEFAULT_MAX_BUCKET_SIZE, "prefix_buckets")
+    bb = resolve_byte_budget(spark)
+    plan = front_plan_from_stats(
+        stats,
+        bytes_per_candidate=STAGED_CANDIDATE_BYTES,
+        byte_budget=bb.total,
+        budget_note=bb.provenance,
+    )
+    return prefix_filter_pairs(
+        docs, max_bucket_size=plan.max_bucket_size, sets=sets, prefix=prefix
+    )
 
 
 def main() -> None:

@@ -373,13 +373,15 @@ def prefix_filter_pairs(
     # ``sets`` so measurement and join share one checkpoint.
     if sets is None:
         sets = hashed_shingle_sets(docs)
-    # ``prefix`` short-circuits the rarity-prefix derivation (r17, VERDICT
-    # r16 #6): the calibrated query passes its CHECKPOINTED prefix frame so
-    # the df groupBy + rarity window run once across the pre-flight
-    # measurement and this join instead of once each. (The r16 attempt
-    # shared the grouped-bucket ARRAY frame and was reverted on
-    # block-manager eviction; the flat (doc_id, n, h) rows don't have that
-    # failure shape.)
+    # ``prefix`` short-circuits the rarity-prefix derivation. NOT used by
+    # the registered queries (r17, VERDICT r16 #6 revisit — REJECTED):
+    # sharing a checkpointed prefix frame between the calibrated
+    # pre-flight and this join measured 0.82x at sf0.1 but ~2x the task
+    # time at the sfp10 cap-binding scale (deterministic across two
+    # same-epoch interleaved pairs, PROBE_PREFIX_SHARE_SFP10_r17.json) —
+    # the same family of failure as the r16 grouped-bucket sharing
+    # revert. Kept as a parameter so tools/exp_prefix_cal_share.py can
+    # reproduce the rejected composition.
     if prefix is None:
         prefix = rarity_prefix_rows(sets)
     # bucketed pair generation WITH the PPJoin length filter evaluated
@@ -514,11 +516,7 @@ def q_prefix_filter_join(
         )
 
         sets = hashed_shingle_sets(docs)  # lazily checkpointed, shared
-        # checkpoint the prefix frame too (r17, VERDICT r16 #6): the
-        # pre-flight measurement and the join below otherwise each
-        # instantiate the df groupBy + rarity window over the corpus
-        prefix = checkpoint_frame(rarity_prefix_rows(sets))
-        front = prefix.select(F.col("h").alias("key"))
+        front = rarity_prefix_rows(sets).select(F.col("h").alias("key"))
         fp = corpus_fingerprint(sf_dir)
         if max_bucket_size != DEFAULT_MAX_BUCKET_SIZE:
             # explicit non-default cap = accepted partial recall (r15,
@@ -565,7 +563,7 @@ def q_prefix_filter_join(
             ))
         return prefix_filter_pairs(
             docs, max_bucket_size=plan.max_bucket_size,
-            observation=observation, sets=sets, prefix=prefix,
+            observation=observation, sets=sets,
         )
     return prefix_filter_pairs(
         docs,
